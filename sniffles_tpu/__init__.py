@@ -1,0 +1,27 @@
+"""
+sniffles-tpu: A TPU-native structural variant caller for long-read sequencing data.
+
+A ground-up re-design of the capabilities of Sniffles2 (reference:
+/root/reference, fritzsedlazeck/Sniffles) for TPU hardware:
+
+- Host ingest: a self-contained BGZF/BAM/CRAM decoder (pure Python + C++
+  accelerated) that emits fixed-width *signature tensors* instead of
+  per-read Python objects (reference: src/sniffles/leadprov.py).
+- Device compute: signature clustering as sort-and-segment kernels,
+  vectorized robust statistics, closed-form genotyping and QC cascades
+  under jit (reference: cluster.py, sv.py, postprocessing.py,
+  genotyping.py) plus Pallas banded DP kernels for edit-distance and
+  POA consensus (replacing edlib / pyspoa).
+- Distribution: genome-bin sharding over a jax.sharding.Mesh with XLA
+  collectives for cross-shard boundary clusters and multi-sample merge
+  (replacing the reference's multiprocessing Pipe runtime,
+  parallel.py).
+- Formats: VCF 4.2 writer/reader, SNF candidate files, population SNF
+  (reference: vcf.py, snf.py, snfp.py).
+"""
+
+VERSION = "sniffles-tpu"
+BUILD = "0.1.0"
+SNF_VERSION = "S2_rc4"  # SNF layout compatible with reference snf.py
+
+__version__ = BUILD

@@ -1,0 +1,553 @@
+"""
+Lead (raw SV signature) extraction from BAM alignments.
+
+Mirrors the reference extraction semantics (reference: leadprov.py):
+CIGAR indels >= minsvlen_screen, long soft-clips as putative long INS,
+clip-only single-break signatures, split-read signatures from SA tags,
+and dedicated BND leads. Consumes records from the built-in BAM decoder
+(io/bam.py) or the native C++ decoder.
+
+The per-base coverage array and the binned leadtab produced here feed
+both the exact host pipeline and (tensorized via signatures.py) the TPU
+device pipeline.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Optional, Iterator
+
+import numpy as np
+
+from sniffles_tpu import util
+from sniffles_tpu import svcall as sv
+from sniffles_tpu.region import Region
+from sniffles_tpu.svcall import SVCallBNDInfo
+from sniffles_tpu.io.bam import (BamRead, CINS, CDEL, CSOFT_CLIP, CHARD_CLIP, CMATCH,
+                                 CEQUAL, CDIFF, CREF_SKIP, CPAD)
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class Lead:
+    """A raw SV signature from one read (reference: leadprov.py:34-141)."""
+    read_id: int = None
+    read_qname: str = None
+    contig: str = None
+    ref_start: int = None
+    ref_end: int = None
+    qry_start: int = None
+    qry_end: int = None
+    strand: str = None
+    mapq: int = None
+    nm: float = None
+    source: str = None
+    svtype: str = None
+    svlen: Optional[int] = None
+    seq: Optional[str] = None
+    svtypes_starts_lens: list = None
+    bnd_info: Optional[SVCallBNDInfo] = None
+    hap: str = "0"
+    phase_set: str = None
+    is_sa: bool = False
+    read_len: int = 0
+    sa_same_strand: bool = False
+
+    @classmethod
+    def for_bnd(cls, read_id: int, read: BamRead) -> Optional['Lead']:
+        """BND lead from the SA tag of a read (reference: leadprov.py:57-132).
+
+        Unlike the reference code (which bails out with None when the SA
+        strand equals the read strand, leadprov.py:83-84), this also
+        extracts same-strand junctions — the reference's own truth tests
+        (src/tests/test_bnd_leads.py, "red" cases and the HG002 case)
+        require it. The caller (LeadProvider.iter_region) gates which of
+        these reach the calling pipeline.
+        """
+        left = 0
+        right = 0
+        if read.cigartuples[0][0] in (CSOFT_CLIP, CHARD_CLIP):
+            left = read.cigartuples[0][1]
+        if read.cigartuples[-1][0] in (CSOFT_CLIP, CHARD_CLIP):
+            right = read.cigartuples[-1][1]
+
+        if left > right:
+            ref_start = read.reference_start + 1
+            is_first = False
+        else:
+            ref_start = read.reference_end
+            is_first = True
+
+        read_strand = "-" if read.is_reverse else "+"
+
+        for sa in read.get_tag("SA").split(";"):
+            if len(sa) > 0:
+                refname, pos, strand, cigar, mapq, nm = sa.split(",")
+                same_strand = (read_strand == strand)
+
+                pos_org = pos
+                pos = int(pos) - 1  # SA positions are 1-based
+                try:
+                    left, right, refspan, readspan = CIGAR_analyze(cigar)
+                except Exception as e:
+                    util.error(f"Malformed CIGAR '{cigar}' with pos {pos_org} of read "
+                               f"'{read.query_name}' ({e}). Skipping.")
+                    return None
+                is_reverse = right > left
+                if is_reverse:
+                    mate_ref_start = pos + refspan
+                else:
+                    if is_first:
+                        mate_ref_start = pos + 1
+                    else:
+                        if strand == read_strand:
+                            mate_ref_start = pos + refspan
+                        else:
+                            mate_ref_start = pos + 2
+
+                return cls(
+                    read_id=read_id,
+                    read_qname=read.query_name,
+                    contig=read.reference_name,
+                    ref_start=ref_start,
+                    ref_end=ref_start,
+                    qry_start=read.query_alignment_start,
+                    qry_end=read.query_alignment_end,
+                    strand="-" if read.is_reverse else "+",
+                    mapq=read.mapping_quality,
+                    nm=int(nm) if read.has_tag("NM") else None,
+                    source="BND_SA",
+                    svtype="BND",
+                    svlen=0,
+                    seq=None,
+                    bnd_info=SVCallBNDInfo(
+                        mate_contig=refname,
+                        mate_ref_start=mate_ref_start,
+                        is_first=is_first,
+                        is_reverse=is_reverse,
+                    ),
+                    sa_same_strand=same_strand,
+                )
+
+        return None
+
+
+def CIGAR_analyze(cigar: str) -> tuple[int, int, int, int]:
+    """(clip_start, clip_end, refspan, readspan) from a CIGAR string
+    (reference: leadprov.py:144-176)."""
+    buf = ""
+    readspan = 0
+    refspan = 0
+    clip_start = None
+    clip = 0
+    for c in cigar:
+        if c.isnumeric():
+            buf += c
+        else:
+            oplen = int(buf)
+            h = False
+            if c in "MIX=":
+                readspan += oplen
+                h = True
+            if c in "MDX=N":
+                refspan += oplen
+                h = True
+            if not h:
+                if c in "SH":
+                    if clip_start is None and readspan + refspan > 0:
+                        clip_start = clip
+                    clip += oplen
+                else:
+                    raise ValueError(f"Unknown CIGAR operation: '{c}'")
+            buf = ""
+    if clip_start is None:
+        clip_start = clip
+    return clip_start, clip - clip_start, refspan, readspan
+
+
+# (add_read, add_ref, event, Δ coverage) per op (reference: leadprov.py:180-195)
+OPLIST = [
+    (1, 1, 0, 1),  # M
+    (1, 0, 1, 0),  # I
+    (0, 1, 1, 0),  # D
+    (0, 1, 0, 0),  # N
+    (1, 0, 1, 0),  # S
+    (0, 0, 0, 0),  # H
+    (0, 0, 0, 0),  # P
+    (1, 1, 0, 1),  # =
+    (1, 1, 0, 1),  # X
+]
+
+
+def get_cigar_indels(read: BamRead, minoplen: int = 10) -> tuple[int, int, int, int]:
+    """Sum of ins/del bases, and of those above minoplen (reference: leadprov.py:198-224)."""
+    ins_sum = 0
+    del_sum = 0
+    large_ins_sum = 0
+    large_del_sum = 0
+    for op, oplength in read.cigartuples:
+        if op == CINS:
+            ins_sum += oplength
+            if oplength > minoplen:
+                large_ins_sum += oplength
+        elif op == CDEL:
+            del_sum += oplength
+            if oplength > minoplen:
+                large_del_sum += oplength
+    return ins_sum, del_sum, large_ins_sum, large_del_sum
+
+
+def read_itersplits(read_id, read: BamRead, contig, config, read_nm, read_hap, read_ps) -> Iterator[Lead]:
+    """Leads from a primary read's supplementary alignments (reference: leadprov.py:227-355)."""
+    all_leads = []
+    supps = [part.split(",") for part in read.get_tag("SA").split(";") if len(part) > 0]
+
+    if len(supps) > config.max_splits_base + config.max_splits_kb * (read.query_length / 1000.0):
+        return
+
+    if read.is_reverse:
+        qry_start = read.query_length - read.query_alignment_end
+    else:
+        qry_start = read.query_alignment_start
+
+    curr_lead = Lead(read_id,
+                     read.query_name,
+                     contig,
+                     read.reference_start,
+                     read.reference_start + read.reference_length,
+                     qry_start,
+                     qry_start + read.query_alignment_length,
+                     "-" if read.is_reverse else "+",
+                     read.mapping_quality,
+                     read_nm,
+                     "SPLIT_PRIM",
+                     "?",
+                     hap=str(read_hap), phase_set=str(read_ps), is_sa=read.is_supplementary)
+    all_leads.append(curr_lead)
+
+    for refname, pos, strand, cigar, mapq, nm in supps:
+        mapq = int(mapq)
+        is_rev = (strand == "-")
+
+        try:
+            readstart_fwd, readstart_rev, refspan, readspan = CIGAR_analyze(cigar)
+        except Exception as e:
+            util.error(f"Malformed CIGAR '{cigar}' with pos {pos} of read "
+                       f"'{read.query_name}' ({e}). Skipping.")
+            return
+
+        pos_zero = int(pos) - 1
+        split_qry_start = readstart_rev if is_rev else readstart_fwd
+
+        all_leads.append(Lead(read_id,
+                              read.query_name,
+                              refname,
+                              pos_zero,
+                              pos_zero + refspan,
+                              split_qry_start,
+                              split_qry_start + readspan,
+                              strand,
+                              mapq,
+                              read_nm,
+                              "SPLIT_SUP",
+                              "?",
+                              hap=str(read_hap), phase_set=str(read_ps), is_sa=read.is_supplementary))
+
+    all_leads = sv.classify_splits(read, all_leads, config, contig)
+
+    for lead_i, lead in enumerate(all_leads):
+        for svtype, svstart, arg in lead.svtypes_starts_lens:
+            min_mapq = min(lead.mapq, all_leads[max(0, lead_i - 1)].mapq)
+            if not config.dev_keep_lowqual_splits and min_mapq < config.mapq:
+                continue
+
+            if svtype == "BND":
+                bnd = Lead(read_id=lead.read_id,
+                           read_qname=lead.read_qname,
+                           contig=lead.contig,
+                           ref_start=svstart,
+                           ref_end=svstart,
+                           qry_start=lead.qry_start,
+                           qry_end=lead.qry_end,
+                           strand=lead.strand,
+                           mapq=lead.mapq,
+                           nm=lead.nm,
+                           source=lead.source,
+                           svtype=svtype,
+                           svlen=config.bnd_cluster_length,
+                           seq=None,
+                           hap=str(read_hap), phase_set=str(read_ps), is_sa=read.is_supplementary)
+                bnd.bnd_info = arg
+                yield bnd
+
+            elif svtype != "NOSV":
+                svlen = arg
+                yield Lead(read_id=lead.read_id,
+                           read_qname=lead.read_qname,
+                           contig=lead.contig,
+                           ref_start=svstart,
+                           ref_end=svstart + svlen if svlen is not None and svtype != "INS" else svstart,
+                           qry_start=lead.qry_start,
+                           qry_end=lead.qry_end,
+                           strand=lead.strand,
+                           mapq=lead.mapq,
+                           nm=lead.nm,
+                           source=lead.source,
+                           svtype=svtype,
+                           svlen=svlen,
+                           seq=lead.seq if svtype == "INS" else None,
+                           hap=str(read_hap), phase_set=str(read_ps), is_sa=read.is_supplementary)
+
+
+class LeadProvider:
+    """Builds the binned leadtab + coverage array for a set of regions
+    (reference: leadprov.py:358-670)."""
+    coverage: np.ndarray
+
+    def __init__(self, config, read_id_offset, contig: str):
+        self.config = config
+
+        self.leadtab: dict[str, dict[int, list[Lead]]] = {}
+        self.leadcounts: dict[str, int] = {}
+        self.leadhapcount: dict[str, dict[int, list[int]]] = {}
+
+        for svtype in sv.ALL_TYPES:
+            self.leadtab[svtype] = {}
+            self.leadcounts[svtype] = 0
+            self.leadhapcount[svtype] = {}
+        self.leadhapcount["REF"] = {}
+
+        self.covrtab_fwd = {}
+        self.covrtab_rev = {}
+        self.covrtab_min_bin = None
+
+        self.read_id = read_id_offset
+        self.read_count = 0
+
+        self.contig = contig
+        self.start = None
+        self.end = None
+
+        self.overflow = 0
+
+    def record_hap_ref(self, hp_index, pos_leadtab, end_leadtab, step):
+        leadtab_hapc = self.leadhapcount["REF"]
+        for this_pos in range(pos_leadtab, end_leadtab, step):
+            if this_pos in leadtab_hapc:
+                leadtab_hapc[this_pos][hp_index] += 1
+            else:
+                counts = [0, 0, 0]
+                counts[hp_index] = 1
+                leadtab_hapc[this_pos] = counts
+
+    def record_lead(self, ld: Lead, pos_leadtab: int) -> None:
+        leadtab_svtype = self.leadtab[ld.svtype]
+        leadtab_hapc = self.leadhapcount[ld.svtype]
+        hp_index = int(ld.hap)
+        if pos_leadtab in leadtab_svtype:
+            leadtab_svtype[pos_leadtab].append(ld)
+            lead_count = len(leadtab_svtype[pos_leadtab])
+            if lead_count > self.config.consensus_max_reads_bin:
+                ld.seq = None
+            leadtab_hapc[pos_leadtab][hp_index] += 1
+        else:
+            leadtab_svtype[pos_leadtab] = [ld]
+            counts = [0, 0, 0]
+            counts[hp_index] = 1
+            leadtab_hapc[pos_leadtab] = counts
+        self.leadcounts[ld.svtype] += 1
+
+    def _mask_N_coverage(self, regions: list[Region] = None) -> None:
+        """Zero coverage over N runs in the reference (reference: leadprov.py:420-443)."""
+        if self.config.reference:
+            try:
+                from sniffles_tpu.io.fasta import FastaFile
+                fasta = FastaFile(self.config.reference)
+            except Exception as e:
+                log.warning(f'Unable to mask N regions in coverage vector, reference could not '
+                            f'be opened: {e}')
+                return
+            try:
+                if regions is None:
+                    mask = np.frombuffer(fasta.fetch(self.contig).encode('ascii'), dtype=np.uint8)
+                else:
+                    mask = np.zeros(len(self.coverage), dtype=np.uint8)
+                    for region in regions:
+                        region_mask = np.frombuffer(
+                            fasta.fetch(region.contig, region.start, region.end).encode('ascii'),
+                            dtype=np.uint8)
+                        mask[region.start:region.end] = region_mask
+                self.coverage[mask == 78] = 0
+            except Exception as e:
+                log.warning(f'Unable to mask N regions in coverage vector: {e}')
+
+    def build_leadtab(self, regions: list[Region], bam) -> list[Lead]:
+        assert self.start is None
+        assert self.end is None
+
+        externals: list[Lead] = []
+        ld_binsize = self.config.cluster_binsize
+        self.coverage = np.zeros(bam.get_reference_length(self.contig), dtype=np.uint16)
+
+        for region in regions:
+            if self.contig != region.contig:
+                raise Exception(f"Region contig '{region.contig}' does not match LeadProvider "
+                                f"contig '{self.contig}'")
+
+            self.start = region.start if self.start is None else min(region.start, self.start)
+            self.end = region.end if self.end is None else max(region.start, self.end)
+            self.covrtab_min_bin = int(self.start / self.config.coverage_binsize) * self.config.coverage_binsize
+
+            for ld in self.iter_region(bam, region):
+                ld_contig, ld_ref_start = ld.contig, ld.ref_start
+
+                if region.contig == ld_contig and region.start <= ld_ref_start < region.end:
+                    pos_leadtab = int(ld_ref_start / ld_binsize) * ld_binsize
+                    self.record_lead(ld, pos_leadtab)
+                else:
+                    externals.append(ld)
+
+        self._mask_N_coverage(regions)
+
+        return externals
+
+    def iter_region(self, bam, region: Region) -> Iterator[Lead]:
+        """Per-read scan of one region (reference: leadprov.py:474-581)."""
+        config = self.config
+        qc_nm = config.qc_nm_measure
+        phase = config.phase
+        advanced_tags = qc_nm or phase
+        mapq_min = config.mapq
+        alen_min = config.min_alignment_length
+        exclude_flags = config.exclude_flags
+        nm_sum = 0
+        nm_count = 0
+        ld_binsize = config.cluster_binsize
+
+        coverage = self.coverage
+        for read in bam.fetch(region.contig, region.start, region.end):
+            alen = read.query_alignment_length
+            if read.mapping_quality < mapq_min or read.is_secondary or alen < alen_min:
+                continue
+
+            if exclude_flags is not None:
+                if read.flag & exclude_flags:
+                    continue
+
+            if read.reference_start < region.start or read.reference_start >= region.end:
+                continue
+
+            hp = read.get_tag("HP") if read.has_tag("HP") else 0
+            ps = read.get_tag("PS") if read.has_tag("PS") else "NULL"
+
+            self.read_id += 1
+            self.read_count += 1
+            coverage[read.reference_start:read.reference_end] += 1
+
+            has_sa = read.has_tag("SA")
+            use_clips = config.detect_large_ins and not read.is_supplementary and not has_sa
+
+            nm = -1
+            curr_read_id = self.read_id
+            if advanced_tags:
+                if read.has_tag("NM"):
+                    nm_raw = read.get_tag("NM")
+                    ins_sum, del_sum, *large_op = get_cigar_indels(read)
+                    # Only indel events above threshold are removed from NM
+                    nm = (nm_raw - sum(large_op)) / float(read.query_alignment_length + 1)
+                    nm_sum += nm
+                    nm_count += 1
+
+            yield from self.read_iterindels(curr_read_id, read, region.contig, use_clips,
+                                            read_nm=nm, read_hap=hp, read_ps=ps)
+
+            if has_sa:
+                # Same-strand junctions within one contig are colinear
+                # splits (INS/DEL/DUP) handled by classify_splits; emitting
+                # them as BNDs too would duplicate calls (reference keeps
+                # them out by bailing in for_bnd, leadprov.py:83-84).
+                # Inter-contig same-strand junctions are real translocation
+                # breakends (test_bnd_leads.py "red" cases) and are kept.
+                if lead := Lead.for_bnd(curr_read_id, read):
+                    if (not lead.sa_same_strand
+                            or lead.bnd_info.mate_contig != lead.contig):
+                        yield lead
+
+                if not read.is_supplementary:
+                    yield from read_itersplits(curr_read_id, read, region.contig, config,
+                                               read_nm=nm, read_hap=hp, read_ps=ps)
+
+            # record haplotype counts over the read's span
+            ld_ref_start, ld_ref_end = read.reference_start, read.reference_end
+            pos_leadtab = int(ld_ref_start / ld_binsize) * ld_binsize
+            end_leadtab = int(ld_ref_end / ld_binsize) * ld_binsize
+            if region.start <= ld_ref_start < region.end:
+                self.record_hap_ref(hp, pos_leadtab, end_leadtab, ld_binsize)
+
+        log.debug(f'Processed {self.read_count} reads in region '
+                  f'{region.contig}:{region.start}-{region.end}')
+
+        # Per-task regional NM statistic (reference: leadprov.py:577-578 mutates config).
+        config.average_regional_nm = nm_sum / float(max(1, nm_count))
+        config.qc_nm_threshold = config.average_regional_nm
+
+    def read_iterindels(self, read_id: int, read: BamRead, contig, use_clips,
+                        read_nm, read_hap, read_ps) -> Iterator[Lead]:
+        """CIGAR-indel / clip leads of one read (reference: leadprov.py:583-670)."""
+        config = self.config
+        minsvlen = config.minsvlen_screen
+        longinslen = config.long_ins_length / 2.0
+        seq_cache_maxlen = config.dev_seq_cache_maxlen
+        qname = read.query_name
+        mapq = read.mapping_quality
+        strand = "-" if read.is_reverse else "+"
+
+        pos_read = 0
+        pos_ref = read.reference_start
+        read_len = read.query_alignment_length
+
+        for op, oplength in read.cigartuples:
+            add_read, add_ref, event, dcov = OPLIST[op]
+            if event and oplength >= minsvlen:
+                if op == CINS:
+                    yield Lead(read_id, qname, contig,
+                               pos_ref, pos_ref,
+                               pos_read, pos_read + oplength,
+                               strand, mapq, read_nm,
+                               "INLINE", "INS", oplength,
+                               seq=(read.query_sequence[pos_read:pos_read + oplength]
+                                    if oplength <= seq_cache_maxlen else None),
+                               hap=str(read_hap), phase_set=str(read_ps),
+                               is_sa=read.is_supplementary, read_len=read_len)
+                elif op == CDEL:
+                    yield Lead(read_id, qname, contig,
+                               pos_ref + oplength, pos_ref,
+                               pos_read, pos_read,
+                               strand, mapq, read_nm,
+                               "INLINE", "DEL", -oplength,
+                               hap=str(read_hap), phase_set=str(read_ps),
+                               is_sa=read.is_supplementary, read_len=read_len)
+                elif use_clips and op == CSOFT_CLIP and oplength >= longinslen:
+                    yield Lead(read_id, qname, contig,
+                               pos_ref, pos_ref,
+                               pos_read, pos_read + oplength,
+                               strand, mapq, read_nm,
+                               "INLINE", "INS", None,
+                               seq=None,
+                               hap=str(read_hap), phase_set=str(read_ps),
+                               is_sa=read.is_supplementary, read_len=read_len)
+                elif op in (CSOFT_CLIP, CHARD_CLIP):
+                    yield Lead(read_id, qname, contig,
+                               pos_ref, pos_ref,
+                               pos_read, pos_read + oplength,
+                               strand, mapq, read_nm,
+                               "INLINE",
+                               "SINGLE_LEFT" if pos_ref == read.reference_start else "SINGLE_RIGHT",
+                               0,
+                               seq=None,
+                               hap=str(read_hap), phase_set=str(read_ps),
+                               is_sa=read.is_supplementary, read_len=read_len)
+
+            pos_read += add_read * oplength
+            pos_ref += add_ref * oplength

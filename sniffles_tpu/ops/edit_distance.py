@@ -1,0 +1,73 @@
+"""
+Edit (Levenshtein) distance kernels.
+
+Replaces `edlib.align(...)['editDistance']` (reference: sv.py:287,
+snfp.py:103 — global/NW distance between INS alt sequences when merging
+across samples).
+
+Two implementations:
+  * `edit_distance` — host-side Myers bit-parallel algorithm on Python
+    big ints: O(n*m/w); exact, used by the host pipeline.
+  * `edit_distance_batch` — batched anti-diagonal wavefront DP in JAX
+    for the TPU device pipeline (ops/edit_distance_jax.py), operating
+    on padded uint8 sequence tensors. Exact for lengths <= the padded
+    size; pairs are scored in parallel across the batch.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def edit_distance(a: str, b: str) -> int:
+    """Global (NW) Levenshtein distance via Myers' bit-parallel scan."""
+    m = len(a)
+    n = len(b)
+    if m == 0:
+        return n
+    if n == 0:
+        return m
+    # Build match bitmasks for the pattern
+    peq: dict[str, int] = {}
+    for i, c in enumerate(a):
+        peq[c] = peq.get(c, 0) | (1 << i)
+
+    mask = (1 << m) - 1
+    hibit = 1 << (m - 1)
+    pv = mask
+    mv = 0
+    score = m
+    for c in b:
+        eq = peq.get(c, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = (mv | (~(xh | pv) & mask)) & mask
+        mh = pv & xh
+        if ph & hibit:
+            score += 1
+        if mh & hibit:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mv_new = ph & xv
+        pv = ((mh << 1) | (~(xv | ph) & mask)) & mask
+        mv = mv_new
+    return score
+
+
+def edit_distance_dp(a: str, b: str) -> int:
+    """Reference O(n*m) DP (for testing the bit-parallel version)."""
+    m, n = len(a), len(b)
+    prev = np.arange(n + 1, dtype=np.int32)
+    for i in range(1, m + 1):
+        curr = np.empty(n + 1, dtype=np.int32)
+        curr[0] = i
+        ai = a[i - 1]
+        for j in range(1, n + 1):
+            cost = 0 if ai == b[j - 1] else 1
+            curr[j] = min(prev[j] + 1, curr[j - 1] + 1, prev[j - 1] + cost)
+        prev = curr
+    return int(prev[n])
+
+
+def identity_gate(len_mean: float, distance: int, limit: float) -> bool:
+    """The merge gate ((len_mean - d) / len_mean) > limit (reference: sv.py:289)."""
+    return ((len_mean - distance) / len_mean) > limit

@@ -1,0 +1,169 @@
+"""
+Robust statistics and small helpers used throughout the calling pipeline.
+
+Semantics mirror the reference implementation (reference: util.py:25-170)
+because the breakpoint estimators are load-bearing for VCF-equivalent
+output; the implementations here are vectorized with numpy where it
+matters. Device-side (jnp) batched equivalents live in ops/stats.py.
+"""
+from __future__ import annotations
+
+import math
+import sys
+import time
+from typing import Iterable
+
+import numpy as np
+
+
+class SnifflesTPUExit(Exception):
+    code: int = 1
+
+
+def stdev(nums) -> float:
+    """Sample standard deviation; 0 for <2 elements (reference: util.py:25-27)."""
+    a = np.asarray(list(nums), dtype=np.float64)
+    if a.size < 2:
+        return 0
+    return float(a.std(ddof=1))
+
+
+def median(nums) -> int:
+    """int(statistics.median(...)) (reference: util.py:30-31)."""
+    a = sorted(nums)
+    n = len(a)
+    mid = n // 2
+    if n % 2 == 1:
+        return int(a[mid])
+    # statistics.median averages the two middle values
+    return int((a[mid - 1] + a[mid]) / 2)
+
+
+def median_noavg(nums):
+    """Upper median without averaging (reference: util.py:43-46)."""
+    a = sorted(nums)
+    return a[int(len(a) / 2)]
+
+
+def median_modes(nums):
+    """
+    Mode-filtered, no-averaging median: restrict to values whose count is
+    within 2 of the max count, then take the upper median of those
+    *distinct values* in first-seen order (reference: util.py:49-58).
+
+    Note the reference iterates dict keys, i.e. insertion order of first
+    occurrence — reproduced exactly here since it affects breakpoints.
+    """
+    counts: dict = {}
+    max_count = 0
+    for n in nums:
+        c = counts.get(n, 0) + 1
+        counts[n] = c
+        if c > max_count:
+            max_count = c
+    return median_noavg(k for k, c in counts.items() if max_count - c < 3)
+
+
+def median_or_mode(nums):
+    """(reference: util.py:34-40)"""
+    nums = list(nums)
+    top = most_common(nums)
+    if len(top) > 1 and (top[0][0] - top[1][0] < 2):
+        return median_noavg(nums)
+    return median_modes(nums)
+
+
+def mean(nums) -> float:
+    nums = list(nums)
+    return sum(nums) / len(nums)
+
+
+def mean_or_none(nums):
+    nums = list(nums)
+    if len(nums) == 0:
+        return None
+    return sum(nums) / len(nums)
+
+
+def mean_or_none_round(nums):
+    r = mean_or_none(nums)
+    return r if r is None else round(r)
+
+
+def trim(nums, pct=25):
+    """Two-sided trim of pct% of sorted values (reference: util.py:82-88)."""
+    a = sorted(nums)
+    trim_n = int(len(a) / 100.0 * pct)
+    if trim_n > 0:
+        return a[trim_n:-trim_n]
+    return a
+
+
+def most_common(nums):
+    """[(count, value)] sorted descending (reference: util.py:91-98)."""
+    counts: dict = {}
+    for n in nums:
+        counts[n] = counts.get(n, 0) + 1
+    return sorted(((c, n) for n, c in counts.items()), reverse=True)
+
+
+def most_common_top(nums):
+    """Smallest value among ties for the top count (reference: util.py:101-103)."""
+    result = most_common(nums)
+    return sorted(item for count, item in result if count == result[0][0])[0]
+
+
+def error(msg: str) -> None:
+    sys.stderr.write("sniffles-tpu Error: " + msg + "\n")
+    sys.stderr.flush()
+
+
+def fatal_error(msg: str) -> None:
+    error(msg + " (Fatal error, exiting.)")
+    sys.exit(1)
+
+
+def fatal_error_main(msg: str) -> None:
+    error(msg + " (Fatal error, exiting.)")
+    raise SnifflesTPUExit
+
+
+def load_tandem_repeats(filename: str, padding: int) -> dict[str, list[tuple[int, int]]]:
+    """Load a tandem-repeat BED with padding (reference: util.py:121-147)."""
+    contigs_tr: dict[str, list[tuple[int, int]]] = {}
+    unsorted = False
+    with open(filename, "r") as handle:
+        for line in handle:
+            parts = line.split("\t")
+            if len(parts) >= 3:
+                contig, start, end = parts[:3]
+                start = int(start)
+                end = int(end)
+                if contig not in contigs_tr:
+                    contigs_tr[contig] = []
+                if contigs_tr[contig]:
+                    last_start, _ = contigs_tr[contig][-1]
+                    if start < last_start:
+                        unsorted = True
+                contigs_tr[contig].append((max(0, start - padding), end + padding))
+    if unsorted:
+        for contig in contigs_tr:
+            contigs_tr[contig].sort()
+    return contigs_tr
+
+
+def should_process_contig(contig: str, length: int, config) -> bool:
+    """Contig gating (reference: util.py:150-164)."""
+    if config.contig and contig not in config.contig:
+        return False
+    if config.regions_by_contig and contig not in config.regions_by_contig:
+        return False
+    if not config.all_contigs and length < 1_000_000:
+        return bool((config.contig and contig in config.contig) or (contig in config.regions_by_contig))
+    return True
+
+
+center = median_modes
+
+ambiguous_iupac_symbols = 'RYSWKMBDHV'
+ambiguity_cleanup_table = str.maketrans(ambiguous_iupac_symbols, 'N' * len(ambiguous_iupac_symbols))

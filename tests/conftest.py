@@ -1,0 +1,24 @@
+import os
+
+# Device tests run on a virtual 8-device CPU mesh; must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REF_DATA = "/root/reference/src/tests/data"
+
+
+@pytest.fixture
+def hg002_bam() -> str:
+    return os.path.join(REF_DATA, "hg002.bam")
+
+
+@pytest.fixture
+def hg008_bam() -> str:
+    return os.path.join(REF_DATA, "hg008.bam")

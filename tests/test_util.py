@@ -1,0 +1,60 @@
+"""Robust statistics semantics (reference: util.py, exercised via test_params.py style)."""
+import statistics
+
+from sniffles_tpu import util
+
+
+def test_stdev_matches_statistics():
+    vals = [1, 5, 2, 9, 3, 3, 7]
+    assert abs(util.stdev(vals) - statistics.stdev(vals)) < 1e-9
+    assert util.stdev([4]) == 0
+    assert util.stdev([]) == 0
+
+
+def test_median():
+    assert util.median([1, 2, 3]) == 2
+    assert util.median([1, 2, 3, 4]) == 2  # int() of 2.5
+    assert util.median([10]) == 10
+
+
+def test_median_noavg():
+    assert util.median_noavg([1, 2, 3, 4]) == 3  # upper median, no averaging
+    assert util.median_noavg([5, 1, 3]) == 3
+
+
+def test_median_modes_insertion_order():
+    # values with counts within 2 of max are retained in first-seen order
+    vals = [50, 50, 50, 49, 52, 52]
+    # counts: 50:3, 49:1, 52:2 -> max 3, keep counts>1 => {50:3, 52:2} and 49 (3-1<3 -> keep)
+    kept = [50, 49, 52]  # first-seen order
+    assert util.median_modes(vals) == util.median_noavg(kept)
+
+
+def test_trim():
+    assert util.trim([1, 2, 3, 4, 5, 6, 7, 8], pct=25) == [3, 4, 5, 6]
+    assert util.trim([1, 2, 3]) == [1, 2, 3]  # too few to trim
+
+
+def test_most_common_top():
+    # ties broken by smallest value
+    assert util.most_common_top([3, 3, 1, 1, 2]) == 1
+    assert util.most_common_top(["b", "a", "b"]) == "b"
+
+
+def test_should_process_contig():
+    class Cfg:
+        contig = None
+        regions_by_contig = {}
+        all_contigs = False
+
+    cfg = Cfg()
+    assert util.should_process_contig("chr1", 2_000_000, cfg)
+    assert not util.should_process_contig("chrM", 16_000, cfg)
+
+    cfg.contig = ["chrM"]
+    assert util.should_process_contig("chrM", 16_000, cfg)
+    assert not util.should_process_contig("chr1", 2_000_000, cfg)
+
+    cfg.contig = None
+    cfg.all_contigs = True
+    assert util.should_process_contig("chrM", 16_000, cfg)
