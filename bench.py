@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""
+Benchmark: SV signature calling throughput on one chip.
+
+Measures the fused device pipeline (signatures -> clusters -> call
+statistics -> genotypes -> QC; parallel/engine.py) in signatures/sec on
+the default JAX device, against the host-exact Python pipeline
+(cluster.resolve + sv.call_from + genotyping) on the same workload —
+the reference implementation's architecture (per-object Python, which
+is what Sniffles2 runs per CPU core).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def bench_device(n_signatures: int, iters: int = 10) -> float:
+    import jax
+    import jax.numpy as jnp
+    from sniffles_tpu.signatures import synthetic_batch
+    from sniffles_tpu.parallel.engine import call_pipeline_step, default_params
+
+    n_clusters = max(64, n_signatures // 40)
+    batch = synthetic_batch(n_signatures, n_clusters, seed=42,
+                            genome_span=900_000, batch_size=n_signatures)
+    sig = {k: jnp.asarray(v) for k, v in batch.as_dict().items()}
+    coverage = jnp.full((1_000_000,), 30, dtype=jnp.int32)
+    params = default_params()
+
+    # compile
+    out = call_pipeline_step(sig, coverage, params)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = call_pipeline_step(sig, coverage, params)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return n_signatures / dt
+
+
+def bench_host(n_signatures: int) -> float:
+    """Host-exact pipeline throughput (the reference architecture's
+    per-core speed class)."""
+    from sniffles_tpu.signatures import synthetic_batch
+    from sniffles_tpu.config import SnifflesConfig
+    from sniffles_tpu import cluster as cl, svcall as sv
+    from sniffles_tpu.leads import Lead, LeadProvider
+    from sniffles_tpu.ops.clustering import SVTYPE_NAMES
+
+    config = SnifflesConfig("--input", "x.bam", "--vcf", "y.vcf")
+    batch = synthetic_batch(n_signatures, max(16, n_signatures // 40), seed=42,
+                            genome_span=900_000, batch_size=n_signatures)
+
+    provider = LeadProvider(config, 0, "chr1")
+    binsize = config.cluster_binsize
+    n = batch.count
+    for i in range(n):
+        svtype = SVTYPE_NAMES[batch.svtype[i]]
+        ld = Lead(read_id=int(batch.read_id[i]), read_qname=str(batch.read_id[i]),
+                  contig="chr1", ref_start=int(batch.pos[i]), ref_end=int(batch.pos[i]),
+                  qry_start=0, qry_end=0, strand="+" if batch.strand[i] > 0 else "-",
+                  mapq=int(batch.mapq[i]), nm=float(batch.nm[i]), source="INLINE",
+                  svtype=svtype, svlen=int(batch.svlen[i]))
+        provider.record_lead(ld, int(ld.ref_start / binsize) * binsize)
+    provider.start = 0
+    provider.end = 1_000_000
+    provider.coverage = np.full(1_000_000, 30, dtype=np.uint16)
+
+    class T:
+        sv_id = 0
+        id = 0
+
+    import sniffles_tpu.postprocess as pp
+
+    t0 = time.perf_counter()
+    task = T()
+    calls = []
+    for svtype in sv.ALL_TYPES:
+        for svcluster in cl.resolve(svtype, provider, config, None):
+            svcluster.get_sa_count()
+            for svc in sv.call_from(svcluster, config, True, task):
+                calls.append(svc)
+    pp.coverage(calls, provider)
+    for svc in calls:
+        pp.qc_sv(svc, config)
+        pp.genotype_sv(svc, config)
+    dt = time.perf_counter() - t0
+    return n_signatures / dt
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sniffles_tpu_jax_cache")
+
+    device_n = int(os.environ.get("BENCH_SIGNATURES", 1 << 18))
+    host_n = 1 << 14
+
+    device_tput = bench_device(device_n)
+    host_tput = bench_host(host_n)
+
+    print(json.dumps({
+        "metric": "sv_signatures_per_sec_per_chip",
+        "value": round(device_tput, 1),
+        "unit": "signatures/s",
+        "vs_baseline": round(device_tput / host_tput, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

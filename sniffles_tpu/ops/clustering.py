@@ -1,0 +1,218 @@
+"""
+Device clustering: sort-and-segment formulation of the reference's
+adaptive cluster sweep (reference: cluster.py:219-353; design:
+SURVEY §7.1).
+
+Signatures arrive as a struct-of-arrays batch (signatures.py). The
+pipeline is fully static-shaped and jit-compatible:
+
+  1. sort by (svtype, pos) — invalid slots sort last
+  2. seed one segment per cluster_binsize bin
+  3. iterative parallel merge relaxation: adjacent segments merge when
+     the inter-segment gap is within the stdev-scaled distance
+     criterion (cluster_r), the tandem-repeat length criterion
+     (cluster_repeat_h), or the BND merge distance — the reference's
+     sequential backtracking sweep computes a chain fixed point; the
+     relaxation converges to the same merges for separated clusters
+     and is iterated MERGE_ITERS times
+  4. resplit by |svlen| histogram bins (cluster.py:125-161), single
+     chain pass
+  5. per-cluster robust statistics (ops/stats.py) and support counting
+     by unique read id
+
+Known deviations from the host-exact path (both validated in
+tests/test_device_cluster.py): per-read inner merge of fragmented
+INS/DEL (merge_inner) is handled host-side before tensorization, and
+compute_metrics sampling (max_n=100) uses all elements.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sniffles_tpu.ops.segments import (segment_ids_from_boundaries, seg_sum, seg_max, seg_min,
+                                       seg_count, seg_mean, seg_stdev,
+                                       unique_count_per_segment)
+from sniffles_tpu.ops.stats import (seg_median_modes, seg_trimmed_stdev, seg_most_common_top,
+                                    segment_start_index)
+
+MERGE_ITERS = 3
+
+# svtype codes (order matches svcall.ALL_TYPES)
+SVTYPE_INS, SVTYPE_DEL, SVTYPE_DUP, SVTYPE_INV, SVTYPE_BND = 0, 1, 2, 3, 4
+SVTYPE_SINGLE_LEFT, SVTYPE_SINGLE_RIGHT = 5, 6
+SVTYPE_NAMES = ["INS", "DEL", "DUP", "INV", "BND", "SINGLE_LEFT", "SINGLE_RIGHT"]
+SVTYPE_CODES = {name: i for i, name in enumerate(SVTYPE_NAMES)}
+
+
+def _apply_order(arrays: dict, order: jnp.ndarray) -> dict:
+    return {k: jnp.take(v, order) for k, v in arrays.items()}
+
+
+@partial(jax.jit, static_argnames=("binsize", "resplit_binsize"))
+def cluster_signatures(sig: dict,
+                       cluster_r: float,
+                       cluster_repeat_h: float,
+                       cluster_repeat_h_max: float,
+                       cluster_merge_bnd: int,
+                       cluster_merge_len: float,
+                       minsvlen: int,
+                       binsize: int = 100,
+                       resplit_binsize: int = 20) -> dict:
+    """
+    Cluster a signature batch. `sig` is a dict of equal-length arrays:
+    pos (i32), svlen (i32), svtype (i32), read_id (i32), strand (i32,
+    +1/-1), mapq (i32), nm (f32), repeat (bool), valid (bool).
+
+    Returns the sorted signature arrays plus `cluster_id` per element
+    and `n_clusters`.
+    """
+    n = sig["pos"].shape[0]
+    valid = sig["valid"]
+
+    # --- 1. sort by (svtype, pos); invalid last ---
+    INT32_MAX = jnp.int32(2 ** 31 - 1)
+    sort_type = jnp.where(valid, sig["svtype"], INT32_MAX)
+    sort_pos = jnp.where(valid, sig["pos"], INT32_MAX)
+    order = jnp.lexsort((sort_pos, sort_type))
+    s = _apply_order(sig, order)
+    valid = s["valid"]
+
+    pos = s["pos"]
+    svtype = s["svtype"]
+    bin_ = pos // binsize
+
+    # --- 2. seed boundaries: svtype or bin change ---
+    first = jnp.ones((1,), dtype=bool)
+    change = (svtype[1:] != svtype[:-1]) | (bin_[1:] != bin_[:-1]) | (~valid[1:] & valid[:-1])
+    boundary = jnp.concatenate([first, change])
+
+    # --- 3. iterative merge relaxation ---
+    def merge_step(boundary, _):
+        seg = segment_ids_from_boundaries(boundary)
+        # segment extent in bin coordinates (reference cluster start/end:
+        # seed bin start .. last bin end + binsize)
+        start_bp = seg_min(jnp.where(valid, bin_ * binsize, 2 ** 31 - 1), seg, n)
+        end_bp = seg_max(jnp.where(valid, bin_ * binsize + binsize, -1), seg, n)
+        sd_start = seg_stdev(pos, seg, valid, n)
+        mean_svlen = seg_mean(s["svlen"], seg, valid, n)
+        has_repeat = seg_max(jnp.where(valid, s["repeat"].astype(jnp.int32), 0), seg, n) > 0
+
+        # evaluate merge between segment (k-1) and k at each boundary elem
+        seg_here = seg
+        seg_prev = seg_here - 1
+        seg_prev_c = jnp.clip(seg_prev, 0, n - 1)
+        inner = jnp.take(start_bp, seg_here) - jnp.take(end_bp, seg_prev_c)
+        outer = jnp.take(end_bp, seg_here) - jnp.take(start_bp, seg_prev_c)
+        sd_pair = jnp.minimum(jnp.take(sd_start, seg_here), jnp.take(sd_start, seg_prev_c))
+        m1 = inner.astype(jnp.float32) <= sd_pair * cluster_r
+        rep_pair = jnp.take(has_repeat, seg_here) | jnp.take(has_repeat, seg_prev_c)
+        h_lim = jnp.minimum(jnp.float32(cluster_repeat_h_max),
+                            (jnp.abs(jnp.take(mean_svlen, seg_here))
+                             + jnp.abs(jnp.take(mean_svlen, seg_prev_c))) * cluster_repeat_h)
+        m2 = rep_pair & (outer.astype(jnp.float32) <= h_lim)
+        m3 = (svtype == SVTYPE_BND) & (inner <= cluster_merge_bnd)
+        same_type_prev = jnp.concatenate([jnp.zeros((1,), dtype=bool),
+                                          svtype[1:] == svtype[:-1]])
+        can_merge = boundary & same_type_prev & valid & (m1 | m2 | m3)
+        # the very first element always starts a segment
+        keep_first = jnp.concatenate([jnp.ones((1,), dtype=bool), jnp.zeros((n - 1,), dtype=bool)])
+        return jnp.where(can_merge & ~keep_first, False, boundary), None
+
+    boundary, _ = jax.lax.scan(merge_step, boundary, None, length=MERGE_ITERS)
+
+    # --- 4. resplit by |svlen| histogram inside each segment ---
+    seg = segment_ids_from_boundaries(boundary)
+    svbin = (jnp.abs(s["svlen"]) // resplit_binsize) * resplit_binsize
+    INT32_MAX2 = jnp.int32(2 ** 31 - 1)
+    order2 = jnp.lexsort((jnp.where(valid, svbin, INT32_MAX2),
+                          jnp.where(valid, seg, INT32_MAX2)))
+    s = _apply_order(s, order2)
+    seg = jnp.take(seg, order2)
+    svbin = jnp.take(svbin, order2)
+    valid = s["valid"]
+
+    prev_bin = jnp.concatenate([svbin[:1], svbin[:-1]])
+    prev_seg = jnp.concatenate([seg[:1] - 1, seg[:-1]])
+    gap = jnp.abs(svbin - prev_bin).astype(jnp.float32)
+    thr = jnp.maximum(jnp.float32(minsvlen),
+                      jnp.minimum(svbin, prev_bin).astype(jnp.float32) * cluster_merge_len)
+    no_resplit = (s["svtype"] == SVTYPE_BND)  # BND uses its own resplit (host side)
+    split_boundary = (seg != prev_seg) | ((gap > thr) & ~no_resplit)
+    split_boundary = split_boundary.at[0].set(True)
+
+    cluster_id = segment_ids_from_boundaries(split_boundary)
+    # invalid (padding) slots sort last; don't count their tail segment
+    n_clusters = jnp.max(jnp.where(valid, cluster_id, -1)) + 1
+
+    out = dict(s)
+    out["cluster_id"] = cluster_id
+    out["n_clusters"] = n_clusters
+    return out
+
+
+@jax.jit
+def call_statistics(clustered: dict) -> dict:
+    """
+    Per-cluster calling statistics (reference: sv.py:497-598 call_from):
+    svlen/pos centers via median_modes, trimmed stdevs, support as
+    unique read count, mean mapq, strand counts, mean NM, PRECISE flag
+    inputs. Results are [N]-shaped, indexed by cluster id.
+    """
+    n = clustered["pos"].shape[0]
+    cid = clustered["cluster_id"]
+    valid = clustered["valid"]
+
+    # sort by (cluster, value); invalid slots last
+    INT32_MAX = jnp.int32(2 ** 31 - 1)
+
+    def sorted_by(value):
+        order = jnp.lexsort((jnp.where(valid, value, INT32_MAX),
+                             jnp.where(valid, cid, INT32_MAX)))
+        return jnp.take(value, order), jnp.take(cid, order), jnp.take(valid, order)
+
+    svlen_s, cid_l, valid_l = sorted_by(clustered["svlen"])
+    pos_s, cid_p, valid_p = sorted_by(clustered["pos"])
+    read_s, cid_r, valid_r = sorted_by(clustered["read_id"])
+
+    svlen_center = seg_median_modes(svlen_s, cid_l, valid_l, n)
+    pos_center = seg_median_modes(pos_s, cid_p, valid_p, n)
+    stdev_len = seg_trimmed_stdev(svlen_s, cid_l, valid_l, n)
+    stdev_pos = seg_trimmed_stdev(pos_s, cid_p, valid_p, n)
+    support = unique_count_per_segment(cid_r, read_s, valid_r, n)
+
+    count = seg_count(cid, valid, n)
+    qual = jnp.floor(seg_mean(clustered["mapq"], cid, valid, n)).astype(jnp.int32)
+    fwd = seg_sum(jnp.where(valid & (clustered["strand"] > 0), 1, 0), cid, n)
+    rev = count - fwd
+    nm_mean = seg_mean(clustered["nm"], cid, valid, n)
+    n_strands = jnp.where((fwd > 0) & (rev > 0), 2, jnp.where(count > 0, 1, 0))
+
+    # cluster svtype (uniform within a cluster; max is a cheap head-select)
+    svtype = seg_max(jnp.where(valid, clustered["svtype"], -1), cid, n)
+
+    # bounds (reference: sv.py:484-494 calculate_bounds)
+    is_ins = svtype == SVTYPE_INS
+    is_del = svtype == SVTYPE_DEL
+    svstart = jnp.where(is_del, pos_center + svlen_center, pos_center)
+    svend = jnp.where(is_ins | is_del, pos_center, pos_center + jnp.abs(svlen_center))
+
+    return {
+        "n_clusters": clustered["n_clusters"],
+        "svtype": svtype.astype(jnp.int32),
+        "svlen": svlen_center.astype(jnp.int32),
+        "pos": svstart.astype(jnp.int32),
+        "end": svend.astype(jnp.int32),
+        "raw_pos_center": pos_center.astype(jnp.int32),
+        "stdev_pos": stdev_pos,
+        "stdev_len": stdev_len,
+        "support": support,
+        "lead_count": count,
+        "qual": qual,
+        "fwd": fwd,
+        "rev": rev,
+        "nm": nm_mean,
+        "n_strands": n_strands,
+    }

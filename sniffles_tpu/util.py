@@ -47,12 +47,11 @@ def median_noavg(nums):
 
 def median_modes(nums):
     """
-    Mode-filtered, no-averaging median: restrict to values whose count is
-    within 2 of the max count, then take the upper median of those
-    *distinct values* in first-seen order (reference: util.py:49-58).
-
-    Note the reference iterates dict keys, i.e. insertion order of first
-    occurrence — reproduced exactly here since it affects breakpoints.
+    Mode-filtered, no-averaging median: restrict to distinct values whose
+    count is within 2 of the max count, then take their upper median
+    (reference: util.py:49-58; median_noavg sorts, so the result is
+    order-independent — this enables the batched device formulation in
+    ops/stats.py).
     """
     counts: dict = {}
     max_count = 0
