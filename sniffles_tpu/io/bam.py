@@ -21,7 +21,7 @@ import struct
 from dataclasses import dataclass
 from typing import Iterator, Optional
 
-from sniffles_tpu.io.bgzf import BGZFReader
+from sniffles_tpu.io.bgzf import BGZFReader, _read_block_at
 
 # CIGAR operations, same encoding as the BAM spec / pysam constants
 CMATCH, CINS, CDEL, CREF_SKIP, CSOFT_CLIP, CHARD_CLIP, CPAD, CEQUAL, CDIFF = range(9)
@@ -347,6 +347,19 @@ class BamIndex:
         return cls(14, 5, refs, n_no_coor)
 
 
+def _bgzf_isize(raw: bytes, coffset: int) -> int:
+    """ISIZE (uncompressed length) of the BGZF block at coffset."""
+    xlen = struct.unpack_from("<H", raw, coffset + 10)[0]
+    ext = coffset + 12
+    ext_end = ext + xlen
+    while ext + 4 <= ext_end:
+        if raw[ext] == 66 and raw[ext + 1] == 67:
+            bsize = struct.unpack_from("<H", raw, ext + 4)[0] + 1
+            return struct.unpack_from("<I", raw, coffset + bsize - 4)[0]
+        ext += 4 + struct.unpack_from("<H", raw, ext + 2)[0]
+    raise ValueError("BGZF block missing BC subfield")
+
+
 @dataclass
 class IndexStatistics:
     contig: str
@@ -503,6 +516,57 @@ class AlignmentFile:
                     return
                 if read.reference_end > start or read.is_unmapped:
                     yield read
+
+    # --- native fast path ---
+    def scan_region(self, contig: str, start: int, end: int, min_event_len: int,
+                    nm_adjust_oplen: int = 10):
+        """
+        Scan records overlapping [start, end) with the native decoder
+        (native/bamcore.cc), yielding (ScanResult, region_mask) per index
+        chunk. region_mask selects records of this contig overlapping the
+        window (same semantics as fetch). Requires the native library.
+        """
+        from sniffles_tpu.io import native
+        import numpy as np
+
+        lib_raw = self._reader._raw
+        rid = self._ref_by_name[contig]
+        chunks = self.index.chunks_for_region(rid, start, end)
+
+        for cb, ce in chunks:
+            cb_block, cb_within = cb >> 16, cb & 0xFFFF
+            ce_block, ce_within = ce >> 16, ce & 0xFFFF
+
+            # exact decompressed size and end-cut from an ISIZE header walk,
+            # then a single native inflate into the final buffer (no joins)
+            body_isize = 0
+            range_end = ce_block
+            for boff, bsize, isize in native.walk_blocks(lib_raw, cb_block):
+                if boff < ce_block:
+                    body_isize += isize
+                    range_end = boff + bsize
+                elif boff == ce_block and ce_within > 0:
+                    body_isize += isize
+                    range_end = boff + bsize
+                    break
+                else:
+                    break
+            if body_isize == 0:
+                continue
+            # reuse=True: the buffer is valid until the next chunk scan,
+            # which matches the generator consumption pattern here
+            buf = native.bgzf_inflate_into(lib_raw, cb_block, range_end, body_isize,
+                                           reuse=True)
+            limit = len(buf) if ce_within == 0 else (body_isize - _bgzf_isize(lib_raw, ce_block) + ce_within)
+            buf = buf[cb_within:limit]
+            if buf.size == 0:
+                continue
+
+            res = native.scan_records(buf, min_event_len, nm_adjust_oplen)
+            cols = res.cols
+            mask = (cols["refid"] == rid) & (cols["pos"] < end) & \
+                   ((cols["pos"] + cols["ref_len"] > start) | ((cols["flag"] & FUNMAP) != 0))
+            yield res, mask
 
     def close(self) -> None:
         self._reader = None

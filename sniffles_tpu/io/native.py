@@ -1,0 +1,229 @@
+"""
+ctypes bindings for the native BAM decoder (native/bamcore.cc).
+
+Provides the fast path for the per-read scan hot loop (reference:
+leadprov.py:488-571). Falls back transparently to the pure-Python
+decoder when the shared library has not been built.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_LIB_PATHS = [
+    os.path.join(_REPO_ROOT, "native", "libbamcore.so"),
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "native", "libbamcore.so"),
+]
+
+
+class _RecordCols(ctypes.Structure):
+    _fields_ = [
+        ("offset", ctypes.c_void_p), ("rec_len", ctypes.c_void_p),
+        ("refid", ctypes.c_void_p), ("pos", ctypes.c_void_p),
+        ("flag", ctypes.c_void_p), ("mapq", ctypes.c_void_p),
+        ("ref_len", ctypes.c_void_p), ("qstart", ctypes.c_void_p),
+        ("qalen", ctypes.c_void_p), ("l_seq", ctypes.c_void_p),
+        ("nm", ctypes.c_void_p), ("hp", ctypes.c_void_p),
+        ("ps", ctypes.c_void_p), ("sa_off", ctypes.c_void_p),
+        ("sa_len", ctypes.c_void_p), ("large_indel_sum", ctypes.c_void_p),
+        ("name_off", ctypes.c_void_p), ("name_len", ctypes.c_void_p),
+        ("seq_off", ctypes.c_void_p),
+    ]
+
+
+class _EventCols(ctypes.Structure):
+    _fields_ = [
+        ("rec_index", ctypes.c_void_p), ("op", ctypes.c_void_p),
+        ("oplen", ctypes.c_void_p), ("pos_ref", ctypes.c_void_p),
+        ("pos_read", ctypes.c_void_p),
+    ]
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    for p in _LIB_PATHS:
+        if os.path.exists(p):
+            try:
+                lib = ctypes.CDLL(p)
+            except OSError:
+                continue
+            lib.bamcore_bgzf_inflate.restype = ctypes.c_int
+            lib.bamcore_bgzf_inflate.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.bamcore_scan_records.restype = ctypes.c_int64
+            lib.bamcore_scan_records.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(_RecordCols), ctypes.c_int64,
+                ctypes.POINTER(_EventCols), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.bamcore_decode_seq.restype = None
+            lib.bamcore_decode_seq.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_char_p]
+            _LIB = lib
+            break
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def walk_blocks(raw, start: int = 0, end: int | None = None):
+    """Walk BGZF block headers; yields (coffset, bsize, isize) without
+    decompressing (BSIZE from the BC subfield, ISIZE from the trailer)."""
+    if end is None:
+        end = len(raw)
+    off = start
+    while off + 18 <= end:
+        xlen = struct.unpack_from("<H", raw, off + 10)[0]
+        bsize = None
+        ext = off + 12
+        ext_end = ext + xlen
+        while ext + 4 <= ext_end:
+            si1, si2 = raw[ext], raw[ext + 1]
+            slen = struct.unpack_from("<H", raw, ext + 2)[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", raw, ext + 4)[0] + 1
+                break
+            ext += 4 + slen
+        if bsize is None or off + bsize > end:
+            break
+        isize = struct.unpack_from("<I", raw, off + bsize - 4)[0]
+        yield off, bsize, isize
+        off += bsize
+
+
+_INFLATE_BUF: np.ndarray | None = None
+
+
+def bgzf_inflate_into(raw, start: int, end: int, total_isize: int,
+                      reuse: bool = False) -> np.ndarray:
+    """Decompress BGZF blocks raw[start:end] into an exact-size buffer.
+
+    With reuse=True the returned array is a view into a module-level
+    scratch buffer (avoids cold page faults on repeated large scans) and
+    is only valid until the next reuse=True call.
+    """
+    global _INFLATE_BUF
+    lib = get_lib()
+    if reuse:
+        if _INFLATE_BUF is None or _INFLATE_BUF.shape[0] < total_isize:
+            _INFLATE_BUF = np.empty(max(total_isize, 1 << 26), dtype=np.uint8)
+        out = _INFLATE_BUF
+    else:
+        out = np.empty(total_isize, dtype=np.uint8)
+    out_len = ctypes.c_int64(0)
+    chunk = bytes(raw[start:end]) if not isinstance(raw, bytes) else raw[start:end]
+    ret = lib.bamcore_bgzf_inflate(chunk, len(chunk), _ptr(out), total_isize,
+                                   ctypes.byref(out_len))
+    if ret != 0:
+        raise ValueError(f"bamcore_bgzf_inflate failed: {ret}")
+    return out[:out_len.value]
+
+
+def bgzf_inflate(raw: bytes) -> bytes:
+    """Decompress consecutive BGZF blocks via the native lib."""
+    total = sum(isize for _, _, isize in walk_blocks(raw))
+    return bgzf_inflate_into(raw, 0, len(raw), total).tobytes()
+
+
+class ScanResult:
+    """Columns produced by one native record scan (views into numpy arrays)."""
+
+    def __init__(self, n: int, cols: dict, n_events: int, events: dict, buf: np.ndarray):
+        self.n = n
+        self.cols = {k: v[:n] for k, v in cols.items()}
+        self.n_events = n_events
+        self.events = {k: v[:n_events] for k, v in events.items()}
+        self.buf = buf
+
+    def name(self, i: int) -> str:
+        off = int(self.cols["name_off"][i])
+        ln = int(self.cols["name_len"][i])
+        return self.buf[off:off + ln].tobytes().decode("ascii")
+
+    def sa(self, i: int) -> Optional[str]:
+        off = int(self.cols["sa_off"][i])
+        if off < 0:
+            return None
+        ln = int(self.cols["sa_len"][i])
+        return self.buf[off:off + ln].tobytes().decode("ascii")
+
+    def seq_slice(self, i: int, start: int, end: int) -> str:
+        """Decode query_sequence[start:end] for record i."""
+        lib = get_lib()
+        l_seq = int(self.cols["l_seq"][i])
+        start = max(0, min(start, l_seq))
+        end = max(start, min(end, l_seq))
+        out = ctypes.create_string_buffer(end - start)
+        packed_off = int(self.cols["seq_off"][i])
+        lib.bamcore_decode_seq(
+            ctypes.c_void_p(self.buf.ctypes.data + packed_off),
+            l_seq, start, end, out)
+        return out.raw.decode("ascii")
+
+    def record_bytes(self, i: int) -> bytes:
+        off = int(self.cols["offset"][i])
+        ln = int(self.cols["rec_len"][i])
+        return self.buf[off:off + ln].tobytes()
+
+
+def scan_records(decompressed: np.ndarray, min_event_len: int,
+                 nm_adjust_oplen: int = 10) -> ScanResult:
+    """Run the native record scan over a decompressed BAM record stream."""
+    lib = get_lib()
+    n_bytes = decompressed.shape[0]
+    rec_cap = max(1024, n_bytes // 600)   # long reads: >> 600 B/record
+    ev_cap = max(4096, rec_cap * 64)
+
+    while True:
+        i64 = lambda: np.zeros(rec_cap, dtype=np.int64)  # noqa: E731
+        i32 = lambda: np.zeros(rec_cap, dtype=np.int32)  # noqa: E731
+        cols = {
+            "offset": i64(), "rec_len": i32(), "refid": i32(), "pos": i32(),
+            "flag": i32(), "mapq": i32(), "ref_len": i32(), "qstart": i32(),
+            "qalen": i32(), "l_seq": i32(), "nm": i32(), "hp": i32(), "ps": i32(),
+            "sa_off": i64(), "sa_len": i32(), "large_indel_sum": i32(),
+            "name_off": i64(), "name_len": i32(), "seq_off": i64(),
+        }
+        events = {
+            "rec_index": np.zeros(ev_cap, dtype=np.int32),
+            "op": np.zeros(ev_cap, dtype=np.int32),
+            "oplen": np.zeros(ev_cap, dtype=np.int32),
+            "pos_ref": np.zeros(ev_cap, dtype=np.int32),
+            "pos_read": np.zeros(ev_cap, dtype=np.int32),
+        }
+        rc = _RecordCols(**{k: _ptr(v).value for k, v in cols.items()})
+        ec = _EventCols(**{k: _ptr(v).value for k, v in events.items()})
+        n_events = ctypes.c_int64(0)
+        nrec = lib.bamcore_scan_records(
+            ctypes.c_void_p(decompressed.ctypes.data), n_bytes,
+            min_event_len, nm_adjust_oplen,
+            ctypes.byref(rc), rec_cap, ctypes.byref(ec), ev_cap,
+            ctypes.byref(n_events))
+        if nrec == -9:
+            rec_cap *= 4
+            continue
+        if nrec == -10:
+            ev_cap *= 4
+            continue
+        if nrec < 0:
+            raise ValueError(f"bamcore_scan_records failed: {nrec}")
+        return ScanResult(int(nrec), cols, int(n_events.value), events, decompressed)

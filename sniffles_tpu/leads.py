@@ -413,7 +413,19 @@ class LeadProvider:
         return externals
 
     def iter_region(self, bam, region: Region) -> Iterator[Lead]:
-        """Per-read scan of one region (reference: leadprov.py:474-581)."""
+        """Per-read scan of one region (reference: leadprov.py:474-581).
+
+        Dispatches to the native C++ decoder (native/bamcore.cc) when
+        built; the pure-Python path below is the exact fallback.
+        """
+        if not getattr(self.config, "no_native", False) and hasattr(bam, "scan_region"):
+            from sniffles_tpu.io import native
+            if native.available():
+                yield from self._iter_region_native(bam, region)
+                return
+        yield from self._iter_region_python(bam, region)
+
+    def _iter_region_python(self, bam, region: Region) -> Iterator[Lead]:
         config = self.config
         qc_nm = config.qc_nm_measure
         phase = config.phase
@@ -489,6 +501,176 @@ class LeadProvider:
                   f'{region.contig}:{region.start}-{region.end}')
 
         # Per-task regional NM statistic (reference: leadprov.py:577-578 mutates config).
+        config.average_regional_nm = nm_sum / float(max(1, nm_count))
+        config.qc_nm_threshold = config.average_regional_nm
+
+    def _iter_region_native(self, bam, region: Region) -> Iterator[Lead]:
+        """Native-decoder scan with identical semantics to the Python path:
+        per-read filtering, coverage, NM statistics, CIGAR indel/clip
+        leads from pre-extracted events, and full Python split-read
+        handling only for reads carrying an SA tag."""
+        config = self.config
+        qc_nm = config.qc_nm_measure
+        phase = config.phase
+        advanced_tags = qc_nm or phase
+        mapq_min = config.mapq
+        alen_min = config.min_alignment_length
+        exclude_flags = config.exclude_flags if config.exclude_flags is not None else 0
+        minsvlen = config.minsvlen_screen
+        longinslen = config.long_ins_length / 2.0
+        seq_cache_maxlen = config.dev_seq_cache_maxlen
+        detect_large_ins = config.detect_large_ins
+        ld_binsize = config.cluster_binsize
+        nm_sum = 0.0
+        nm_count = 0
+        coverage = self.coverage
+
+        from sniffles_tpu.io.bam import parse_record, FREVERSE, FSECONDARY, FSUPPLEMENTARY
+        from sniffles_tpu.io.bam import CINS as OP_I, CDEL as OP_D, CSOFT_CLIP as OP_S
+
+        for res, mask in bam.scan_region(region.contig, region.start, region.end,
+                                         min_event_len=minsvlen):
+            c = res.cols
+            ev_rec = res.events["rec_index"]
+            pos_arr = c["pos"]
+            flag_arr = c["flag"]
+            qalen_arr = c["qalen"]
+            ref_len_arr = c["ref_len"]
+
+            # Vectorized per-read filtering (reference: leadprov.py:494-503)
+            passing = (mask & (c["mapq"] >= mapq_min)
+                       & ((flag_arr & (FSECONDARY | exclude_flags)) == 0)
+                       & (qalen_arr >= alen_min)
+                       & (pos_arr >= region.start) & (pos_arr < region.end))
+            idxs = np.nonzero(passing)[0]
+            n_pass = len(idxs)
+            if n_pass == 0:
+                continue
+
+            # read ids: sequential in record order
+            read_ids = self.read_id + 1 + np.arange(n_pass, dtype=np.int64)
+            self.read_id += n_pass
+            self.read_count += n_pass
+
+            # coverage: batched difference-array accumulation
+            starts = pos_arr[idxs].astype(np.int64)
+            ends = starts + ref_len_arr[idxs]
+            lo_bp = int(starts.min())
+            hi_bp = int(min(ends.max(), len(coverage)))
+            cov_diff = np.zeros(hi_bp - lo_bp + 1, dtype=np.int32)
+            np.add.at(cov_diff, np.clip(starts - lo_bp, 0, hi_bp - lo_bp), 1)
+            np.add.at(cov_diff, np.clip(ends - lo_bp, 0, hi_bp - lo_bp), -1)
+            coverage[lo_bp:hi_bp] += np.cumsum(cov_diff[:-1]).astype(np.uint16)
+
+            # NM statistics, vectorized (reference: leadprov.py:517-529)
+            nm_raw = c["nm"][idxs]
+            nm_vals = np.where(
+                nm_raw >= 0,
+                (nm_raw - c["large_indel_sum"][idxs]) / (qalen_arr[idxs] + 1.0),
+                -1.0)
+            if advanced_tags:
+                has_nm = nm_raw >= 0
+                nm_sum += float(nm_vals[has_nm].sum())
+                nm_count += int(has_nm.sum())
+
+            # haplotype/REF-bin counts, batched via per-hp difference arrays
+            hp_arr = np.clip(c["hp"][idxs], 0, 2)
+            bin_start = (starts // ld_binsize).astype(np.int64)
+            bin_end = (ends // ld_binsize).astype(np.int64)
+            n_bins = int(bin_end.max()) + 1
+            for hpv in np.unique(hp_arr):
+                sel = hp_arr == hpv
+                d = np.zeros(n_bins + 1, dtype=np.int64)
+                np.add.at(d, bin_start[sel], 1)
+                np.add.at(d, np.minimum(bin_end[sel], n_bins), -1)
+                counts = np.cumsum(d[:n_bins])
+                ref_hapc = self.leadhapcount["REF"]
+                for b in np.nonzero(counts)[0]:
+                    key = int(b) * ld_binsize
+                    row = ref_hapc.get(key)
+                    if row is None:
+                        row = [0, 0, 0]
+                        ref_hapc[key] = row
+                    row[int(hpv)] += int(counts[b])
+
+            # Only reads producing leads need Python-side work
+            has_events = np.zeros(len(pos_arr), dtype=bool)
+            has_events[ev_rec] = True
+            has_sa_arr = c["sa_off"] >= 0
+            interesting = idxs[(has_events | has_sa_arr)[idxs]]
+            if len(interesting) == 0:
+                continue
+            read_id_of = dict(zip(idxs.tolist(), read_ids.tolist()))
+            ev_lo = np.searchsorted(ev_rec, interesting, side="left")
+            ev_hi = np.searchsorted(ev_rec, interesting, side="right")
+
+            for k, i in enumerate(interesting.tolist()):
+                flag = int(flag_arr[i])
+                ref_start = int(pos_arr[i])
+                hp = int(c["hp"][i])
+                ps_raw = int(c["ps"][i])
+                ps = ps_raw if ps_raw >= 0 else "NULL"
+                has_sa = bool(has_sa_arr[i])
+                is_supp = bool(flag & FSUPPLEMENTARY)
+                use_clips = detect_large_ins and not is_supp and not has_sa
+                curr_read_id = read_id_of[i]
+                nm = -1
+                if advanced_tags and int(c["nm"][i]) >= 0:
+                    nm = (int(c["nm"][i]) - int(c["large_indel_sum"][i])) \
+                        / float(int(qalen_arr[i]) + 1)
+                qname = res.name(i)
+                strand = "-" if (flag & FREVERSE) else "+"
+                mapq = int(c["mapq"][i])
+                read_len = int(qalen_arr[i])
+
+                # CIGAR indel/clip leads from pre-extracted native events
+                for e in range(int(ev_lo[k]), int(ev_hi[k])):
+                    op = int(res.events["op"][e])
+                    oplength = int(res.events["oplen"][e])
+                    pos_ref = int(res.events["pos_ref"][e])
+                    pos_read = int(res.events["pos_read"][e])
+                    if op == OP_I:
+                        yield Lead(curr_read_id, qname, region.contig,
+                                   pos_ref, pos_ref, pos_read, pos_read + oplength,
+                                   strand, mapq, nm, "INLINE", "INS", oplength,
+                                   seq=(res.seq_slice(i, pos_read, pos_read + oplength)
+                                        if oplength <= seq_cache_maxlen else None),
+                                   hap=str(hp), phase_set=str(ps), is_sa=is_supp,
+                                   read_len=read_len)
+                    elif op == OP_D:
+                        yield Lead(curr_read_id, qname, region.contig,
+                                   pos_ref + oplength, pos_ref, pos_read, pos_read,
+                                   strand, mapq, nm, "INLINE", "DEL", -oplength,
+                                   hap=str(hp), phase_set=str(ps), is_sa=is_supp,
+                                   read_len=read_len)
+                    elif op == OP_S:
+                        # hard clips carry event=0 in the reference OPTAB and
+                        # never produce leads (leadprov.py:180-195)
+                        if use_clips and oplength >= longinslen:
+                            yield Lead(curr_read_id, qname, region.contig,
+                                       pos_ref, pos_ref, pos_read, pos_read + oplength,
+                                       strand, mapq, nm, "INLINE", "INS", None,
+                                       seq=None, hap=str(hp), phase_set=str(ps),
+                                       is_sa=is_supp, read_len=read_len)
+                        else:
+                            yield Lead(curr_read_id, qname, region.contig,
+                                       pos_ref, pos_ref, pos_read, pos_read + oplength,
+                                       strand, mapq, nm, "INLINE",
+                                       "SINGLE_LEFT" if pos_ref == ref_start else "SINGLE_RIGHT",
+                                       0, seq=None, hap=str(hp), phase_set=str(ps),
+                                       is_sa=is_supp, read_len=read_len)
+
+                # Split reads: full Python record parse only for SA carriers
+                if has_sa:
+                    read = parse_record(res.record_bytes(i), bam.references)
+                    if lead := Lead.for_bnd(curr_read_id, read):
+                        if (not lead.sa_same_strand
+                                or lead.bnd_info.mate_contig != lead.contig):
+                            yield lead
+                    if not is_supp:
+                        yield from read_itersplits(curr_read_id, read, region.contig, config,
+                                                   read_nm=nm, read_hap=hp, read_ps=ps)
+
         config.average_regional_nm = nm_sum / float(max(1, nm_count))
         config.qc_nm_threshold = config.average_regional_nm
 
