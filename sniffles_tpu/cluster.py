@@ -329,9 +329,10 @@ def resolve(svtype, leadtab_provider, config, tr) -> Generator[Cluster | Any, No
                 yield cluster
 
 
-def resolve_block_groups(svtype, svcands, groups_initial, config):
+def resolve_block_groups(svtype, svcands, groups_initial, config, ed_cache=None):
     """Greedy best-group assignment for multi-sample combine
-    (reference: cluster.py:356-390)."""
+    (reference: cluster.py:356-390). ed_cache optionally carries
+    device-precomputed pairwise edit distances for the INS identity gate."""
     groups = groups_initial
     for svcand in sorted(svcands, key=lambda cand: cand.support, reverse=True):
         best_group = None
@@ -353,7 +354,7 @@ def resolve_block_groups(svtype, svcands, groups_initial, config):
                         and dist <= config.combine_match_max):
                     if ((not config.combine_separate_intra
                          or svcand.sample_internal_id not in group.included_samples)
-                            and group.align_call(svcand, config.combine_pctseq)):
+                            and group.align_call(svcand, config.combine_pctseq, ed_cache)):
                         best_group = group
                         best_dist = dist
 

@@ -423,7 +423,21 @@ class CombineTask(Task):
                             size = 0
                             continue
 
-                        svgroups = cluster.resolve_block_groups(svtype, svcands, keep, self.config)
+                        ed_cache = None
+                        if (svtype == "INS" and self.config.combine_pctseq
+                                and getattr(self.config, "tpu_device_pipeline", False)
+                                and len(svcands) >= 8):
+                            try:
+                                from sniffles_tpu.ops.edit_distance_jax import build_distance_cache
+                                ed_cache = build_distance_cache(
+                                    [g.candidates[0].alt for g in keep]
+                                    + [c.alt for c in svcands],
+                                    [c.alt for c in svcands])
+                            except Exception:
+                                log.debug("device edit-distance prefilter unavailable",
+                                          exc_info=True)
+                        svgroups = cluster.resolve_block_groups(svtype, svcands, keep,
+                                                                self.config, ed_cache)
                         groups_call = []
                         keep = []
                         for group in svgroups:

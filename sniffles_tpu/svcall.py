@@ -241,14 +241,21 @@ class SVGroup:
             obj.bnd_mate_ref_start_mean = candidate.bnd_info.mate_ref_start
         return obj
 
-    def align_call(self, candidate: SVCall, limit: float) -> bool:
+    def align_call(self, candidate: SVCall, limit: float,
+                   ed_cache: dict | None = None) -> bool:
         """Sequence-identity gate for merging (reference: sv.py:280-289).
 
-        Uses the built-in edit-distance kernel instead of edlib.
+        Uses the built-in edit-distance kernels instead of edlib:
+        a precomputed device batch (ops/edit_distance_jax.py) when the
+        combine task supplied a cache, host Myers otherwise.
         """
         if not limit:
             return True
-        distance = edit_distance(self.candidates[0].alt, candidate.alt)
+        key = (self.candidates[0].alt, candidate.alt)
+        if ed_cache is not None and key in ed_cache:
+            distance = ed_cache[key]
+        else:
+            distance = edit_distance(*key)
         return ((self.len_mean - distance) / self.len_mean) > limit
 
     def add_candidate(self, candidate: SVCall):
