@@ -418,7 +418,9 @@ class LeadProvider:
         Dispatches to the native C++ decoder (native/bamcore.cc) when
         built; the pure-Python path below is the exact fallback.
         """
-        if not getattr(self.config, "no_native", False) and hasattr(bam, "scan_region"):
+        # Read tracing needs per-read visibility; use the Python path for it
+        if (not getattr(self.config, "no_native", False)
+                and not self.config.dev_trace_read and hasattr(bam, "scan_region")):
             from sniffles_tpu.io import native
             if native.available():
                 yield from self._iter_region_native(bam, region)
@@ -437,8 +439,12 @@ class LeadProvider:
         nm_count = 0
         ld_binsize = config.cluster_binsize
 
+        trace_read = config.dev_trace_read
         coverage = self.coverage
         for read in bam.fetch(region.contig, region.start, region.end):
+            if trace_read and read.query_name in trace_read:
+                print(f"[DEV_TRACE_READ] [0b/4] [LeadProvider.iter_region] [{region}] "
+                      f"[{read.query_name}] has been fetched and is entering pre-filtering")
             alen = read.query_alignment_length
             if read.mapping_quality < mapq_min or read.is_secondary or alen < alen_min:
                 continue
@@ -471,8 +477,17 @@ class LeadProvider:
                     nm_sum += nm
                     nm_count += 1
 
-            yield from self.read_iterindels(curr_read_id, read, region.contig, use_clips,
-                                            read_nm=nm, read_hap=hp, read_ps=ps)
+            if trace_read and read.query_name in trace_read:
+                print(f"[DEV_TRACE_READ] [0b/4] [LeadProvider.iter_region] [{region}] "
+                      f"[{read.query_name}] passed pre-filtering (whole-read), begin to "
+                      f"extract leads")
+
+            for lead in self.read_iterindels(curr_read_id, read, region.contig, use_clips,
+                                             read_nm=nm, read_hap=hp, read_ps=ps):
+                if trace_read and read.query_name in trace_read:
+                    print(f"[DEV_TRACE_READ] [1/4] [leadprov.read_iterindels] [{region}] "
+                          f"[{read.query_name}] new lead: {lead}")
+                yield lead
 
             if has_sa:
                 # Same-strand junctions within one contig are colinear

@@ -84,6 +84,14 @@ class Task:
             for svcluster in cluster.resolve(svtype, self.lead_provider, config, self.tandem_repeats):
                 svcluster.get_sa_count()
                 for svc in sv.call_from(svcluster, config, keep_qc_fails, self):
+                    if config.dev_trace_read:
+                        traced = [ld.read_qname for ld in svcluster.leads
+                                  if ld.read_qname in config.dev_trace_read]
+                        if traced:
+                            print(f"[DEV_TRACE_READ] [3/4] [Task.call_candidates] Read "
+                                  f"{','.join(traced)} -> Cluster {svcluster.id} -> "
+                                  f"preliminary SVCall {svc.svtype} {svc.contig}:{svc.pos} "
+                                  f"svlen={svc.svlen} support={svc.support}")
                     candidates.append(svc)
 
         self.coverage_average_total = postprocessing.coverage(candidates, self.lead_provider)
@@ -101,6 +109,15 @@ class Task:
             postprocessing.annotate_sv(svc, config)
 
             svc.qc = svc.qc and postprocessing.qc_sv_post_annotate(svc, config, self.coverage_average_total)
+
+            if config.dev_trace_read and svc.postprocess is not None:
+                traced = [ld.read_qname for ld in svc.postprocess.cluster.leads
+                          if ld.read_qname in config.dev_trace_read]
+                if traced:
+                    print(f"[DEV_TRACE_READ] [4/4] [Task.finalize_candidates] Read "
+                          f"{','.join(traced)} -> Cluster {svc.postprocess.cluster.id} -> "
+                          f"finalized SVCall, QC={svc.qc}: {svc.svtype} {svc.contig}:"
+                          f"{svc.pos} filter={svc.filter}")
 
             if config.dev_output_candidates:
                 try:

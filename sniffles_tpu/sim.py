@@ -31,7 +31,7 @@ def random_seq(rng, n: int) -> str:
 
 def simulate(ref_len: int = 100_000, svs: list[PlantedSV] = (), depth: int = 20,
              read_len: int = 12_000, seed: int = 0, contig: str = "chr1",
-             contig_len: int | None = None):
+             contig_len: int | None = None, phased: bool = False):
     """Returns (reference_seq, records). Reads tile the reference every
     read_len/depth bp; each read spanning a planted SV carries it in its
     CIGAR (and sequence, for INS) with probability sv.vaf."""
@@ -83,6 +83,12 @@ def simulate(ref_len: int = 100_000, svs: list[PlantedSV] = (), depth: int = 20,
                 merged.append((op, ln))
 
         flag = 16 if (rid % 2) else 0
+        tags = {"NM": nm}
+        if phased:
+            # reads carrying any SV are haplotype 1, the rest haplotype 2
+            carried_any = any(has[id(sv)] for sv in carries)
+            tags["HP"] = 1 if (carried_any or not carries) else 2
+            tags["PS"] = 1000
         records.append(BamRecordSpec(
             qname=f"read{rid:06d}",
             flag=flag,
@@ -91,7 +97,7 @@ def simulate(ref_len: int = 100_000, svs: list[PlantedSV] = (), depth: int = 20,
             mapq=60,
             cigar=merged,
             seq="".join(seq_parts),
-            tags={"NM": nm},
+            tags=tags,
         ))
         rid += 1
 
@@ -100,7 +106,8 @@ def simulate(ref_len: int = 100_000, svs: list[PlantedSV] = (), depth: int = 20,
 
 def write_dataset(tmpdir: str, ref_len: int = 100_000, svs: list[PlantedSV] = (),
                   depth: int = 20, read_len: int = 12_000, seed: int = 0,
-                  contig: str = "chr1", contig_len: int | None = None):
+                  contig: str = "chr1", contig_len: int | None = None,
+                  phased: bool = False):
     """Write reference FASTA + sorted/indexed BAM; returns (bam_path, fasta_path).
 
     contig_len pads the declared contig length (>= 1 Mbp so the default
@@ -108,7 +115,7 @@ def write_dataset(tmpdir: str, ref_len: int = 100_000, svs: list[PlantedSV] = ()
     import os
 
     ref, records = simulate(ref_len=ref_len, svs=list(svs), depth=depth,
-                            read_len=read_len, seed=seed, contig=contig)
+                            read_len=read_len, seed=seed, contig=contig, phased=phased)
     declared = contig_len or max(1_000_000, ref_len)
 
     fasta_path = os.path.join(tmpdir, "ref.fa")

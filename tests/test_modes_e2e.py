@@ -1,0 +1,145 @@
+"""End-to-end coverage of the remaining run modes: force calling
+(genotype_vcf), phasing (HP/PS), population SNF, and read tracing."""
+import gzip
+import os
+import subprocess
+import sys
+
+import pytest
+
+from sniffles_tpu.sim import PlantedSV, write_dataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    return subprocess.run([sys.executable, "-m", "sniffles_tpu.cli"] + args,
+                          capture_output=True, text=True, env=env, cwd=str(cwd), timeout=600)
+
+
+def read_calls(vcf_path):
+    with open(vcf_path) as f:
+        return [l.rstrip("\n").split("\t") for l in f if not l.startswith("#")]
+
+
+def test_genotype_vcf_force_calling(tmp_path):
+    bam, fasta = write_dataset(
+        str(tmp_path), ref_len=150_000, depth=24, read_len=10_000, seed=6,
+        svs=[PlantedSV(pos=40_000, svtype="DEL", svlen=150),
+             PlantedSV(pos=90_000, svtype="INS", svlen=120)])
+    out = tmp_path / "calls.vcf"
+    res = run_cli(["--input", bam, "--vcf", str(out), "--threads", "0"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    n_calls = len(read_calls(out))
+    assert n_calls == 2
+
+    # force-calling the produced VCF re-genotypes every input line in order
+    gt_out = tmp_path / "genotyped.vcf"
+    res = run_cli(["--input", bam, "--genotype-vcf", str(out), "--vcf", str(gt_out),
+                   "--threads", "0"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    lines = read_calls(gt_out)
+    assert len(lines) == n_calls
+    for line in lines:
+        gt = line[-1].split(":")[0]
+        assert gt.startswith("1/1"), line
+
+    # unmatched SV (nothing there in the BAM) gets 0/0 with coverage
+    fake = tmp_path / "fake.vcf"
+    with open(out) as f, open(fake, "w") as g:
+        for line in f:
+            if line.startswith("#"):
+                g.write(line)
+        g.write("chr1\t20000\tfake1\tN\t<DEL>\t60\tPASS\t"
+                "SVTYPE=DEL;SVLEN=-500;END=20500\tGT:GQ:DR:DV\t1/1:60:0:30\n")
+    gt_out2 = tmp_path / "genotyped2.vcf"
+    res = run_cli(["--input", bam, "--genotype-vcf", str(fake), "--vcf", str(gt_out2),
+                   "--threads", "0"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    lines = read_calls(gt_out2)
+    assert len(lines) == 1
+    gt, gq, dr, dv = lines[0][-1].split(":")[:4]
+    assert gt == "0/0" and int(dr) > 0 and dv == "0", lines[0]
+
+
+def test_phased_calls(tmp_path):
+    bam, fasta = write_dataset(
+        str(tmp_path), ref_len=150_000, depth=30, read_len=10_000, seed=7, phased=True,
+        svs=[PlantedSV(pos=70_000, svtype="DEL", svlen=200, vaf=0.5)])
+    out = tmp_path / "out.vcf"
+    res = run_cli(["--input", bam, "--vcf", str(out), "--threads", "0", "--phase"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    calls = read_calls(out)
+    assert len(calls) == 1
+    call = calls[0]
+    assert "PHASE=" in call[7]
+    phase_info = [f for f in call[7].split(";") if f.startswith("PHASE=")][0]
+    hp, ps, hp_supp, ps_supp, hp_filt, ps_filt = phase_info[6:].split(",")
+    assert hp == "1" and ps == "1000" and hp_filt == "PASS" and ps_filt == "PASS"
+    # phased het genotype: 1|0 (haplotype 1 carries the variant)
+    assert call[8].endswith(":PS")
+    assert call[-1].split(":")[0] == "1|0", call
+
+
+def test_population_snf_and_annotation(tmp_path):
+    bam, fasta = write_dataset(
+        str(tmp_path), ref_len=150_000, depth=24, read_len=10_000, seed=8,
+        svs=[PlantedSV(pos=60_000, svtype="DEL", svlen=180)])
+    s1 = tmp_path / "s1.snf"
+    s2 = tmp_path / "s2.snf"
+    for s, sid in [(s1, "A"), (s2, "B")]:
+        res = run_cli(["--input", bam, "--snf", str(s), "--sample-id", sid,
+                       "--threads", "0"], tmp_path)
+        assert res.returncode == 0, res.stderr
+
+    # combine while creating a population SNF
+    psnf = tmp_path / "pop.snf"
+    out = tmp_path / "multi.vcf"
+    res = run_cli(["--input", str(s1), str(s2), "--vcf", str(out), "--threads", "0",
+                   "--dev-population-snf", str(psnf)], tmp_path)
+    assert res.returncode == 0, res.stderr
+    assert psnf.exists() and psnf.stat().st_size > 0
+    assert len(read_calls(out)) == 1
+
+    # now annotate a fresh combine run against the population SNF
+    out2 = tmp_path / "multi2.vcf"
+    res = run_cli(["--input", str(s1), str(s2), "--vcf", str(out2), "--threads", "0",
+                   "--combine-population", str(psnf)], tmp_path)
+    assert res.returncode == 0, res.stderr
+    calls = read_calls(out2)
+    assert len(calls) == 1
+    assert "POPULATION_AF=1.000" in calls[0][7]
+    assert "POPULATION_SIZE=2" in calls[0][7]
+
+
+def test_dev_trace_read(tmp_path):
+    bam, fasta = write_dataset(
+        str(tmp_path), ref_len=120_000, depth=20, read_len=10_000, seed=9,
+        svs=[PlantedSV(pos=60_000, svtype="DEL", svlen=150)])
+    out = tmp_path / "out.vcf"
+    # pick a read that spans the SV
+    res = run_cli(["--input", bam, "--vcf", str(out), "--threads", "0",
+                   "--dev-trace-read", "read000110"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    assert "[DEV_TRACE_READ] [0b/4]" in res.stdout
+    assert "[DEV_TRACE_READ] [1/4]" in res.stdout
+    assert "[DEV_TRACE_READ] [2/4]" in res.stdout
+    assert "[DEV_TRACE_READ] [3/4]" in res.stdout
+    assert "[DEV_TRACE_READ] [4/4]" in res.stdout
+
+
+def test_dev_output_candidates(tmp_path):
+    bam, fasta = write_dataset(
+        str(tmp_path), ref_len=120_000, depth=20, read_len=10_000, seed=10,
+        svs=[PlantedSV(pos=60_000, svtype="DEL", svlen=150)])
+    out = tmp_path / "out.vcf"
+    csv = tmp_path / "cands.csv"
+    res = run_cli(["--input", bam, "--vcf", str(out), "--threads", "0",
+                   "--dev-output-candidates", str(csv)], tmp_path)
+    assert res.returncode == 0, res.stderr
+    assert csv.exists()
+    lines = csv.read_text().strip().split("\n")
+    assert lines[0].startswith("svtype,orientation_start")
+    assert any(l.startswith("DEL,+") for l in lines[1:])
