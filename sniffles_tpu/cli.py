@@ -405,6 +405,15 @@ def main_with_config(config: SnifflesConfig, processes: list) -> None:
 def main(args: list[str] = None) -> int:
     processes: list = []
 
+    if os.environ.get("SNIFFLES_TPU_FORCE_CPU"):
+        # test/CI hook: pin the JAX platform before any backend init (the
+        # axon sitecustomize overrides the JAX_PLATFORMS env var)
+        try:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     logging.config.dictConfig({
         'version': 1,
         'formatters': {

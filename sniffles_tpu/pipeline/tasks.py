@@ -80,19 +80,31 @@ class Task:
     def call_candidates(self, keep_qc_fails, config) -> list[sv.SVCall]:
         """(reference: parallel.py:104-127)"""
         candidates = []
-        for svtype in sv.ALL_TYPES:
-            for svcluster in cluster.resolve(svtype, self.lead_provider, config, self.tandem_repeats):
-                svcluster.get_sa_count()
-                for svc in sv.call_from(svcluster, config, keep_qc_fails, self):
-                    if config.dev_trace_read:
-                        traced = [ld.read_qname for ld in svcluster.leads
-                                  if ld.read_qname in config.dev_trace_read]
-                        if traced:
-                            print(f"[DEV_TRACE_READ] [3/4] [Task.call_candidates] Read "
-                                  f"{','.join(traced)} -> Cluster {svcluster.id} -> "
-                                  f"preliminary SVCall {svc.svtype} {svc.contig}:{svc.pos} "
-                                  f"svlen={svc.svlen} support={svc.support}")
-                    candidates.append(svc)
+        use_device = getattr(config, "tpu_call", False) and config.threads == 0
+
+        def iter_clusters():
+            if use_device:
+                from sniffles_tpu.parallel.device_call import device_clusters, _DEVICE_TYPES
+                yield from device_clusters(self.lead_provider, config, self.tandem_repeats)
+                host_types = [t for t in sv.ALL_TYPES if t not in _DEVICE_TYPES]
+            else:
+                host_types = sv.ALL_TYPES
+            for svtype in host_types:
+                yield from cluster.resolve(svtype, self.lead_provider, config,
+                                           self.tandem_repeats)
+
+        for svcluster in iter_clusters():
+            svcluster.get_sa_count()
+            for svc in sv.call_from(svcluster, config, keep_qc_fails, self):
+                if config.dev_trace_read:
+                    traced = [ld.read_qname for ld in svcluster.leads
+                              if ld.read_qname in config.dev_trace_read]
+                    if traced:
+                        print(f"[DEV_TRACE_READ] [3/4] [Task.call_candidates] Read "
+                              f"{','.join(traced)} -> Cluster {svcluster.id} -> "
+                              f"preliminary SVCall {svc.svtype} {svc.contig}:{svc.pos} "
+                              f"svlen={svc.svlen} support={svc.support}")
+                candidates.append(svc)
 
         self.coverage_average_total = postprocessing.coverage(candidates, self.lead_provider)
         return candidates
