@@ -68,8 +68,15 @@ class BGZFReader:
 
     @classmethod
     def from_file(cls, path: str) -> "BGZFReader":
-        with open(path, "rb") as f:
-            return cls(f.read())
+        """Memory-map the file: random access without loading it (a 30x
+        genome BAM is ~100 GB; htslib seeks, so must we)."""
+        import mmap
+        f = open(path, "rb")
+        try:
+            raw = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:  # empty file
+            raw = b""
+        return cls(raw)
 
     def _load_block(self, coffset: int) -> None:
         cached = self._cache.get(coffset)

@@ -107,25 +107,41 @@ def simulate(ref_len: int = 100_000, svs: list[PlantedSV] = (), depth: int = 20,
 def write_dataset(tmpdir: str, ref_len: int = 100_000, svs: list[PlantedSV] = (),
                   depth: int = 20, read_len: int = 12_000, seed: int = 0,
                   contig: str = "chr1", contig_len: int | None = None,
-                  phased: bool = False):
+                  phased: bool = False, n_contigs: int = 1):
     """Write reference FASTA + sorted/indexed BAM; returns (bam_path, fasta_path).
 
     contig_len pads the declared contig length (>= 1 Mbp so the default
-    contig filter keeps it, reference: util.py:161)."""
+    contig filter keeps it, reference: util.py:161). With n_contigs > 1
+    the same SV layout is replicated on chr1..chrN (for multi-task /
+    scaling tests; tasks are per-contig by default, sniffles:299-302)."""
     import os
 
-    ref, records = simulate(ref_len=ref_len, svs=list(svs), depth=depth,
-                            read_len=read_len, seed=seed, contig=contig, phased=phased)
     declared = contig_len or max(1_000_000, ref_len)
+    contigs = [contig] if n_contigs == 1 else [f"chr{i + 1}" for i in range(n_contigs)]
+
+    all_records = []
+    refs = {}
+    for ci, cname in enumerate(contigs):
+        ref, records = simulate(ref_len=ref_len, svs=[PlantedSV(**vars(sv)) for sv in svs],
+                                depth=depth, read_len=read_len, seed=seed + ci,
+                                contig=cname, phased=phased)
+        refs[cname] = ref
+        for r in records:
+            r.refid = ci
+            if n_contigs > 1:
+                r.qname = f"{cname}.{r.qname}"
+        all_records.extend(records)
 
     fasta_path = os.path.join(tmpdir, "ref.fa")
     with open(fasta_path, "w") as f:
-        f.write(f">{contig}\n")
-        full = ref + "N" * (declared - len(ref))
-        for i in range(0, len(full), 60):
-            f.write(full[i:i + 60] + "\n")
+        for cname in contigs:
+            f.write(f">{cname}\n")
+            full = refs[cname] + "N" * (declared - len(refs[cname]))
+            for i in range(0, len(full), 60):
+                f.write(full[i:i + 60] + "\n")
 
     bam_path = os.path.join(tmpdir, "sim.bam")
-    write_bam(bam_path, [(contig, declared)], records,
-              sam_header=f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:{contig}\tLN:{declared}\n")
+    header = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:{c}\tLN:{declared}\n" for c in contigs)
+    write_bam(bam_path, [(c, declared) for c in contigs], all_records, sam_header=header)
     return bam_path, fasta_path
