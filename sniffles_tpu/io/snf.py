@@ -10,6 +10,7 @@ coverage in a "_COVERAGE" sub-dict.
 from __future__ import annotations
 
 import gzip
+import io
 import json
 import logging
 import os
@@ -23,6 +24,27 @@ from sniffles_tpu import svcall as sv
 from sniffles_tpu.config import SnifflesConfig
 
 log = logging.getLogger(__name__)
+
+# SNF files written by the reference implementation pickle its class
+# paths; remap them so reference-generated .snf inputs load into the
+# equivalent sniffles_tpu classes (field layouts mirror the reference).
+_MODULE_RENAMES = {
+    "sniffles.sv": "sniffles_tpu.svcall",
+    "sniffles.leadprov": "sniffles_tpu.leads",
+    "sniffles.cluster": "sniffles_tpu.cluster",
+    "sniffles.snfp": "sniffles_tpu.io.snfp",
+    "sniffles.region": "sniffles_tpu.region",
+}
+
+
+class _CompatUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        module = _MODULE_RENAMES.get(module, module)
+        return super().find_class(module, name)
+
+
+def _compat_loads(data: bytes):
+    return _CompatUnpickler(io.BytesIO(data)).load()
 
 
 class SNFileBase:
@@ -94,7 +116,7 @@ class SNFileBase:
         return pickle.dumps(self.blocks[block_id])
 
     def unserialize_block(self, data: bytes):
-        return pickle.loads(data)
+        return _compat_loads(data)
 
     def write_and_index(self):
         if not self.is_open():
