@@ -189,12 +189,33 @@ class SnifflesParentWorker(SnifflesWorker):
         ...
 
     def run_parent(self) -> bool:
-        count = len(self.tasks)
-        for i, task in enumerate(self.tasks):
-            log.info(f'Executing {task} ({i + 1}/{count})')
-            result = task.execute(self)
-            task.add_result(result)
-            self.finished_tasks.append(task)
+        """Serial execution with decode-ahead: the next task's BAM scan
+        (host/C++, GIL-releasing zlib/numpy) overlaps the current task's
+        compute — the host/device overlap of SURVEY §7.3. Per-task NM
+        statistics are snapshotted in Task.build_leadtab so the overlap
+        does not perturb QC semantics."""
+        import concurrent.futures
+
+        tasks = list(self.tasks)
+        count = len(tasks)
+        can_prefetch = self.config.mode in ("call_sample", "genotype_vcf")
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+            next_fut = None
+            for i, task in enumerate(tasks):
+                log.info(f'Executing {task} ({i + 1}/{count})')
+                if next_fut is not None:
+                    try:
+                        next_fut.result()
+                    except Exception:
+                        log.exception('Decode-ahead prefetch failed; task will decode inline')
+                if can_prefetch and i + 1 < count:
+                    next_fut = pool.submit(tasks[i + 1].build_leadtab)
+                else:
+                    next_fut = None
+                result = task.execute(self)
+                task.add_result(result)
+                self.finished_tasks.append(task)
         self.tasks.clear()
         return False
 

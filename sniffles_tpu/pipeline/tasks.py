@@ -63,8 +63,15 @@ class Task:
     def execute(self, worker=None) -> Optional[Result]:
         raise NotImplementedError
 
+    _prefetched: Optional[tuple] = None
+    _nm_threshold: Optional[float] = None
+
     def build_leadtab(self):
-        assert self.lead_provider is None
+        # a decode-ahead prefetch (runtime.SnifflesParentWorker) may have
+        # already built the leadtab on a background thread
+        if self.lead_provider is not None:
+            return self._prefetched
+
         config = self.config
 
         from sniffles_tpu.io.bam import AlignmentFile
@@ -75,7 +82,12 @@ class Task:
                                                    self.contig)
         externals = self.lead_provider.build_leadtab(
             self.regions if self.regions else [Region(self.contig, self.start, self.end)], self.bam)
-        return externals, self.lead_provider.read_count
+        # snapshot the per-task regional NM statistic: with decode-ahead the
+        # next task's scan would overwrite the config-global before this
+        # task's QC consumes it (reference: leadprov.py:577-578)
+        self._nm_threshold = config.qc_nm_threshold
+        self._prefetched = (externals, self.lead_provider.read_count)
+        return self._prefetched
 
     def call_candidates(self, keep_qc_fails, config) -> list[sv.SVCall]:
         """(reference: parallel.py:104-127)"""
@@ -120,7 +132,8 @@ class Task:
 
             postprocessing.annotate_sv(svc, config)
 
-            svc.qc = svc.qc and postprocessing.qc_sv_post_annotate(svc, config, self.coverage_average_total)
+            svc.qc = svc.qc and postprocessing.qc_sv_post_annotate(
+                svc, config, self.coverage_average_total, nm_threshold=self._nm_threshold)
 
             if config.dev_trace_read and svc.postprocess is not None:
                 traced = [ld.read_qname for ld in svc.postprocess.cluster.leads

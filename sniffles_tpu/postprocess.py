@@ -385,8 +385,13 @@ def qc_sv(svcall: SVCall, config) -> bool:
     return True
 
 
-def qc_sv_post_annotate(svcall: SVCall, config, coverage_average_total: float) -> bool:
-    """Post-annotation QC including mosaic arms (reference: postprocessing.py:444-600)."""
+def qc_sv_post_annotate(svcall: SVCall, config, coverage_average_total: float,
+                        nm_threshold: float | None = None) -> bool:
+    """Post-annotation QC including mosaic arms (reference: postprocessing.py:444-600).
+
+    nm_threshold overrides config.qc_nm_threshold (the per-task regional NM
+    statistic; passed explicitly so decode-ahead prefetch of the next task
+    cannot perturb this task's QC)."""
     dev_sv_filter: list = []
     if config.dev_filter:
         if isinstance(svcall.filter, str):
@@ -414,11 +419,12 @@ def qc_sv_post_annotate(svcall: SVCall, config, coverage_average_total: float) -
             if not config.dev_filter:
                 return False
 
+    nm_base = nm_threshold if nm_threshold is not None else config.qc_nm_threshold
     qc_nm = config.qc_nm
-    qc_nm_threshold = config.qc_nm_threshold * config.qc_nm_mult
+    qc_nm_threshold = nm_base * config.qc_nm_mult
     if config.mosaic and sv_is_mosaic:
         qc_nm = config.mosaic_qc_nm
-        qc_nm_threshold = config.qc_nm_threshold * config.qc_nm_mult
+        qc_nm_threshold = nm_base * config.qc_nm_mult
     if qc_nm and svcall.nm > qc_nm_threshold and (len(svcall.genotypes) == 0 or svcall.genotypes[0][1] == 0):
         if config.dev_filter:
             dev_sv_filter.append("ALN_NM")
