@@ -334,7 +334,7 @@ def main_with_config(config: SnifflesConfig, processes: list) -> None:
     if config.threads:
         for pnum in range(config.threads):
             processes.append(runtime.SnifflesWorker(process_id=pnum, config=config, tasks=tasks,
-                                                    recycle_hint=monitor))
+                                                    recycle_hint=monitor, peers=processes))
     else:
         processes.append(runtime.SnifflesParentWorker(config=config, tasks=tasks))
 

@@ -44,13 +44,20 @@ class SnifflesWorker:
         """Indicates this worker process should shut down."""
 
     def __init__(self, process_id: int, config: 'SnifflesConfig', tasks: deque,
-                 recycle_hint: Union[bool, Callable] = None):
+                 recycle_hint: Union[bool, Callable] = None,
+                 peers: list['SnifflesWorker'] = None):
         self.id = process_id
         self.config = config
         self.tasks = tasks
         self.task = None
         self.finished_tasks = []
         self.recycle = recycle_hint
+        # Peer pool visibility: an idle worker only shuts down when no peer
+        # has an in-flight task, so a dead peer's requeued task still finds
+        # a live worker. (The reference shuts down on an empty deque,
+        # parallel.py:673-676, and loses requeued tasks in that race —
+        # sniffles:535-542 then warns and writes partial results.)
+        self.peers = peers if peers is not None else []
 
         self.pipe_main, self.pipe_worker = multiprocessing.Pipe()
         self.heartbeat_main, self.heartbeat_worker = multiprocessing.Pipe()
@@ -90,8 +97,11 @@ class SnifflesWorker:
                     else:
                         self.pipe_main.send(self.task)
                 else:
-                    self.pipe_main.send(ShutdownTask())
-                    self.running = False
+                    peers_busy = any(p.task is not None for p in self.peers
+                                     if p is not self and p.running)
+                    if not peers_busy:
+                        self.pipe_main.send(ShutdownTask())
+                        self.running = False
             else:
                 if self.pipe_main.poll(0.01):
                     result: Result = self.pipe_main.recv()
