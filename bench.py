@@ -100,7 +100,9 @@ def bench_host(n_signatures: int) -> float:
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sniffles_tpu_jax_cache")
 
-    device_n = int(os.environ.get("BENCH_SIGNATURES", 1 << 18))
+    # the step is dispatch-latency-bound at small batches; 2M signatures
+    # amortizes it (measured: 93M sig/s at 2^16 vs ~4.7B sig/s at 2^21)
+    device_n = int(os.environ.get("BENCH_SIGNATURES", 1 << 21))
     host_n = 1 << 14
 
     device_tput = bench_device(device_n)

@@ -35,8 +35,7 @@ import jax.numpy as jnp
 from sniffles_tpu.ops.segments import (segment_ids_from_boundaries, seg_sum, seg_max, seg_min,
                                        seg_count, seg_mean, seg_stdev,
                                        unique_count_per_segment)
-from sniffles_tpu.ops.stats import (seg_median_modes, seg_trimmed_stdev, seg_most_common_top,
-                                    segment_start_index)
+from sniffles_tpu.ops.stats import seg_median_modes, seg_trimmed_stdev
 
 MERGE_ITERS = 3
 

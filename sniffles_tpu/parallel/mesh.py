@@ -85,8 +85,8 @@ def _merge_boundary(out: dict, incoming: dict, merge_dist: int) -> tuple[dict, j
     return out, accept
 
 
-def build_sharded_step(mesh: Mesh, batch_per_device: int, coverage_len: int,
-                       params: dict | None = None, halo_merge_dist: int = 1000):
+def build_sharded_step(mesh: Mesh, params: dict | None = None,
+                       halo_merge_dist: int = 1000):
     """
     Build the jitted multi-chip calling step: in/out sharded over the
     genome axis, with psum global stats and the boundary halo exchange.

@@ -29,7 +29,7 @@ def test_sharded_step_runs(mesh8):
     coverage = jnp.full((cov_per_dev * n_dev,), 25, dtype=jnp.int32)
     offs = jnp.arange(n_dev, dtype=jnp.int32) * cov_per_dev
 
-    step = build_sharded_step(mesh8, per_dev, cov_per_dev, default_params())
+    step = build_sharded_step(mesh8, default_params())
     out = step(sig, coverage, offs)
     jax.block_until_ready(out)
 
@@ -81,7 +81,7 @@ def test_halo_exchange_merges_boundary_cluster(mesh8):
     coverage = jnp.full((cov_per_dev * n_dev,), 25, dtype=jnp.int32)
     offs = jnp.arange(n_dev, dtype=jnp.int32) * cov_per_dev
 
-    step = build_sharded_step(mesh8, per_dev, cov_per_dev, default_params(),
+    step = build_sharded_step(mesh8, default_params(),
                               halo_merge_dist=1000)
     out = step(sigj, coverage, offs)
 
