@@ -101,3 +101,93 @@ def tabix_compress_and_index(vcf_path: str, out_path: str) -> str:
 
     os.remove(vcf_path)
     return out_path
+
+
+class TabixFile:
+    """Query a bgzipped, tabix-indexed file (reader side of this module;
+    the reference relies on pysam for this)."""
+
+    def __init__(self, path: str, index_path: str | None = None):
+        from sniffles_tpu.io.bgzf import BGZFReader, decompress_all
+
+        self.path = path
+        self._reader = BGZFReader.from_file(path)
+        idx = decompress_all(index_path or path + ".tbi")
+        if idx[:4] != b"TBI\x01":
+            raise ValueError(f"Not a tabix index: {index_path or path + '.tbi'}")
+        (n_ref, self.format, self.col_seq, self.col_beg, self.col_end,
+         self.meta_char, self.skip, l_nm) = struct.unpack_from("<8i", idx, 4)
+        off = 36
+        names = idx[off:off + l_nm].split(b"\x00")[:-1]
+        off += l_nm
+        self.contigs = [n.decode("ascii") for n in names]
+        self._refs: dict[str, tuple[dict, list]] = {}
+        for name in self.contigs:
+            n_bin = struct.unpack_from("<i", idx, off)[0]
+            off += 4
+            bins: dict[int, list[tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", idx, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", idx, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                bins[bin_id] = chunks
+            n_intv = struct.unpack_from("<i", idx, off)[0]
+            off += 4
+            intervals = list(struct.unpack_from(f"<{n_intv}Q", idx, off))
+            off += 8 * n_intv
+            self._refs[name] = (bins, intervals)
+
+    @staticmethod
+    def _reg2bins(beg: int, end: int) -> list[int]:
+        end -= 1
+        bins = [0]
+        bins += list(range(1 + (beg >> 26), 2 + (end >> 26)))
+        bins += list(range(9 + (beg >> 23), 10 + (end >> 23)))
+        bins += list(range(73 + (beg >> 20), 74 + (end >> 20)))
+        bins += list(range(585 + (beg >> 17), 586 + (end >> 17)))
+        bins += list(range(4681 + (beg >> 14), 4682 + (end >> 14)))
+        return bins
+
+    def fetch(self, contig: str, start: int, end: int):
+        """Yield lines of records overlapping [start, end) (0-based).
+
+        Records are position-sorted, so a single forward scan from the
+        smallest candidate chunk offset is exact: stop at the first record
+        starting at or past `end`.
+        """
+        if contig not in self._refs:
+            return
+        bins, intervals = self._refs[contig]
+        min_off = 0
+        win = start >> 14
+        if win < len(intervals):
+            min_off = intervals[win]
+        starts = [cb for b in self._reg2bins(start, end)
+                  for cb, ce in bins.get(b, []) if ce > min_off]
+        if not starts:
+            return
+        self._reader.seek(max(min_off, min(starts)))
+
+        buf = b""
+        while True:
+            chunk = self._reader.read(1 << 16)
+            data_end = not chunk
+            buf += chunk
+            lines = buf.split(b"\n")
+            buf = b"" if data_end else lines.pop()
+            for line in lines:
+                if not line or line.startswith(b"#"):
+                    continue
+                parts = line.split(b"\t", 4)
+                pos = int(parts[self.col_beg - 1]) - 1
+                if pos >= end:
+                    return
+                rec_end = pos + max(1, len(parts[3])) if len(parts) > 3 else pos + 1
+                if rec_end > start:
+                    yield line.decode("ascii")
+            if data_end:
+                return
