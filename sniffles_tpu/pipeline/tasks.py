@@ -95,12 +95,18 @@ class Task:
         use_device = getattr(config, "tpu_call", False) and config.threads == 0
 
         def iter_clusters():
+            host_types = sv.ALL_TYPES
             if use_device:
-                from sniffles_tpu.parallel.device_call import device_clusters, _DEVICE_TYPES
-                yield from device_clusters(self.lead_provider, config, self.tandem_repeats)
-                host_types = [t for t in sv.ALL_TYPES if t not in _DEVICE_TYPES]
-            else:
-                host_types = sv.ALL_TYPES
+                try:
+                    from sniffles_tpu.parallel.device_call import device_clusters, _DEVICE_TYPES
+                    clusters = list(device_clusters(self.lead_provider, config,
+                                                    self.tandem_repeats))
+                except Exception:
+                    log.warning("device clustering unavailable; falling back to host path",
+                                exc_info=True)
+                else:
+                    yield from clusters
+                    host_types = [t for t in sv.ALL_TYPES if t not in _DEVICE_TYPES]
             for svtype in host_types:
                 yield from cluster.resolve(svtype, self.lead_provider, config,
                                            self.tandem_repeats)

@@ -13,7 +13,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_cli(args, cwd):
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run([sys.executable, "-m", "sniffles_tpu.cli"] + args,
                           capture_output=True, text=True, env=env, cwd=str(cwd), timeout=900)
 

@@ -12,7 +12,7 @@ HG002 = "/root/reference/src/tests/data/hg002.bam"
 
 def run_cli(args, tmp_path):
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     res = subprocess.run([sys.executable, "-m", "sniffles_tpu.cli"] + args,
                          capture_output=True, text=True, env=env, cwd=str(tmp_path),
                          timeout=600)

@@ -68,7 +68,7 @@ def test_region_strings():
 
 def run_cli(args, cwd):
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run([sys.executable, "-m", "sniffles_tpu.cli"] + args,
                           capture_output=True, text=True, env=env, cwd=str(cwd), timeout=600)
 

@@ -80,7 +80,7 @@ def build_reference_snf(path: str, contig: str = "chr1", sample_id: str = "REF_S
 
 def run_cli(args, cwd):
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run([sys.executable, "-m", "sniffles_tpu.cli"] + args,
                           capture_output=True, text=True, env=env, cwd=str(cwd), timeout=600)
 

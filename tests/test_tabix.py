@@ -16,7 +16,7 @@ def test_tabix_roundtrip(tmp_path):
                                read_len=10_000, seed=15, svs=svs)
     out = tmp_path / "out.vcf.gz"
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     res = subprocess.run([sys.executable, "-m", "sniffles_tpu.cli", "--input", bam,
                           "--vcf", str(out), "--threads", "0"],
                          capture_output=True, text=True, env=env, cwd=str(tmp_path),

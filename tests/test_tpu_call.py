@@ -13,7 +13,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_cli(args, cwd):
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # subprocess must also pin the CPU platform (axon sitecustomize)
     env["SNIFFLES_TPU_FORCE_CPU"] = "1"
     return subprocess.run([sys.executable, "-m", "sniffles_tpu.cli"] + args,
