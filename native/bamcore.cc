@@ -15,8 +15,11 @@
 //
 // Build: make -C native   (produces libbamcore.so)
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 #include <zlib.h>
 
 extern "C" {
@@ -72,6 +75,52 @@ int bamcore_bgzf_inflate(const uint8_t* raw, int64_t raw_len,
     }
     *out_len = out_off;
     return 0;
+}
+
+// Multithreaded BGZF inflate: blocks are independent deflate streams, so
+// worker threads pull blocks from a shared counter and write into
+// precomputed output offsets (from the ISIZE header walk done in Python).
+int bamcore_bgzf_inflate_mt(const uint8_t* raw,
+                            const int64_t* block_in_off,   // [n_blocks]
+                            const int32_t* block_in_len,   // [n_blocks] (BSIZE)
+                            const int64_t* block_out_off,  // [n_blocks]
+                            int64_t n_blocks,
+                            uint8_t* out, int64_t out_cap,
+                            int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    std::atomic<int64_t> next(0);
+    std::atomic<int> err(0);
+
+    auto worker = [&]() {
+        z_stream zs;
+        std::memset(&zs, 0, sizeof(zs));
+        if (inflateInit2(&zs, -15) != Z_OK) { err.store(-3); return; }
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_blocks || err.load() != 0) break;
+            int64_t in_off = block_in_off[i];
+            int32_t bsize = block_in_len[i];
+            // locate cdata inside the block (12-byte header + xlen extra)
+            uint16_t xlen;
+            std::memcpy(&xlen, raw + in_off + 10, 2);
+            int64_t cdata_off = in_off + 12 + xlen;
+            int64_t cdata_len = bsize - 12 - xlen - 8;
+            if (block_out_off[i] >= out_cap) { err.store(-5); break; }
+            if (inflateReset(&zs) != Z_OK) { err.store(-3); break; }
+            zs.next_in = const_cast<Bytef*>(raw + cdata_off);
+            zs.avail_in = (uInt)cdata_len;
+            zs.next_out = out + block_out_off[i];
+            zs.avail_out = (uInt)(out_cap - block_out_off[i]);
+            int ret = inflate(&zs, Z_FINISH);
+            if (ret != Z_STREAM_END) { err.store(-4); break; }
+        }
+        inflateEnd(&zs);
+    };
+
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+    return err.load();
 }
 
 // ---------------------------------------------------------------------------

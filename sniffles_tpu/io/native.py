@@ -62,6 +62,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.bamcore_bgzf_inflate.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
+            lib.bamcore_bgzf_inflate_mt.restype = ctypes.c_int
+            lib.bamcore_bgzf_inflate_mt.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
             lib.bamcore_scan_records.restype = ctypes.c_int64
             lib.bamcore_scan_records.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -114,12 +118,14 @@ _INFLATE_BUF: np.ndarray | None = None
 
 
 def bgzf_inflate_into(raw, start: int, end: int, total_isize: int,
-                      reuse: bool = False) -> np.ndarray:
+                      reuse: bool = False, n_threads: int | None = None) -> np.ndarray:
     """Decompress BGZF blocks raw[start:end] into an exact-size buffer.
 
     With reuse=True the returned array is a view into a module-level
     scratch buffer (avoids cold page faults on repeated large scans) and
-    is only valid until the next reuse=True call.
+    is only valid until the next reuse=True call. Blocks are inflated in
+    parallel (independent deflate streams) when large enough to amortize
+    thread startup.
     """
     global _INFLATE_BUF
     lib = get_lib()
@@ -129,9 +135,28 @@ def bgzf_inflate_into(raw, start: int, end: int, total_isize: int,
         out = _INFLATE_BUF
     else:
         out = np.empty(total_isize, dtype=np.uint8)
-    out_len = ctypes.c_int64(0)
     chunk = bytes(raw[start:end]) if not isinstance(raw, bytes) else raw[start:end]
-    ret = lib.bamcore_bgzf_inflate(chunk, len(chunk), _ptr(out), total_isize,
+
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
+    # drop empty blocks (the BGZF EOF marker has ISIZE 0 and would land
+    # exactly at out_cap)
+    blocks = [b for b in walk_blocks(chunk) if b[2] > 0]
+    if n_threads > 1 and len(blocks) >= 4 and total_isize > (1 << 22):
+        in_off = np.array([b[0] for b in blocks], dtype=np.int64)
+        in_len = np.array([b[1] for b in blocks], dtype=np.int32)
+        out_off = np.zeros(len(blocks), dtype=np.int64)
+        np.cumsum([b[2] for b in blocks[:-1]], out=out_off[1:])
+        ret = lib.bamcore_bgzf_inflate_mt(chunk, _ptr(in_off), _ptr(in_len),
+                                          _ptr(out_off), len(blocks), _ptr(out),
+                                          out.shape[0], n_threads)
+        if ret != 0:
+            raise ValueError(f"bamcore_bgzf_inflate_mt failed: {ret}")
+        produced = int(out_off[-1]) + blocks[-1][2]
+        return out[:produced]
+
+    out_len = ctypes.c_int64(0)
+    ret = lib.bamcore_bgzf_inflate(chunk, len(chunk), _ptr(out), out.shape[0],
                                    ctypes.byref(out_len))
     if ret != 0:
         raise ValueError(f"bamcore_bgzf_inflate failed: {ret}")
