@@ -16,12 +16,14 @@ import logging
 
 import numpy as np
 
-from sniffles_tpu.cluster import Cluster, merge_inner
+from sniffles_tpu.cluster import Cluster, merge_inner, resplit_bnd
 from sniffles_tpu.ops.clustering import SVTYPE_CODES, SVTYPE_NAMES
 
 log = logging.getLogger(__name__)
 
-_DEVICE_TYPES = ("INS", "DEL", "DUP", "INV")
+# BND stage-1 merging (cluster_merge_bnd distance) runs on device; the
+# mate-geometry resplit stays host-exact (reference: cluster.py:164-216).
+_DEVICE_TYPES = ("INS", "DEL", "DUP", "INV", "BND")
 
 
 def device_clusters(lead_provider, config, tr):
@@ -154,6 +156,14 @@ def device_clusters(lead_provider, config, tr):
             leads_long=leads_long,
             hap_counts=hap_counts_full,
         )
+
+        if svtype == "BND":
+            # host-exact resplit by (mate contig, orientation, mate pos bin)
+            if config.dev_no_resplit:
+                yield cluster
+            else:
+                yield from resplit_bnd(cluster, merge_threshold=config.cluster_merge_bnd)
+            continue
 
         # per-read inner merge of fragmented INS/DEL, host-exact
         # (reference: cluster.py:337-343)

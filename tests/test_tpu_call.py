@@ -50,3 +50,22 @@ def test_tpu_call_matches_host(tmp_path):
         assert h[3] == d[3] and h[4] == d[4]
         assert h[6] == d[6]
         assert h[9] == d[9]
+
+
+def test_tpu_call_bnd_matches_host(tmp_path):
+    """BND stage-1 clustering on device + host mate resplit reproduces the
+    host path on the GIAB breakend fixture."""
+    HG008 = "/root/reference/src/tests/data/hg008.bam"
+    host_out = tmp_path / "host.vcf"
+    dev_out = tmp_path / "dev.vcf"
+    r1 = run_cli(["--input", HG008, "--vcf", str(host_out), "--threads", "0"], tmp_path)
+    assert r1.returncode == 0, r1.stderr
+    r2 = run_cli(["--input", HG008, "--vcf", str(dev_out), "--threads", "0",
+                  "--tpu-call"], tmp_path)
+    assert r2.returncode == 0, r2.stderr
+
+    host_calls = read_calls(host_out)
+    dev_calls = read_calls(dev_out)
+    assert len(host_calls) == len(dev_calls) == 4
+    for h, d in zip(host_calls, dev_calls):
+        assert (h[0], h[1], h[4], h[6], h[9]) == (d[0], d[1], d[4], d[6], d[9])
