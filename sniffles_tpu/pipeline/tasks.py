@@ -406,7 +406,10 @@ class CombineTask(Task):
 
         if self.config.combine_population:
             from sniffles_tpu.io.snfp import PopulationSNF
-            self.config.combine_population = PopulationSNF.open(self.config.combine_population)
+            # tasks share the config in inline (--threads 0) mode; only the
+            # first task replaces the filename with the opened handle
+            if isinstance(self.config.combine_population, str):
+                self.config.combine_population = PopulationSNF.open(self.config.combine_population)
 
         result = self.result_class(self, [], 0)
 

@@ -143,3 +143,28 @@ def test_dev_output_candidates(tmp_path):
     lines = csv.read_text().strip().split("\n")
     assert lines[0].startswith("svtype,orientation_start")
     assert any(l.startswith("DEL,+") for l in lines[1:])
+
+
+def test_population_annotation_multi_contig(tmp_path):
+    """Inline tasks share the config; the population SNF handle must only
+    be opened once (regression: second task crashed on the opened object)."""
+    bam, fasta = write_dataset(
+        str(tmp_path), ref_len=150_000, depth=24, read_len=10_000, seed=40,
+        svs=[PlantedSV(pos=60_000, svtype="DEL", svlen=180)],
+        n_contigs=2, contig_len=1_000_000)
+    s1, s2 = tmp_path / "a.snf", tmp_path / "b.snf"
+    for s, sid in [(s1, "A"), (s2, "B")]:
+        res = run_cli(["--input", bam, "--snf", str(s), "--sample-id", sid,
+                       "--threads", "0"], tmp_path)
+        assert res.returncode == 0, res.stderr
+    psnf = tmp_path / "pop.snf"
+    res = run_cli(["--input", str(s1), str(s2), "--vcf", str(tmp_path / "m.vcf"),
+                   "--threads", "0", "--dev-population-snf", str(psnf)], tmp_path)
+    assert res.returncode == 0, res.stderr
+    out = tmp_path / "m2.vcf"
+    res = run_cli(["--input", str(s1), str(s2), "--vcf", str(out), "--threads", "0",
+                   "--combine-population", str(psnf)], tmp_path)
+    assert res.returncode == 0, res.stderr + res.stdout
+    calls = read_calls(out)
+    assert len(calls) == 2
+    assert all("POPULATION_AF" in c[7] for c in calls)
