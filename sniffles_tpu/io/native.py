@@ -114,25 +114,30 @@ def walk_blocks(raw, start: int = 0, end: int | None = None):
         off += bsize
 
 
-_INFLATE_BUF: np.ndarray | None = None
+import threading
+
+_INFLATE_TLS = threading.local()
 
 
 def bgzf_inflate_into(raw, start: int, end: int, total_isize: int,
                       reuse: bool = False, n_threads: int | None = None) -> np.ndarray:
     """Decompress BGZF blocks raw[start:end] into an exact-size buffer.
 
-    With reuse=True the returned array is a view into a module-level
+    With reuse=True the returned array is a view into a THREAD-LOCAL
     scratch buffer (avoids cold page faults on repeated large scans) and
-    is only valid until the next reuse=True call. Blocks are inflated in
-    parallel (independent deflate streams) when large enough to amortize
-    thread startup.
+    is only valid until the next reuse=True call on the same thread —
+    thread-local because the decode-ahead prefetch thread and the main
+    thread decode concurrently. Blocks are inflated in parallel
+    (independent deflate streams) when large enough to amortize thread
+    startup.
     """
-    global _INFLATE_BUF
     lib = get_lib()
     if reuse:
-        if _INFLATE_BUF is None or _INFLATE_BUF.shape[0] < total_isize:
-            _INFLATE_BUF = np.empty(max(total_isize, 1 << 26), dtype=np.uint8)
-        out = _INFLATE_BUF
+        buf = getattr(_INFLATE_TLS, "buf", None)
+        if buf is None or buf.shape[0] < total_isize:
+            buf = np.empty(max(total_isize, 1 << 26), dtype=np.uint8)
+            _INFLATE_TLS.buf = buf
+        out = buf
     else:
         out = np.empty(total_isize, dtype=np.uint8)
     chunk = bytes(raw[start:end]) if not isinstance(raw, bytes) else raw[start:end]

@@ -117,3 +117,25 @@ def test_no_qc_outputs_filtered(tmp_path):
     assert res.returncode == 0, res.stderr + res.stdout
     calls = read_calls(out)
     assert len(calls) >= 1  # low-support candidate still emitted
+
+
+def test_prefetch_multi_contig_matches_worker_path(tmp_path):
+    """Decode-ahead (threads 0) must not corrupt concurrent decodes
+    (regression: shared inflate scratch raced between the prefetch thread
+    and task 0's inline decode, losing calls on the first contigs)."""
+    svs = [PlantedSV(pos=p, svtype="DEL" if i % 2 else "INS", svlen=100 + i % 50)
+           for i, p in enumerate(range(30_000, 950_000, 60_000))]
+    bam, fasta = write_dataset(str(tmp_path), ref_len=1_000_000, depth=20,
+                               read_len=10_000, seed=44, svs=svs, n_contigs=4,
+                               contig_len=1_000_000)
+    out0 = tmp_path / "inline.vcf"
+    out1 = tmp_path / "worker.vcf"
+    r0 = run_cli(["--input", bam, "--vcf", str(out0), "--threads", "0"], tmp_path)
+    r1 = run_cli(["--input", bam, "--vcf", str(out1), "--threads", "1"], tmp_path)
+    assert r0.returncode == 0 and r1.returncode == 0
+    assert read_calls(out0) == read_calls(out1)
+    by_contig = {}
+    for c in read_calls(out0):
+        by_contig[c[0]] = by_contig.get(c[0], 0) + 1
+    assert set(by_contig) == {"chr1", "chr2", "chr3", "chr4"}
+    assert all(v == len(svs) for v in by_contig.values()), by_contig
