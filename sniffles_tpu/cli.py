@@ -101,7 +101,12 @@ def main_with_config(config: SnifflesConfig, processes: list) -> None:
     contig_tandem_repeats = {}
     if config.mode in ("call_sample", "genotype_vcf"):
         log.info(f"Opening for reading: {config.input}")
-        bam_in = AlignmentFile(config.input, config.input_mode)
+        try:
+            bam_in = AlignmentFile(config.input, config.input_mode)
+        except FileNotFoundError:
+            util.fatal_error_main(f"Input file '{config.input}' not found.")
+        except (ValueError, NotImplementedError) as e:
+            util.fatal_error_main(f"Unable to open input file '{config.input}': {e}")
         if not bam_in.check_index():
             util.fatal_error_main(
                 f"Unable to load index for input file '{config.input}'. Please verify that your "
