@@ -147,6 +147,76 @@ def build_sharded_step(mesh: Mesh, params: dict | None = None,
     return sharded
 
 
+def build_sharded_combine_step(mesh: Mesh, combine_match: float = 250.0,
+                               combine_match_max: float = 1000.0,
+                               halo_merge_dist: int = 1000):
+    """
+    Multi-sample combine over the mesh (BASELINE config 5 shape): each
+    device groups the candidates of its genome-block shard
+    (ops/combine_groups), global per-sample candidate totals reduce via
+    psum, and boundary groups straddling shard seams are folded rightward
+    via the same ppermute halo exchange as the call step — the
+    collectives replacement for the host frontier carry-over
+    (reference: parallel.py:519-566 groups_keep).
+    """
+    from sniffles_tpu.ops.combine_groups import group_candidates
+
+    n_dev = mesh.devices.size
+
+    def per_shard(cand: dict) -> dict:
+        local_total = jnp.sum(cand["valid"].astype(jnp.int32))
+        global_total = jax.lax.psum(local_total, GENOME_AXIS)
+
+        out = group_candidates(cand, combine_match, combine_match_max)
+
+        # halo exchange for the boundary group
+        ncl = out["n_groups"]
+        last = jnp.maximum(ncl - 1, 0)
+        summary = {
+            "svtype": jnp.take(out["svtype"], last),
+            "pos": jnp.take(out["group_pos"], last),
+            "svlen": jnp.take(out["group_svlen"], last),
+            "count": jnp.take(out["group_count"], last),
+            "sample_count": jnp.take(out["group_sample_count"], last),
+            "has_group": ncl > 0,
+        }
+        right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        left = [((i + 1) % n_dev, i) for i in range(n_dev)]
+        incoming = {k: jax.lax.ppermute(v[None], GENOME_AXIS, right).reshape(())
+                    for k, v in summary.items()}
+        my_idx = jax.lax.axis_index(GENOME_AXIS)
+        incoming["has_group"] = incoming["has_group"] & (my_idx > 0)
+
+        first_pos = out["group_pos"][0].astype(jnp.float32)
+        first_len = jnp.abs(out["group_svlen"][0]).astype(jnp.float32)
+        in_len = jnp.abs(incoming["svlen"]).astype(jnp.float32)
+        dist = jnp.abs(first_pos - incoming["pos"].astype(jnp.float32)) + \
+            jnp.abs(first_len - in_len)
+        minlen = jnp.maximum(jnp.minimum(first_len, in_len), 1.0)
+        accept = incoming["has_group"] & (ncl > 0) & \
+            (incoming["svtype"] == out["svtype"][0]) & \
+            (dist <= jnp.minimum(combine_match * jnp.sqrt(minlen), combine_match_max))
+
+        out = dict(out)
+        out["group_count"] = out["group_count"].at[0].add(
+            jnp.where(accept, incoming["count"], 0))
+        out["group_sample_count"] = out["group_sample_count"].at[0].add(
+            jnp.where(accept, incoming["sample_count"], 0))
+        accept_back = jax.lax.ppermute(accept[None], GENOME_AXIS, left).reshape(())
+        group_valid = jnp.arange(out["group_id"].shape[0]) < ncl
+        group_valid = group_valid.at[jnp.maximum(ncl - 1, 0)].set(
+            group_valid[jnp.maximum(ncl - 1, 0)] & ~accept_back)
+        out["group_valid"] = group_valid
+        out["global_candidates"] = jnp.broadcast_to(global_total, (1,))
+        out = {k: (v[None] if v.ndim == 0 else v) for k, v in out.items()}
+        return out
+
+    cand_spec = {k: P(GENOME_AXIS) for k in
+                 ("pos", "svlen", "svtype", "sample_id", "support", "qc", "valid")}
+    return jax.jit(jax.shard_map(per_shard, mesh=mesh, in_specs=(cand_spec,),
+                                 out_specs=P(GENOME_AXIS), check_vma=False))
+
+
 def shard_batch(batch_dict: dict, n_dev: int) -> dict:
     """Pad/replicate host arrays so the leading axis divides n_dev."""
     out = {}
