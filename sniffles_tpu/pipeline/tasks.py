@@ -66,6 +66,15 @@ class Task:
     _prefetched: Optional[tuple] = None
     _nm_threshold: Optional[float] = None
 
+    def _cache_filename(self) -> str:
+        """Leadtab cache path (reference: leadprov.py:672-678)."""
+        import os
+        cache_dir = self.config.dev_cache_dir or os.path.join(self.config.tmp_dir,
+                                                              "sniffles_tpu_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        base = os.path.basename(self.config.input)
+        return os.path.join(cache_dir, f"{base}_{self.contig}_{self.start}_{self.end}.pickle")
+
     def build_leadtab(self):
         # a decode-ahead prefetch (runtime.SnifflesParentWorker) may have
         # already built the leadtab on a background thread
@@ -73,6 +82,19 @@ class Task:
             return self._prefetched
 
         config = self.config
+
+        if config.dev_cache:
+            import pickle
+            import os
+            path = self._cache_filename()
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    state = pickle.load(f)
+                self.lead_provider, self._nm_threshold, self._prefetched = state
+                self.lead_provider.config = config  # nulled before pickling
+                config.qc_nm_threshold = self._nm_threshold
+                config.average_regional_nm = self._nm_threshold
+                return self._prefetched
 
         from sniffles_tpu.io.bam import AlignmentFile
         self.bam = AlignmentFile(config.input, config.input_mode, require_index=True,
@@ -87,6 +109,17 @@ class Task:
         # task's QC consumes it (reference: leadprov.py:577-578)
         self._nm_threshold = config.qc_nm_threshold
         self._prefetched = (externals, self.lead_provider.read_count)
+
+        if config.dev_cache:
+            import pickle
+            lp_config = self.lead_provider.config
+            self.lead_provider.config = None  # config is not picklable state
+            try:
+                with open(self._cache_filename(), "wb") as f:
+                    pickle.dump((self.lead_provider, self._nm_threshold, self._prefetched), f)
+            finally:
+                self.lead_provider.config = lp_config
+
         return self._prefetched
 
     def call_candidates(self, keep_qc_fails, config) -> list[sv.SVCall]:
