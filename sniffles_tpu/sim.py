@@ -19,25 +19,85 @@ from sniffles_tpu.io.bamwrite import BamRecordSpec, write_bam
 @dataclass
 class PlantedSV:
     pos: int          # reference position (0-based)
-    svtype: str       # "INS" | "DEL"
+    svtype: str       # "INS" | "DEL" (CIGAR) or "DUP" | "INV" (split reads)
     svlen: int        # positive length
     seq: str = ""     # inserted sequence (INS); generated if empty
     vaf: float = 1.0  # fraction of reads carrying the SV
+    support: int = 15  # split reads generated per DUP/INV site
 
 
 def random_seq(rng, n: int) -> str:
     return "".join(rng.choice(list("ACGT"), size=n))
 
 
+def split_read_records(sv: PlantedSV, ref: str, contig: str, rng,
+                       read_half: int = 4000) -> list[BamRecordSpec]:
+    """
+    Split-read (SA-tagged) alignments for DUP/INV events, the signature
+    geometry classified by classify_splits (reference: sv.py:649-782).
+
+    DUP: a read crossing the tandem junction maps forward twice —
+    part 1 ends at the duplication end d2, part 2 restarts at d1
+    (fwd/fwd, curr.ref_start <= last.ref_end -> DUP, sv.py:716-721).
+    INV: part 1 maps forward up to the inversion start, part 2 maps
+    reverse across the inverted segment (fwd then rev,
+    curr.ref_end >= last.ref_end -> INV case A, sv.py:752-757).
+    """
+    records = []
+    d1 = sv.pos
+    d2 = sv.pos + sv.svlen
+    for k in range(sv.support):
+        jitter = int(rng.integers(0, 500))
+        if sv.svtype == "DUP":
+            # read: [x, d2) then [d1, y) — both forward
+            x = d1 - read_half + jitter
+            y = d1 + read_half - jitter
+            len1 = d2 - x
+            len2 = y - d1
+            seq = ref[x:d2] + ref[d1:y]
+            qname = f"dup{sv.pos}_{k:03d}"
+            sa2 = f"{contig},{d1 + 1},+,{len1}S{len2}M,60,0;"
+            sa1 = f"{contig},{x + 1},+,{len1}M{len2}S,60,0;"
+            records.append(BamRecordSpec(qname=qname, flag=0, refid=0, pos=x, mapq=60,
+                                         cigar=[("M", len1), ("S", len2)], seq=seq,
+                                         tags={"NM": 0, "SA": sa2}))
+            records.append(BamRecordSpec(qname=qname, flag=2048, refid=0, pos=d1, mapq=60,
+                                         cigar=[("S", len1), ("M", len2)], seq=seq,
+                                         tags={"NM": 0, "SA": sa1}))
+        elif sv.svtype == "INV":
+            # read: [x, d1) forward, then the inverted segment [d1, d2)
+            # appears reverse-complemented in the read
+            x = d1 - read_half + jitter
+            len1 = d1 - x
+            len2 = sv.svlen
+            comp = str.maketrans("ACGTN", "TGCAN")
+            seq = ref[x:d1] + ref[d1:d2].translate(comp)[::-1]
+            qname = f"inv{sv.pos}_{k:03d}"
+            # supplementary maps '-' over [d1, d2): its CIGAR is in ref
+            # orientation with the clip for part 1 at the END
+            sa2 = f"{contig},{d1 + 1},-,{len2}M{len1}S,60,0;"
+            sa1 = f"{contig},{x + 1},+,{len1}M{len2}S,60,0;"
+            records.append(BamRecordSpec(qname=qname, flag=0, refid=0, pos=x, mapq=60,
+                                         cigar=[("M", len1), ("S", len2)], seq=seq,
+                                         tags={"NM": 0, "SA": sa2}))
+            rc_seq = seq.translate(comp)[::-1]
+            records.append(BamRecordSpec(qname=qname, flag=16 | 2048, refid=0, pos=d1,
+                                         mapq=60, cigar=[("M", len2), ("S", len1)],
+                                         seq=rc_seq, tags={"NM": 0, "SA": sa1}))
+    return records
+
+
 def simulate(ref_len: int = 100_000, svs: list[PlantedSV] = (), depth: int = 20,
              read_len: int = 12_000, seed: int = 0, contig: str = "chr1",
              contig_len: int | None = None, phased: bool = False):
     """Returns (reference_seq, records). Reads tile the reference every
-    read_len/depth bp; each read spanning a planted SV carries it in its
-    CIGAR (and sequence, for INS) with probability sv.vaf."""
+    read_len/depth bp; each read spanning a planted INS/DEL carries it in
+    its CIGAR (and sequence, for INS) with probability sv.vaf. DUP/INV
+    sites additionally emit SA-tagged split-read pairs."""
     rng = np.random.default_rng(seed)
     ref = random_seq(rng, ref_len)
-    svs = sorted(svs, key=lambda s: s.pos)
+    split_svs = [sv for sv in svs if sv.svtype in ("DUP", "INV")]
+    svs = sorted((s for s in svs if s.svtype in ("INS", "DEL")), key=lambda s: s.pos)
     for sv in svs:
         if sv.svtype == "INS" and not sv.seq:
             sv.seq = random_seq(rng, sv.svlen)
@@ -100,6 +160,10 @@ def simulate(ref_len: int = 100_000, svs: list[PlantedSV] = (), depth: int = 20,
             tags=tags,
         ))
         rid += 1
+
+    for sv in split_svs:
+        records.extend(split_read_records(sv, ref, contig, rng))
+    records.sort(key=lambda r: r.pos)
 
     return ref, records
 

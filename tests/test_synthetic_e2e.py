@@ -139,3 +139,28 @@ def test_prefetch_multi_contig_matches_worker_path(tmp_path):
         by_contig[c[0]] = by_contig.get(c[0], 0) + 1
     assert set(by_contig) == {"chr1", "chr2", "chr3", "chr4"}
     assert all(v == len(svs) for v in by_contig.values()), by_contig
+
+
+def test_dup_inv_split_reads(tmp_path):
+    """DUP/INV from SA-tagged split alignments: the classify_splits
+    geometry path end to end (no prior e2e coverage for these types)."""
+    bam, fasta = write_dataset(
+        str(tmp_path), ref_len=200_000, depth=20, read_len=10_000, seed=50,
+        svs=[PlantedSV(pos=60_000, svtype="DUP", svlen=800, support=15),
+             PlantedSV(pos=140_000, svtype="INV", svlen=1200, support=15)])
+    out = tmp_path / "out.vcf"
+    res = run_cli(["--input", bam, "--vcf", str(out), "--threads", "0"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    calls = {info_dict(c)["SVTYPE"]: c for c in read_calls(out)}
+    assert set(calls) == {"DUP", "INV"}
+
+    dup = calls["DUP"]
+    assert int(dup[1]) == 60_000
+    assert int(info_dict(dup)["SVLEN"]) == 800
+    assert dup[6] == "PASS"
+    assert int(info_dict(dup)["SUPPORT"]) == 15
+
+    inv = calls["INV"]
+    assert int(inv[1]) == 140_000
+    assert int(info_dict(inv)["SVLEN"]) == 1200
+    assert inv[6] == "PASS"
