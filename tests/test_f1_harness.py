@@ -93,3 +93,26 @@ def test_f1_mixed_genotypes(tmp_path):
                 break
     assert checked >= 25
     assert gt_errors <= checked * 0.1, (gt_errors, checked)
+
+
+def test_f1_all_types(tmp_path):
+    """Mixed INS/DEL/DUP/INV truth set across one contig."""
+    rng = np.random.default_rng(23)
+    truth = []
+    pos = 50_000
+    types = ["INS", "DEL", "DUP", "INV"]
+    for i in range(16):
+        svtype = types[i % 4]
+        svlen = int(rng.integers(300, 1500))
+        truth.append(PlantedSV(pos=pos, svtype=svtype, svlen=svlen))
+        pos += int(rng.integers(50_000, 70_000))
+    ref_len = pos + 50_000
+    bam, fasta = write_dataset(str(tmp_path), ref_len=ref_len, depth=24,
+                               read_len=12_000, seed=23, svs=truth,
+                               contig_len=max(1_000_000, ref_len))
+    out = tmp_path / "out.vcf"
+    res = run_cli(["--input", bam, "--vcf", str(out), "--reference", fasta,
+                   "--threads", "0"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    recall, precision, f1, calls, matched = evaluate(str(out), truth)
+    assert recall >= 0.9 and precision >= 0.9, (recall, precision, [c["svtype"] for c in calls])
