@@ -542,6 +542,25 @@ def call_from(cluster, config, keep_qc_fails, task):
     yield svcall
 
 
+def merge_inner_bounds(leads, config):
+    """Per-read aggregated svlen/pos robust bounds (reference:
+    sv.py:601-622; retained for API parity — unused by the reference's
+    production path as well)."""
+    read_svlengths = {}
+    read_starts = {}
+    for ld in leads:
+        if ld.read_id not in read_svlengths:
+            read_svlengths[ld.read_id] = 0
+            read_starts[ld.read_id] = ld.ref_start
+        read_svlengths[ld.read_id] += ld.svlen
+        read_starts[ld.read_id] = min(ld.ref_start, read_starts[ld.read_id])
+    svlen = util.center(v for k, v in read_svlengths.items())
+    pos = util.center(v for k, v in read_starts.items())
+    return (pos, svlen,
+            util.stdev(util.trim((v for k, v in read_starts.items()))),
+            util.stdev(util.trim((v for k, v in read_svlengths.items()))))
+
+
 def resolve_bnd(svcall: 'SVCall', cluster: 'Cluster', config=None) -> None:
     """Resolve BND mate/orientation into VCF 4.2 alt syntax (reference: sv.py:625-639)."""
     mate_contig = util.most_common_top([lead.bnd_info.mate_contig for lead in cluster.leads])
