@@ -394,6 +394,7 @@ class SnifflesConfig(argparse.Namespace):
         tpu_args.add_argument("--tpu-interpret", default=False, action="store_true", help="Run Pallas kernels in interpreter mode (debugging)")
         tpu_args.add_argument("--no-native", default=False, action="store_true", help="Disable the native C++ BAM decoder, use the pure-Python decoder")
         tpu_args.add_argument("--tpu-call", default=False, action="store_true", help="Use the device sort-and-segment clustering for candidate grouping in call_sample (requires --threads 0; host sweep otherwise)")
+        tpu_args.add_argument("--tpu-combine", default=False, action="store_true", help="Use the device candidate-grouping kernel for multi-sample combine (requires --threads 0; host greedy assignment otherwise)")
 
     def __init__(self, *args, **kwargs):
         super().__init__(**kwargs)

@@ -520,8 +520,22 @@ class CombineTask(Task):
                             except Exception:
                                 log.debug("device edit-distance prefilter unavailable",
                                           exc_info=True)
-                        svgroups = cluster.resolve_block_groups(svtype, svcands, keep,
-                                                                self.config, ed_cache)
+                        use_device_combine = (getattr(self.config, "tpu_combine", False)
+                                              and self.config.threads == 0
+                                              and svtype != "BND" and len(svcands) >= 4)
+                        if use_device_combine:
+                            try:
+                                from sniffles_tpu.parallel.device_combine import device_block_groups
+                                svgroups = device_block_groups(svtype, svcands, keep,
+                                                               self.config, ed_cache)
+                            except Exception:
+                                log.warning("device combine grouping unavailable; host greedy",
+                                            exc_info=True)
+                                svgroups = cluster.resolve_block_groups(svtype, svcands, keep,
+                                                                        self.config, ed_cache)
+                        else:
+                            svgroups = cluster.resolve_block_groups(svtype, svcands, keep,
+                                                                    self.config, ed_cache)
                         groups_call = []
                         keep = []
                         for group in svgroups:

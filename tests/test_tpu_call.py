@@ -69,3 +69,37 @@ def test_tpu_call_bnd_matches_host(tmp_path):
     assert len(host_calls) == len(dev_calls) == 4
     for h, d in zip(host_calls, dev_calls):
         assert (h[0], h[1], h[4], h[6], h[9]) == (d[0], d[1], d[4], d[6], d[9])
+
+
+def test_tpu_combine_matches_host(tmp_path):
+    """--tpu-combine: device candidate grouping in the production combine
+    path must match the host greedy assignment."""
+    import numpy as np
+    rng = np.random.default_rng(60)
+    svs = [PlantedSV(pos=p, svtype="DEL" if i % 2 else "INS",
+                     svlen=int(rng.integers(80, 1500)), vaf=1.0 if i % 3 else 0.5)
+           for i, p in enumerate(range(30_000, 950_000, 35_000))]
+    bam, fasta = write_dataset(str(tmp_path), ref_len=1_000_000, depth=24,
+                               read_len=10_000, seed=60, svs=svs)
+    snfs = []
+    for i in range(3):
+        s = tmp_path / f"s{i}.snf"
+        r = run_cli(["--input", bam, "--snf", str(s), "--sample-id", f"S{i}",
+                     "--threads", "0"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        snfs.append(str(s))
+
+    host_out = tmp_path / "host.vcf"
+    dev_out = tmp_path / "dev.vcf"
+    r = run_cli(["--input"] + snfs + ["--vcf", str(host_out), "--threads", "0"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["--input"] + snfs + ["--vcf", str(dev_out), "--threads", "0",
+                 "--tpu-combine"], tmp_path)
+    assert r.returncode == 0, r.stderr
+
+    host = read_calls(host_out)
+    dev = read_calls(dev_out)
+    assert len(host) == len(dev) > 20
+    hk = [(c[0], c[1], c[4], c[6], tuple(c[9:12])) for c in host]
+    dk = [(c[0], c[1], c[4], c[6], tuple(c[9:12])) for c in dev]
+    assert sorted(hk) == sorted(dk)
