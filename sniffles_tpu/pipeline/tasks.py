@@ -380,6 +380,16 @@ class CombineTask(Task):
 
     result_class = CombineResult
     block_indices: list[int] = None
+    # Scatter-seam handoff (see scatter()/clone()): non-first shards
+    # reprocess the previous shard's last TWO blocks (a group's members
+    # span at most two adjacent blocks since combine_match_max << block
+    # size) to rebuild its frontier; closes inside the overlap are
+    # suppressed (the previous shard emitted them identically), as are
+    # "ghost" groups confined to the overlap's older block. Non-last
+    # shards hand off tail groups touching their last block instead of
+    # flushing them.
+    overlap_nblocks: int = 0
+    suppress_tail: bool = False
 
     def __init__(self, *args, **kwargs):
         self.result_class = kwargs.pop('result_class', None) or self.result_class
@@ -408,7 +418,12 @@ class CombineTask(Task):
         obj = copy.copy(self)
         if new_id is not None:
             obj.id = new_id
-        obj.block_indices = self.block_indices[first_block:first_block + block_count]
+        # This realizes the handoff the reference only describes in a
+        # comment (parallel.py:425-429).
+        obj.overlap_nblocks = min(2, first_block)
+        obj.block_indices = self.block_indices[first_block - obj.overlap_nblocks:
+                                               first_block + block_count]
+        obj.suppress_tail = (first_block + block_count) < len(self.block_indices)
         obj.start = obj.block_indices[0]
         obj.end = obj.block_indices[-1] + obj.config.snf_block_size
         return obj
@@ -419,7 +434,11 @@ class CombineTask(Task):
         if total_blocks <= self.TARGET_WORK_PER_TASK or self.config.threads <= 1:
             return [self]
 
-        blocks_per_task = (total_blocks // self.TARGET_WORK_PER_TASK)
+        # >= 2 blocks per shard: the overlap-block handoff is exactly-once
+        # when a group's members cannot span a whole shard (production
+        # sizing gives >= 100 blocks/shard; the floor guards degenerate
+        # configurations)
+        blocks_per_task = max(2, total_blocks // self.TARGET_WORK_PER_TASK)
 
         return [
             self.clone(fb, blocks_per_task, new_id=self.id + i + 1)
@@ -558,15 +577,40 @@ class CombineTask(Task):
                             else:
                                 groups_call.append(group)
 
-                        calls.extend(sv.call_groups(groups_call, self.config, self))
+                        if cur < self.overlap_nblocks:
+                            # closes inside the overlap were emitted by the
+                            # previous shard (same candidates, same greedy)
+                            pass
+                        else:
+                            if self.overlap_nblocks:
+                                # ghosts: groups confined to the overlap's
+                                # older block belonged to the previous shard
+                                ghost_limit = self.block_indices[self.overlap_nblocks - 1]
+                                groups_call = [g for g in groups_call
+                                               if any(c.pos >= ghost_limit for c in g.candidates)]
+                            calls.extend(sv.call_groups(groups_call, self.config, self))
 
                         size = 0
                         svcands = []
 
                 groups_keep[svtype] = keep
 
+        # Tail flush. Ghost groups (confined to the overlap's older block)
+        # belong to the previous shard; groups touching this shard's last
+        # block are handed to the next shard when one exists (it rebuilds
+        # them fully from its two-block overlap).
+        ghost_limit = (self.block_indices[self.overlap_nblocks - 1]
+                       if self.overlap_nblocks else None)
+        last_block = self.block_indices[-1]
         for svtype in groups_keep:
-            calls.extend(sv.call_groups(groups_keep[svtype], self.config, self))
+            groups = groups_keep[svtype]
+            if ghost_limit is not None:
+                groups = [g for g in groups
+                          if any(c.pos >= ghost_limit for c in g.candidates)]
+            if self.suppress_tail:
+                groups = [g for g in groups
+                          if not any(c.pos >= last_block for c in g.candidates)]
+            calls.extend(sv.call_groups(groups, self.config, self))
 
         if calls:
             result.store_calls(calls)
