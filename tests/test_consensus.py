@@ -44,6 +44,91 @@ def test_novel_from_reads_insufficient_support_keeps_best():
     assert cons == best.seq
 
 
+def _spec_flatten(best_seq, alignments, consensus_min=2, minalns=0.25,
+                  minbestdiff=3):
+    """Per-character spec of the reference vote loop (consensus.py:377-394)."""
+    from sniffles_tpu import util
+    maxal = 1
+    for i in range(len(best_seq)):
+        maxal = max(maxal, len([best_seq[i]] + [a[i] for a in alignments
+                                                if a[i] not in "^_"]))
+    maxal = float(maxal)
+    flattened = ""
+    for i in range(len(best_seq)):
+        al = [a[i] for a in alignments if not a[i] == "-"]
+        if len(al) < consensus_min or len(al) / maxal < minalns:
+            flattened += best_seq[i]
+        else:
+            top = util.most_common([best_seq[i]] + al)
+            if len(top) > 1 and top[0][0] - top[1][0] >= minbestdiff:
+                flattened += top[0][1]
+            else:
+                flattened += best_seq[i]
+    return flattened
+
+
+def _spec_filter_segments(conseq, best_seq, minident=0.5, minident_abs=5):
+    """Per-character spec of the reference segment filter
+    (consensus.py:360-375)."""
+    conseq_new = []
+    h = 0
+    while h < len(best_seq):
+        if conseq[h] == "-":
+            conseq_new.append("-")
+            h += 1
+        else:
+            buffer = []
+            ident = 0
+            while h < len(best_seq) and conseq[h] != "-":
+                ident += (best_seq[h] == conseq[h])
+                buffer.append(conseq[h])
+                h += 1
+            if ident / float(len(buffer)) > minident and ident > minident_abs:
+                conseq_new.append("".join(buffer))
+            else:
+                conseq_new.append("-" * len(buffer))
+    return "".join(conseq_new)
+
+
+def test_vectorized_vote_matches_spec():
+    from sniffles_tpu.consensus import _flatten_votes
+    rng = np.random.default_rng(17)
+    for trial in range(30):
+        size = int(rng.integers(5, 400))
+        n_aln = int(rng.integers(0, 9))
+        best = "".join(rng.choice(list("ACGTN"), size=size))
+        alns = []
+        for _ in range(n_aln):
+            chars = rng.choice(list("ACGT-"), size=size,
+                               p=[0.2, 0.2, 0.2, 0.2, 0.2])
+            alns.append("".join(chars))
+        assert _flatten_votes(best, alns, 2, 0.25, 3) == _spec_flatten(best, alns)
+
+
+def test_vectorized_segment_filter_matches_spec():
+    from sniffles_tpu.consensus import _filter_segments
+    rng = np.random.default_rng(23)
+    for trial in range(30):
+        size = int(rng.integers(5, 400))
+        best = "".join(rng.choice(list("ACGT"), size=size))
+        # dash runs of varied length interleaved with (noisy) best copies
+        conseq = list(best)
+        for _ in range(int(rng.integers(0, 10))):
+            s = int(rng.integers(0, size))
+            ln = int(rng.integers(1, 30))
+            for k in range(s, min(size, s + ln)):
+                conseq[k] = "-"
+        for _ in range(int(rng.integers(0, 40))):
+            p = int(rng.integers(0, size))
+            if conseq[p] != "-":
+                conseq[p] = str(rng.choice(list("ACGT")))
+        conseq = "".join(conseq)
+        got = _filter_segments(conseq,
+                               np.frombuffer(best.encode(), dtype=np.uint8),
+                               0.5, 5)
+        assert got == _spec_filter_segments(conseq, best)
+
+
 def test_poa_two_sequences_returns_pairwise_msa():
     a = "ACGTACGT" + "T" * 30 + "GGCCGGCC"
     b = "ACGTACGT" + "GGCCGGCC"
