@@ -322,4 +322,17 @@ void bamcore_decode_seq(const uint8_t* packed, int64_t l_seq,
     }
 }
 
+// Fused coverage accumulation: running prefix sum over a difference
+// array, added in place into a uint16 coverage track. Replaces
+// numpy's scalar cumsum + astype + += chain (the per-base coverage
+// build, reference: leadprov.py:508-515), which is the second-largest
+// host cost on wide scans.
+void bamcore_prefix_add_u16(const int32_t* diff, uint16_t* cov, int64_t n) {
+    int32_t running = 0;
+    for (int64_t i = 0; i < n; i++) {
+        running += diff[i];
+        cov[i] = (uint16_t)(cov[i] + (uint16_t)running);
+    }
+}
+
 }  // extern "C"

@@ -76,6 +76,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.bamcore_decode_seq.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_char_p]
+            try:  # stale .so builds may predate this symbol
+                lib.bamcore_prefix_add_u16.restype = None
+                lib.bamcore_prefix_add_u16.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            except AttributeError:
+                pass
             _LIB = lib
             break
     return _LIB
@@ -166,6 +172,21 @@ def bgzf_inflate_into(raw, start: int, end: int, total_isize: int,
     if ret != 0:
         raise ValueError(f"bamcore_bgzf_inflate failed: {ret}")
     return out[:out_len.value]
+
+
+def prefix_add_u16(diff: np.ndarray, cov: np.ndarray) -> bool:
+    """cov[i] += prefix_sum(diff)[i] in one native pass (uint16 wraparound
+    like the numpy equivalent). Returns False when the native symbol is
+    unavailable; callers then fall back to numpy cumsum."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bamcore_prefix_add_u16"):
+        return False
+    n = cov.shape[0]
+    assert diff.dtype == np.int32 and diff.flags.c_contiguous
+    assert cov.dtype == np.uint16 and cov.flags.c_contiguous
+    assert diff.shape[0] >= n
+    lib.bamcore_prefix_add_u16(_ptr(diff), _ptr(cov), n)
+    return True
 
 
 def bgzf_inflate(raw: bytes) -> bytes:

@@ -540,6 +540,7 @@ class LeadProvider:
         nm_count = 0
         coverage = self.coverage
 
+        from sniffles_tpu.io import native
         from sniffles_tpu.io.bam import parse_record, FREVERSE, FSECONDARY, FSUPPLEMENTARY
         from sniffles_tpu.io.bam import CINS as OP_I, CDEL as OP_D, CSOFT_CLIP as OP_S
 
@@ -575,7 +576,9 @@ class LeadProvider:
             cov_diff = np.zeros(hi_bp - lo_bp + 1, dtype=np.int32)
             np.add.at(cov_diff, np.clip(starts - lo_bp, 0, hi_bp - lo_bp), 1)
             np.add.at(cov_diff, np.clip(ends - lo_bp, 0, hi_bp - lo_bp), -1)
-            coverage[lo_bp:hi_bp] += np.cumsum(cov_diff[:-1]).astype(np.uint16)
+            cov_slice = coverage[lo_bp:hi_bp]
+            if not native.prefix_add_u16(cov_diff, cov_slice):
+                cov_slice += np.cumsum(cov_diff[:-1]).astype(np.uint16)
 
             # NM statistics, vectorized (reference: leadprov.py:517-529)
             nm_raw = c["nm"][idxs]
