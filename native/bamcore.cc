@@ -322,6 +322,75 @@ void bamcore_decode_seq(const uint8_t* packed, int64_t l_seq,
     }
 }
 
+// Global (NW) Levenshtein distance, Myers bit-parallel over uint64
+// blocks. Exact equivalent of the Python big-int implementation in
+// ops/edit_distance.py (which replaces edlib for the INS merge gates,
+// reference: sv.py:287, snfp.py:103); ~100x faster for kb-scale
+// sequences since Python big-int ops are O(words) interpreted.
+int64_t bamcore_edit_distance(const uint8_t* a, int64_t m,
+                              const uint8_t* b, int64_t n) {
+    if (m == 0) return n;
+    if (n == 0) return m;
+    const int64_t kw = (m + 63) / 64;
+    const int mbits = (int)(m - 64 * (kw - 1));
+    const uint64_t mask_last =
+        (mbits == 64) ? ~0ULL : ((1ULL << mbits) - 1ULL);
+    const int top = mbits - 1;
+
+    // thread-local scratch; only the symbol rows actually referenced are
+    // cleared (DNA alphabets touch ~5 of the 256 rows)
+    static thread_local std::vector<uint64_t> peq;
+    static thread_local std::vector<uint64_t> state;
+    if (peq.size() < (size_t)kw * 256) peq.assign((size_t)kw * 256, 0);
+    if (state.size() < (size_t)kw * 2) state.resize((size_t)kw * 2);
+    bool seen[256] = {false};
+    for (int64_t i = 0; i < m; i++) seen[a[i]] = true;
+    for (int64_t j = 0; j < n; j++) seen[b[j]] = true;
+    for (int c = 0; c < 256; c++)
+        if (seen[c]) memset(&peq[(size_t)kw * c], 0, (size_t)kw * 8);
+    for (int64_t i = 0; i < m; i++)
+        peq[(size_t)kw * a[i] + (i >> 6)] |= 1ULL << (i & 63);
+
+    uint64_t* pv = &state[0];
+    uint64_t* mv = &state[kw];
+    for (int64_t w = 0; w < kw; w++) { pv[w] = ~0ULL; mv[w] = 0; }
+    pv[kw - 1] = mask_last;
+    int64_t score = m;
+
+    // single low-to-high word pass per text char: the add carry and both
+    // shift carries all propagate in the same direction
+    for (int64_t j = 0; j < n; j++) {
+        const uint64_t* eq = &peq[(size_t)kw * b[j]];
+        unsigned __int128 addc = 0;
+        uint64_t phc = 1, mhc = 0;
+        for (int64_t w = 0; w < kw; w++) {
+            const uint64_t eqw = eq[w], pvw = pv[w], mvw = mv[w];
+            const uint64_t ep = eqw & pvw;
+            const unsigned __int128 s = (unsigned __int128)ep + pvw + addc;
+            addc = s >> 64;
+            const uint64_t xhw = ((uint64_t)s ^ pvw) | eqw;
+            const uint64_t xvw = eqw | mvw;
+            uint64_t phw = mvw | ~(xhw | pvw);
+            const uint64_t mhw = pvw & xhw;
+            if (w == kw - 1) {
+                phw &= mask_last;
+                score += (int64_t)((phw >> top) & 1);
+                score -= (int64_t)((mhw >> top) & 1);
+            }
+            uint64_t ph_sh = (phw << 1) | phc;
+            phc = phw >> 63;
+            const uint64_t mh_sh = (mhw << 1) | mhc;
+            mhc = mhw >> 63;
+            if (w == kw - 1) ph_sh &= mask_last;
+            mv[w] = ph_sh & xvw;
+            uint64_t pvn = mh_sh | ~(xvw | ph_sh);
+            if (w == kw - 1) pvn &= mask_last;
+            pv[w] = pvn;
+        }
+    }
+    return score;
+}
+
 // Fused coverage accumulation: running prefix sum over a difference
 // array, added in place into a uint16 coverage track. Replaces
 // numpy's scalar cumsum + astype + += chain (the per-base coverage

@@ -76,10 +76,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.bamcore_decode_seq.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_char_p]
-            try:  # stale .so builds may predate this symbol
+            try:  # stale .so builds may predate these symbols
                 lib.bamcore_prefix_add_u16.restype = None
                 lib.bamcore_prefix_add_u16.argtypes = [
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+                lib.bamcore_edit_distance.restype = ctypes.c_int64
+                lib.bamcore_edit_distance.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                    ctypes.c_int64]
             except AttributeError:
                 pass
             _LIB = lib

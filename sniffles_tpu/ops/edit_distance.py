@@ -19,13 +19,28 @@ import numpy as np
 
 
 def edit_distance(a: str, b: str) -> int:
-    """Global (NW) Levenshtein distance via Myers' bit-parallel scan."""
+    """Global (NW) Levenshtein distance via Myers' bit-parallel scan.
+
+    Dispatches to the uint64-blocked C implementation in native/bamcore.cc
+    when available (same algorithm, ~100x faster than Python big ints for
+    kb-scale INS sequences); this pure-Python version is the fallback and
+    the exactness reference."""
     m = len(a)
     n = len(b)
     if m == 0:
         return n
     if n == 0:
         return m
+    try:
+        ab = a.encode("ascii")
+        bb = b.encode("ascii")
+    except UnicodeEncodeError:
+        ab = None
+    if ab is not None:
+        from sniffles_tpu.io import native
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "bamcore_edit_distance"):
+            return int(lib.bamcore_edit_distance(ab, m, bb, n))
     # Build match bitmasks for the pattern
     peq: dict[str, int] = {}
     for i, c in enumerate(a):

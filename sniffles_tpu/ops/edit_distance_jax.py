@@ -217,13 +217,36 @@ def build_distance_cache(group_alts: list[str], cand_alts: list[str],
 
 
 def edit_distance_batch(pairs: list[tuple[str, str]], max_len: int | None = None) -> np.ndarray:
-    """Edit distances for a batch of string pairs on the default device."""
-    a, b, la, lb = encode_pairs(pairs, max_len)
+    """Edit distances for a batch of string pairs on the default device.
+
+    On non-TPU backends the native blocked-Myers scan (bamcore) beats the
+    O(L^2) jnp wavefront plus its per-shape compile, so it is used
+    directly when available. The batch dimension is padded to a power of
+    two so repeated calls reuse a handful of compiled shapes instead of
+    compiling per batch size."""
     backend = jax.default_backend()
-    if backend in ("tpu", "axon"):
+    on_tpu = backend in ("tpu", "axon")
+    if not on_tpu:
+        from sniffles_tpu.io import native
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "bamcore_edit_distance"):
+            from sniffles_tpu.ops.edit_distance import edit_distance as ed_host
+            return np.array([ed_host(x, y) for x, y in pairs], dtype=np.int32)
+    a, b, la, lb = encode_pairs(pairs, max_len)
+    n = a.shape[0]
+    n_pad = 16
+    while n_pad < n:
+        n_pad *= 2
+    if n_pad > n:
+        pad = ((0, n_pad - n), (0, 0))
+        a = np.pad(a, pad)
+        b = np.pad(b, pad)
+        la = np.pad(la, (0, n_pad - n))
+        lb = np.pad(lb, (0, n_pad - n))
+    if on_tpu:
         out = edit_distance_batch_pallas(jnp.asarray(a), jnp.asarray(b),
                                          jnp.asarray(la), jnp.asarray(lb))
     else:
         out = edit_distance_batch_jnp(jnp.asarray(a), jnp.asarray(b),
                                       jnp.asarray(la), jnp.asarray(lb))
-    return np.asarray(out)
+    return np.asarray(out)[:n]
