@@ -368,20 +368,26 @@ class IndexStatistics:
     total: int
 
 
-class AlignmentFile:
-    """
-    Indexed BAM reader (pysam.AlignmentFile work-alike for the caller's needs).
+def AlignmentFile(path: str, mode: str = "rb", require_index: bool = False,
+                  reference_filename: Optional[str] = None):
+    """pysam.AlignmentFile work-alike factory: returns a BamFile for BAM
+    inputs or a CramFile (io/cram.py) for CRAM inputs (mode 'rc' or a
+    .cram path), both presenting the same fetch/index API (the reference
+    gets both formats through htslib, SURVEY §2.2)."""
+    if mode == "rc" or path.endswith(".cram"):
+        from sniffles_tpu.io.cram import CramFile
+        return CramFile(path, require_index=require_index,
+                        reference_filename=reference_filename)
+    return BamFile(path, mode, require_index, reference_filename)
 
-    CRAM is not yet supported by the self-contained decoder; inputs must
-    be BAM (reference supports CRAM through htslib, see SURVEY §2.2).
-    """
+
+class BamFile:
+    """Indexed BAM reader (pysam.AlignmentFile work-alike for the caller's needs)."""
 
     def __init__(self, path: str, mode: str = "rb", require_index: bool = False,
                  reference_filename: Optional[str] = None):
         if mode not in ("rb",):
-            raise NotImplementedError(
-                "CRAM decoding is not supported by the built-in decoder; "
-                "please convert input to BAM")
+            raise NotImplementedError(f"unsupported AlignmentFile mode {mode!r}")
         self.path = path
         self._reader = BGZFReader.from_file(path)
         self._index: Optional[BamIndex] = None

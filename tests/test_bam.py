@@ -55,6 +55,7 @@ def test_sequence_and_tags(hg002_bam):
     assert len(sa.split(";")) >= 2  # at least one supplementary + trailing empty
 
 
-def test_cram_unsupported(hg002_bam):
-    with pytest.raises(NotImplementedError):
+def test_cram_mode_rejects_bam(hg002_bam):
+    # mode 'rc' dispatches to the CRAM decoder, which must reject BAM bytes
+    with pytest.raises(ValueError):
         AlignmentFile(hg002_bam, mode="rc")
