@@ -93,9 +93,142 @@ def _filter_segments(conseq: str, best: np.ndarray, minident: float,
     return carr.tobytes().decode("ascii")
 
 
+def _pack_kmers(arr: np.ndarray, klen: int, skip: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sampled k-mer start positions and their base-256 packed uint64
+    codes (injective for klen <= 8), matching iter_kmers' sampling."""
+    n = arr.shape[0] - klen
+    if n <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    pos = np.arange(0, n, skip, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, klen)[pos]
+    powers = (256 ** np.arange(klen - 1, -1, -1, dtype=np.uint64))
+    codes = win.astype(np.uint64) @ powers
+    return pos, codes
+
+
 def novel_from_reads(best_lead, other_leads, klen, skip, skip_repetitive, debug=False):
     """Per-position majority-vote consensus anchored on the best lead's
-    sequence (reference: consensus.py:280-394)."""
+    sequence (reference: consensus.py:280-394).
+
+    Semantics are identical to the reference's per-kmer dict walk
+    (novel_from_reads_spec below, checked by tests/test_consensus.py);
+    the anchor build, anchor matching, the monotone anchor-chain
+    acceptance and the per-segment identity counts are vectorized:
+    unique-sampled kmers via np.unique over packed codes, matches via
+    searchsorted, the chain via a running-maximum scan, and identity
+    sums via per-diagonal equality prefix sums."""
+    if klen > 8:
+        return novel_from_reads_spec(best_lead, other_leads, klen, skip,
+                                     skip_repetitive, debug)
+    consensus_min = 2
+    maxshift = klen
+    minspan = 0.2
+    minalns = 0.25
+    minident = 0.5
+    minident_abs = 5
+    minbestdiff = 3
+
+    best_seq = best_lead.seq
+    lb = len(best_seq)
+    best_arr = np.frombuffer(best_seq.encode("ascii"), dtype=np.uint8)
+
+    # anchors: sampled kmers of the best lead that occur exactly once in
+    # the sample (a repeated kmer deletes its anchor and taboos further
+    # occurrences -- net effect: count == 1)
+    a_pos, a_codes = _pack_kmers(best_arr, klen, skip_repetitive)
+    codes_u, first_idx, counts = np.unique(a_codes, return_index=True,
+                                           return_counts=True)
+    once = counts == 1
+    anchor_codes = codes_u[once]                 # sorted by np.unique
+    anchor_pos = a_pos[first_idx[once]]
+
+    alignments = []
+    for lead in other_leads:
+        lead_seq = lead.seq
+        lead_arr = np.frombuffer(lead_seq.encode("ascii"), dtype=np.uint8)
+        l_pos, l_codes = _pack_kmers(lead_arr, klen, skip)
+        if anchor_codes.shape[0]:
+            idx = np.searchsorted(anchor_codes, l_codes)
+            np.minimum(idx, anchor_codes.shape[0] - 1, out=idx)
+            hit = anchor_codes[idx] == l_codes
+        else:
+            idx = np.zeros(0, dtype=np.int64)
+            hit = np.zeros(l_codes.shape[0], dtype=bool)
+        jj = l_pos[hit]
+        ii = anchor_pos[idx[hit]] if anchor_codes.shape[0] else jj
+        shift_ok = np.abs(ii - jj) <= maxshift
+        ii = ii[shift_ok]
+        jj = jj[shift_ok]
+        if ii.shape[0]:
+            # greedy chain in j order: accept iff i exceeds every prior i
+            # (prior rejected i are <= the running max, so the running max
+            # over all priors equals the last accepted i)
+            pm = np.maximum.accumulate(ii)
+            accept = np.empty(ii.shape[0], dtype=bool)
+            accept[0] = True
+            accept[1:] = ii[1:] > pm[:-1]
+            ii = ii[accept]
+            jj = jj[accept]
+
+        parts: list[str] = []
+        clen = 0
+        span = 0
+        last_i = last_j = None
+        diag_prefix: dict[int, np.ndarray] = {}
+        ll = lead_arr.shape[0]
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            if last_i is None:
+                if j > 0:
+                    parts.append("-" * i)
+                    clen = i
+            else:
+                fwd_i = i - last_i
+                fwd_j = j - last_j
+                if clen + fwd_j > lb:
+                    fwd_j = lb - clen
+                if fwd_i == fwd_j and fwd_j > 0:
+                    span += j - last_j
+                    d = i - j      # == last_i - last_j on this diagonal
+                    pref = diag_prefix.get(d)
+                    if pref is None:
+                        eq = np.zeros(ll + 1, dtype=np.int32)
+                        s = max(0, -d)
+                        e = min(ll, lb - d)
+                        if e > s:
+                            np.cumsum(lead_arr[s:e] == best_arr[s + d:e + d],
+                                      out=eq[s + 1:e + 1], dtype=np.int32)
+                            eq[e + 1:] = eq[e]
+                        diag_prefix[d] = pref = eq
+                    m = int(pref[j + 1] - pref[last_j + 1])
+                    if m / float(j - last_j) >= minident:
+                        seg = lead_seq[last_j:j][:fwd_j]
+                    else:
+                        seg = "-" * fwd_j
+                    parts.append(seg)
+                    clen += len(seg)
+                else:
+                    seg = "-" * fwd_j
+                    parts.append(seg)
+                    clen += len(seg)
+            last_i = i
+            last_j = j
+
+        if clen < lb:
+            parts.append("-" * (lb - clen))
+        conseq = _filter_segments("".join(parts), best_arr, minident,
+                                  minident_abs)
+        if span / float(lb) > minspan:
+            alignments.append(conseq)
+
+    return _flatten_votes(best_seq, alignments, consensus_min, minalns,
+                          minbestdiff)
+
+
+def novel_from_reads_spec(best_lead, other_leads, klen, skip, skip_repetitive,
+                          debug=False):
+    """Direct port of the reference loop (consensus.py:280-394); kept as
+    the exactness reference for novel_from_reads and as the fallback for
+    klen > 8 (packed-code fast path needs one uint64 per kmer)."""
     consensus_min = 2
     maxshift = klen
     minspan = 0.2

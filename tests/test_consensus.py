@@ -148,3 +148,39 @@ def test_star_consensus_recovers_center():
     errs = sum(a != b for a, b in zip(cons, true_seq))
     assert len(cons) >= len(true_seq) - 5
     assert errs <= 8
+
+
+def test_novel_from_reads_matches_spec_port():
+    """The vectorized novel_from_reads must be byte-identical to the
+    direct reference port across fuzzed inputs (incl. repeats, indels,
+    short/long reads, N bases)."""
+    from sniffles_tpu.consensus import novel_from_reads_spec
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        n = int(rng.integers(20, 1200))
+        true_seq = "".join(rng.choice(list("ACGTN"), size=n,
+                                      p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        if rng.random() < 0.3:  # tandem-repeat-like content (taboo kmers)
+            unit = true_seq[:10] if n >= 10 else true_seq
+            true_seq = (unit * (n // max(1, len(unit)) + 1))[:n]
+        best = FakeLead(_mutate(rng, true_seq, min(n // 10, 5)))
+        others = []
+        for _ in range(int(rng.integers(0, 9))):
+            s = _mutate(rng, true_seq, min(n // 8, 7))
+            # random indel to shift alignment frames
+            if rng.random() < 0.5 and len(s) > 30:
+                cut = int(rng.integers(5, len(s) - 5))
+                if rng.random() < 0.5:
+                    s = s[:cut] + s[cut + int(rng.integers(1, 4)):]
+                else:
+                    ins = "".join(rng.choice(list("ACGT"), size=int(rng.integers(1, 4))))
+                    s = s[:cut] + ins + s[cut:]
+            others.append(FakeLead(s))
+        klen = int(rng.integers(4, 9))
+        skip = int(rng.integers(1, 6))
+        skip_rep = int(rng.integers(1, 6))
+        got = novel_from_reads(best, others, klen=klen, skip=skip,
+                               skip_repetitive=skip_rep)
+        want = novel_from_reads_spec(best, others, klen=klen, skip=skip,
+                                     skip_repetitive=skip_rep)
+        assert got == want, (trial, n, klen, skip, skip_rep)
