@@ -404,4 +404,375 @@ void bamcore_prefix_add_u16(const int32_t* diff, uint16_t* cov, int64_t n) {
     }
 }
 
+// ---------------------------------------------------------------------------
+// rANS 4x8 (CRAM 3.0 compression method 4). Bitstream-identical to the
+// Python implementation in sniffles_tpu/io/cram_codecs.py (which is the
+// exactness reference); this is the production codec for CRAM blocks.
+// Stream: 1-byte order, u32le compressed size (table+stream), u32le raw
+// size, frequency table, interleaved 4-state rANS payload.
+// ---------------------------------------------------------------------------
+
+static const uint32_t RANS_L = 1u << 23;
+static const int TF_SHIFT = 12;
+static const uint32_t TOTFREQ = 1u << TF_SHIFT;
+
+// normalize counts to sum exactly TOTFREQ keeping observed symbols >= 1;
+// must match cram_codecs._normalize_freqs (first-max drift fixing)
+static int rans_normalize(const uint64_t* counts, uint32_t* freqs) {
+    uint64_t total = 0;
+    for (int i = 0; i < 256; i++) total += counts[i];
+    for (int i = 0; i < 256; i++) freqs[i] = 0;
+    if (total == 0) return 0;
+    int64_t acc = 0;
+    for (int i = 0; i < 256; i++) {
+        if (!counts[i]) continue;
+        uint64_t f = (counts[i] * TOTFREQ) / total;
+        if (f < 1) f = 1;
+        freqs[i] = (uint32_t)f;
+        acc += (int64_t)f;
+    }
+    int imax = -1;
+    uint32_t fmax = 0;
+    for (int i = 0; i < 256; i++)
+        if (counts[i] && freqs[i] > fmax) { fmax = freqs[i]; imax = i; }
+    int64_t nf = (int64_t)freqs[imax] + ((int64_t)TOTFREQ - acc);
+    if (nf >= 1) {
+        freqs[imax] = (uint32_t)nf;
+    } else {
+        int64_t deficit = 1 - nf;
+        freqs[imax] = 1;
+        for (int i = 0; i < 256 && deficit > 0; i++) {
+            if (!counts[i] || freqs[i] <= 1) continue;
+            int64_t take = (int64_t)freqs[i] - 1;
+            if (take > deficit) take = deficit;
+            freqs[i] -= (uint32_t)take;
+            deficit -= take;
+        }
+        if (deficit > 0) return -1;
+    }
+    return 1;
+}
+
+static int64_t rans_write_table(const uint32_t* freqs, uint8_t* out) {
+    int64_t n = 0;
+    int rle = 0;
+    for (int j = 0; j < 256; j++) {
+        if (!freqs[j]) continue;
+        if (rle) {
+            rle--;
+        } else {
+            out[n++] = (uint8_t)j;
+            if (j && freqs[j - 1]) {
+                int k = j + 1;
+                while (k < 256 && freqs[k]) k++;
+                rle = k - (j + 1);
+                out[n++] = (uint8_t)rle;
+            }
+        }
+        uint32_t f = freqs[j];
+        if (f < 128) {
+            out[n++] = (uint8_t)f;
+        } else {
+            out[n++] = (uint8_t)(0x80 | (f >> 8));
+            out[n++] = (uint8_t)(f & 0xFF);
+        }
+    }
+    out[n++] = 0;
+    return n;
+}
+
+static int64_t rans_read_table(const uint8_t* in, int64_t in_size,
+                               uint32_t* freqs, uint32_t* cum) {
+    for (int i = 0; i < 256; i++) freqs[i] = 0;
+    int64_t off = 0;
+    if (off >= in_size) return -1;
+    int rle = 0;
+    int j = in[off++];
+    for (;;) {
+        if (off >= in_size) return -1;
+        uint32_t f = in[off++];
+        if (f >= 128) {
+            if (off >= in_size) return -1;
+            f = ((f & 0x7F) << 8) | in[off++];
+        }
+        freqs[j] = f;
+        if (!rle && off < in_size && in[off] == j + 1) {
+            j = in[off++];
+            if (off >= in_size) return -1;
+            rle = in[off++];
+        } else if (rle) {
+            rle--;
+            j++;
+        } else {
+            if (off >= in_size) return -1;
+            j = in[off++];
+            if (j == 0) break;
+        }
+        if (j > 255) return -1;
+    }
+    uint32_t x = 0;
+    for (int s = 0; s < 256; s++) { cum[s] = x; x += freqs[s]; }
+    return off;
+}
+
+static inline void rans_enc_put(uint64_t* x, uint8_t** rptr,
+                                uint32_t start, uint32_t freq) {
+    uint64_t xv = *x;
+    uint64_t x_max = ((uint64_t)(RANS_L >> TF_SHIFT) << 8) * freq;
+    while (xv >= x_max) {
+        *--(*rptr) = (uint8_t)(xv & 0xFF);
+        xv >>= 8;
+    }
+    *x = ((xv / freq) << TF_SHIFT) + (xv % freq) + start;
+}
+
+static inline void rans_enc_flush(uint64_t* x, uint8_t** rptr) {
+    uint8_t* p = *rptr - 4;
+    p[0] = (uint8_t)(*x & 0xFF);
+    p[1] = (uint8_t)((*x >> 8) & 0xFF);
+    p[2] = (uint8_t)((*x >> 16) & 0xFF);
+    p[3] = (uint8_t)((*x >> 24) & 0xFF);
+    *rptr = p;
+}
+
+// Compress in[0..in_size) with the given order (0/1); writes the full
+// stream (including the 9-byte header) to out; returns total size or -1.
+int64_t bamcore_rans_compress(const uint8_t* in, int64_t in_size, int order,
+                              uint8_t* out, int64_t out_cap) {
+    if (order == 1 && in_size < 4) order = 0;
+    if (out_cap < 9 + 2 * in_size + (order ? 257 * 771 : 771) + 64) return -1;
+    uint8_t* body = out + 9;
+    int64_t table_len = 0;
+    // payload scratch: emit backwards into the tail of `out`
+    uint8_t* tail_end = out + out_cap;
+    uint8_t* rptr = tail_end;
+    uint64_t st[4] = {RANS_L, RANS_L, RANS_L, RANS_L};
+
+    if (order == 0) {
+        static thread_local uint64_t counts[256];
+        static thread_local uint32_t freqs[256], cum[256];
+        memset(counts, 0, sizeof(counts));
+        for (int64_t i = 0; i < in_size; i++) counts[in[i]]++;
+        if (rans_normalize(counts, freqs) < 0) return -1;
+        uint32_t x = 0;
+        for (int s = 0; s < 256; s++) { cum[s] = x; x += freqs[s]; }
+        table_len = rans_write_table(freqs, body);
+        if (in_size > 0) {
+            int64_t i = in_size & 3;
+            if (i >= 3) { uint8_t s = in[in_size - (i - 2)]; rans_enc_put(&st[2], &rptr, cum[s], freqs[s]); }
+            if (i >= 2) { uint8_t s = in[in_size - (i - 1)]; rans_enc_put(&st[1], &rptr, cum[s], freqs[s]); }
+            if (i >= 1) { uint8_t s = in[in_size - i]; rans_enc_put(&st[0], &rptr, cum[s], freqs[s]); }
+            for (i = in_size & ~3LL; i > 0; i -= 4) {
+                for (int k = 3; k >= 0; k--) {
+                    uint8_t s = in[i - 4 + k];
+                    rans_enc_put(&st[k], &rptr, cum[s], freqs[s]);
+                }
+            }
+            for (int k = 3; k >= 0; k--) rans_enc_flush(&st[k], &rptr);
+        }
+    } else {
+        // order-1: lazy per-context rows (DNA data touches few contexts)
+        static thread_local std::vector<uint64_t> counts1;
+        static thread_local std::vector<uint32_t> freqs1, cum1;
+        if (counts1.size() < 256 * 256) {
+            counts1.resize(256 * 256);
+            freqs1.resize(256 * 256);
+            cum1.resize(256 * 256);
+        }
+        static thread_local uint64_t totals[256];
+        memset(totals, 0, sizeof(totals));
+        int64_t isz4 = in_size >> 2;
+        // mark+clear used contexts only
+        bool used[256] = {false};
+        auto bump = [&](uint8_t ctx, uint8_t sym) {
+            if (!used[ctx]) {
+                used[ctx] = true;
+                memset(&counts1[(size_t)ctx << 8], 0, 256 * sizeof(uint64_t));
+            }
+            counts1[((size_t)ctx << 8) | sym]++;
+            totals[ctx]++;
+        };
+        for (int q = 0; q < 4; q++) bump(0, in[q * isz4]);
+        for (int64_t i = 1; i < in_size; i++) bump(in[i - 1], in[i]);
+
+        // serialize outer-RLE table and normalize per context
+        int64_t n = 0;
+        int rle_i = 0;
+        for (int i = 0; i < 256; i++) {
+            if (!totals[i]) continue;
+            if (rle_i) {
+                rle_i--;
+            } else {
+                body[n++] = (uint8_t)i;
+                if (i && totals[i - 1]) {
+                    int k = i + 1;
+                    while (k < 256 && totals[k]) k++;
+                    rle_i = k - (i + 1);
+                    body[n++] = (uint8_t)rle_i;
+                }
+            }
+            if (rans_normalize(&counts1[(size_t)i << 8], &freqs1[(size_t)i << 8]) < 0)
+                return -1;
+            uint32_t x = 0;
+            for (int s = 0; s < 256; s++) {
+                cum1[((size_t)i << 8) | s] = x;
+                x += freqs1[((size_t)i << 8) | s];
+            }
+            n += rans_write_table(&freqs1[(size_t)i << 8], body + n);
+        }
+        body[n++] = 0;
+        table_len = n;
+
+        int64_t i3 = in_size - 2;
+        uint8_t l3 = in[in_size - 1];
+        while (i3 > 4 * isz4 - 2) {
+            uint8_t ctx = in[i3];
+            rans_enc_put(&st[3], &rptr, cum1[((size_t)ctx << 8) | l3],
+                         freqs1[((size_t)ctx << 8) | l3]);
+            l3 = ctx;
+            i3--;
+        }
+        int64_t idx[4] = {1 * isz4 - 2, 2 * isz4 - 2, 3 * isz4 - 2, i3};
+        uint8_t last[4];
+        for (int k = 0; k < 4; k++) last[k] = in[idx[k] + 1];
+        while (idx[0] >= 0) {
+            for (int k = 3; k >= 0; k--) {
+                uint8_t ctx = in[idx[k]];
+                rans_enc_put(&st[k], &rptr, cum1[((size_t)ctx << 8) | last[k]],
+                             freqs1[((size_t)ctx << 8) | last[k]]);
+                last[k] = ctx;
+                idx[k]--;
+            }
+        }
+        for (int k = 3; k >= 0; k--)
+            rans_enc_put(&st[k], &rptr, cum1[last[k]], freqs1[last[k]]);
+        for (int k = 3; k >= 0; k--) rans_enc_flush(&st[k], &rptr);
+    }
+
+    int64_t payload_len = tail_end - rptr;
+    if (body + table_len + payload_len > tail_end) return -1;  // overlap
+    memmove(body + table_len, rptr, payload_len);
+    int64_t comp_size = table_len + payload_len;
+    out[0] = (uint8_t)order;
+    uint32_t cs = (uint32_t)comp_size, rs = (uint32_t)in_size;
+    memcpy(out + 1, &cs, 4);
+    memcpy(out + 5, &rs, 4);
+    return 9 + comp_size;
+}
+
+// Decompress a full stream (with 9-byte header); returns raw size or -1.
+int64_t bamcore_rans_uncompress(const uint8_t* in, int64_t in_size,
+                                uint8_t* out, int64_t out_cap) {
+    if (in_size < 9) return -1;
+    int order = in[0];
+    uint32_t raw_size;
+    memcpy(&raw_size, in + 5, 4);
+    if ((int64_t)raw_size > out_cap) return -1;
+    if (raw_size == 0) return 0;
+    const uint8_t* p = in + 9;
+    int64_t avail = in_size - 9;
+
+    if (order == 0) {
+        static thread_local uint32_t freqs[256], cum[256];
+        static thread_local uint8_t ssym[TOTFREQ];
+        int64_t off = rans_read_table(p, avail, freqs, cum);
+        if (off < 0) return -1;
+        for (int s = 0; s < 256; s++)
+            for (uint32_t k = cum[s]; k < cum[s] + freqs[s]; k++) ssym[k] = (uint8_t)s;
+        if (avail - off < 16) return -1;
+        uint32_t x[4];
+        memcpy(x, p + off, 16);
+        const uint8_t* ptr = p + off + 16;
+        const uint8_t* pend = p + avail;
+        int64_t main_n = raw_size & ~3u;
+        int64_t i = 0;
+        while (i < main_n) {
+            for (int k = 0; k < 4; k++) {
+                uint32_t m = x[k] & (TOTFREQ - 1);
+                uint8_t s = ssym[m];
+                out[i + k] = s;
+                x[k] = freqs[s] * (x[k] >> TF_SHIFT) + m - cum[s];
+                while (x[k] < RANS_L && ptr < pend) x[k] = (x[k] << 8) | *ptr++;
+            }
+            i += 4;
+        }
+        for (int k = 0; i < (int64_t)raw_size; i++, k++) {
+            uint32_t m = x[k] & (TOTFREQ - 1);
+            uint8_t s = ssym[m];
+            out[i] = s;
+            x[k] = freqs[s] * (x[k] >> TF_SHIFT) + m - cum[s];
+            while (x[k] < RANS_L && ptr < pend) x[k] = (x[k] << 8) | *ptr++;
+        }
+        return raw_size;
+    }
+
+    if (order != 1) return -1;
+    static thread_local std::vector<uint32_t> freqs1, cum1;
+    static thread_local std::vector<uint8_t> ssym1;
+    if (freqs1.size() < 256 * 256) {
+        freqs1.resize(256 * 256);
+        cum1.resize(256 * 256);
+        ssym1.resize((size_t)256 * TOTFREQ);
+    }
+    int64_t off = 0;
+    int rle_i = 0;
+    if (avail < 1) return -1;
+    int i = p[off++];
+    for (;;) {
+        int64_t used = rans_read_table(p + off, avail - off,
+                                       &freqs1[(size_t)i << 8], &cum1[(size_t)i << 8]);
+        if (used < 0) return -1;
+        off += used;
+        uint8_t* lut = &ssym1[(size_t)i * TOTFREQ];
+        const uint32_t* f = &freqs1[(size_t)i << 8];
+        const uint32_t* c = &cum1[(size_t)i << 8];
+        for (int s = 0; s < 256; s++)
+            for (uint32_t k = c[s]; k < c[s] + f[s]; k++) lut[k] = (uint8_t)s;
+        if (!rle_i && off < avail && p[off] == i + 1) {
+            i = p[off++];
+            if (off >= avail) return -1;
+            rle_i = p[off++];
+        } else if (rle_i) {
+            rle_i--;
+            i++;
+        } else {
+            if (off >= avail) return -1;
+            i = p[off++];
+            if (i == 0) break;
+        }
+        if (i > 255) return -1;
+    }
+    if (avail - off < 16) return -1;
+    uint32_t x[4];
+    memcpy(x, p + off, 16);
+    const uint8_t* ptr = p + off + 16;
+    const uint8_t* pend = p + avail;
+    int64_t isz4 = (int64_t)raw_size >> 2;
+    int64_t pos[4] = {0, isz4, 2 * isz4, 3 * isz4};
+    uint8_t last[4] = {0, 0, 0, 0};
+    for (int64_t t = 0; t < isz4; t++) {
+        for (int k = 0; k < 4; k++) {
+            uint32_t m = x[k] & (TOTFREQ - 1);
+            uint8_t lk = last[k];
+            uint8_t s = ssym1[(size_t)lk * TOTFREQ + m];
+            out[pos[k]++] = s;
+            x[k] = freqs1[((size_t)lk << 8) | s] * (x[k] >> TF_SHIFT) + m
+                 - cum1[((size_t)lk << 8) | s];
+            while (x[k] < RANS_L && ptr < pend) x[k] = (x[k] << 8) | *ptr++;
+            last[k] = s;
+        }
+    }
+    while (pos[3] < (int64_t)raw_size) {
+        uint32_t m = x[3] & (TOTFREQ - 1);
+        uint8_t lk = last[3];
+        uint8_t s = ssym1[(size_t)lk * TOTFREQ + m];
+        out[pos[3]++] = s;
+        x[3] = freqs1[((size_t)lk << 8) | s] * (x[3] >> TF_SHIFT) + m
+             - cum1[((size_t)lk << 8) | s];
+        while (x[3] < RANS_L && ptr < pend) x[3] = (x[3] << 8) | *ptr++;
+        last[3] = s;
+    }
+    return raw_size;
+}
+
 }  // extern "C"

@@ -240,12 +240,32 @@ class _RansEncoder:
         self.out.append(x & 0xFF)
 
 
+def _native_lib():
+    from sniffles_tpu.io import native
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "bamcore_rans_compress"):
+        return lib
+    return None
+
+
 def rans_encode(data: bytes, order: int = 0) -> bytes:
     """Compress with rANS 4x8. Output: 1-byte order, uint32le compressed
-    size (frequency table + rANS stream), uint32le raw size, payload."""
+    size (frequency table + rANS stream), uint32le raw size, payload.
+
+    Dispatches to the C implementation in native/bamcore.cc when built
+    (bitstream-identical; this pure-Python path is the exactness
+    reference and fallback)."""
     n = len(data)
     if order == 1 and n < 4:
         order = 0
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+        cap = 9 + 2 * n + (257 * 771 if order else 771) + 64
+        out = ctypes.create_string_buffer(cap)
+        size = lib.bamcore_rans_compress(data, n, order, out, cap)
+        if size > 0:
+            return out.raw[:size]
     if order == 0:
         payload = _rans_encode_0(data)
     else:
@@ -494,6 +514,15 @@ def _rans_decode_1(buf, out_size: int) -> bytearray:
 
 def rans_decode(data: bytes) -> bytes:
     order, _comp_size, raw_size = struct.unpack_from("<BII", data, 0)
+    lib = _native_lib()
+    if lib is not None and order in (0, 1):
+        import ctypes
+        out = ctypes.create_string_buffer(max(1, raw_size))
+        data_b = bytes(data) if not isinstance(data, bytes) else data
+        size = lib.bamcore_rans_uncompress(data_b, len(data_b), out, raw_size)
+        if size == raw_size:
+            return out.raw[:raw_size]
+        raise ValueError("native rANS decode failed")
     payload = memoryview(data)[9:]
     if order == 0:
         return bytes(_rans_decode_0(payload, raw_size))

@@ -147,13 +147,21 @@ class CramWriter:
         return head + payload + struct.pack("<I", crc)
 
     def _compress(self, cid_name: str, data: bytes) -> tuple[int, bytes]:
+        """Adaptive per-block codec choice (htslib picks per-block codecs
+        the same way): try the plausible codecs and keep the smallest.
+        gzip wins on cross-read redundancy (overlapping referenceless
+        reads), rANS on entropy-limited series."""
         if len(data) < 32:
             return METHOD_RAW, data
-        if cid_name == "RN":
-            return METHOD_GZIP, compress_block(data, METHOD_GZIP)
-        if cid_name in ("BB_val", "SC_val", "IN_val", "BA"):
-            return METHOD_RANS, compress_block(data, METHOD_RANS, rans_order=1)
-        return METHOD_RANS, compress_block(data, METHOD_RANS, rans_order=0)
+        candidates = [(METHOD_GZIP, compress_block(data, METHOD_GZIP))]
+        if cid_name in ("BB_val", "SC_val", "IN_val", "BA", "QS"):
+            candidates.append((METHOD_RANS, compress_block(data, METHOD_RANS, rans_order=1)))
+        else:
+            candidates.append((METHOD_RANS, compress_block(data, METHOD_RANS, rans_order=0)))
+        method, payload = min(candidates, key=lambda mp: len(mp[1]))
+        if len(payload) >= len(data):
+            return METHOD_RAW, data
+        return method, payload
 
     def _write_container(self, ref_seq_id: int, start: int, span: int,
                          n_records: int, bases: int, blocks: list[bytes],

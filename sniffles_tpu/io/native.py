@@ -84,6 +84,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib.bamcore_edit_distance.argtypes = [
                     ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
                     ctypes.c_int64]
+                lib.bamcore_rans_compress.restype = ctypes.c_int64
+                lib.bamcore_rans_compress.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+                    ctypes.c_void_p, ctypes.c_int64]
+                lib.bamcore_rans_uncompress.restype = ctypes.c_int64
+                lib.bamcore_rans_uncompress.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+                    ctypes.c_int64]
             except AttributeError:
                 pass
             _LIB = lib

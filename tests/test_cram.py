@@ -222,3 +222,28 @@ def test_e2e_cram_vcf_identical(tmp_path):
     cram_calls = run(cram_path, tmp_path / "cram.vcf")
     assert bam_calls == cram_calls
     assert len([ln for ln in bam_calls if not ln.startswith("#")]) == 4
+
+
+def test_native_rans_bitstream_identical():
+    """The C rANS codec (native/bamcore.cc) must emit byte-identical
+    streams to the pure-Python reference, both orders, and cross-decode."""
+    import struct
+    from sniffles_tpu.io.cram_codecs import (_native_lib, _rans_encode_0,
+                                             _rans_encode_1, _rans_decode_0,
+                                             _rans_decode_1)
+    if _native_lib() is None:
+        pytest.skip("native library without rANS symbols")
+    rng = random.Random(42)
+    cases = [b"", b"T", b"GATTACA", bytes(rng.randrange(256) for _ in range(3000)),
+             bytes(rng.choice(b"ACGTN") for _ in range(9001)), b"\x07" * 777]
+    for order in (0, 1):
+        for data in cases:
+            o = 0 if (order == 1 and len(data) < 4) else order
+            payload = _rans_encode_0(data) if o == 0 else _rans_encode_1(data)
+            py_enc = struct.pack("<BII", o, len(payload), len(data)) + payload
+            native_enc = rans_encode(data, order)   # dispatches to C
+            assert native_enc == py_enc, (order, len(data))
+            assert rans_decode(py_enc) == data      # C decode of Python stream
+            dec = (_rans_decode_0 if o == 0 else _rans_decode_1)(
+                memoryview(native_enc)[9:], len(data))
+            assert bytes(dec) == data               # Python decode of C stream
