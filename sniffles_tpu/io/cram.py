@@ -457,13 +457,16 @@ class SliceDecoder:
 
     def __init__(self, comp: CompressionHeader, sheader: SliceHeader,
                  core: bytes, external: dict[int, bytes],
-                 refnames: list[str], reference=None):
+                 refnames: list[str], reference=None, embedded_ref=None):
         self.h = comp
         self.s = sheader
         self.core = _BitReader(core)
         self.ext = {cid: _ByteCursor(d) for cid, d in external.items()}
         self.refnames = refnames
         self.reference = reference   # FastaFile or None
+        # embedded reference bases for this slice (spec 8.5: block id in
+        # the slice header; covers [start-1, start-1+span) of the contig)
+        self.embedded_ref = embedded_ref
         self._ref_cache: tuple[int, int, str] | None = None
         self.last_ap = sheader.start
         self.record_index = 0
@@ -485,6 +488,11 @@ class SliceDecoder:
 
     def _ref_base(self, ref_id: int, pos0: int) -> str:
         """Reference base at 0-based pos (for substitution / implicit match)."""
+        if self.embedded_ref is not None:
+            idx = pos0 - (self.s.start - 1)
+            if 0 <= idx < len(self.embedded_ref):
+                return chr(self.embedded_ref[idx]).upper()
+            return "N"
         if self.reference is None:
             return "N"
         name = self.refnames[ref_id]
@@ -499,6 +507,13 @@ class SliceDecoder:
         return "N"
 
     def _ref_run(self, ref_id: int, pos0: int, n: int) -> str:
+        if self.embedded_ref is not None:
+            base = self.s.start - 1
+            lo = pos0 - base
+            hi = lo + n
+            seg = self.embedded_ref[max(0, lo):max(0, hi)]
+            out = seg.decode("ascii").upper()
+            return ("N" * min(n, max(0, -lo))) + out + "N" * (n - len(out) - min(n, max(0, -lo)))
         if self.reference is None:
             return "N" * n
         # served from the same cache as _ref_base
@@ -852,8 +867,17 @@ class CramFile:
                     core = b.data
                 elif b.content_type == CT_EXTERNAL:
                     external[b.content_id] = b.data
+            embedded_ref = None
+            if sheader.embedded_ref_id >= 0:
+                embedded_ref = external.get(sheader.embedded_ref_id)
+            if (comp.ref_required and embedded_ref is None
+                    and self.reference is None and sheader.ref_seq_id != -1):
+                raise ValueError(
+                    f"{self.path} stores reads against a reference (RR=true); "
+                    "pass the reference FASTA (--reference) to decode it")
             dec = SliceDecoder(comp, sheader, core, external,
-                               self.references, self.reference)
+                               self.references, self.reference,
+                               embedded_ref=embedded_ref)
             for _ in range(sheader.n_records):
                 yield dec.decode_record()
 

@@ -37,6 +37,7 @@ CID = {"BF": 1, "CF": 2, "RL": 3, "AP": 4, "RG": 5, "RN": 6, "MF": 7,
        "IN_len": 22, "IN_val": 23, "SC_len": 24, "SC_val": 25,
        "BB_len": 26, "BB_val": 27, "QS": 28}
 TAG_CID_BASE = 100
+EMBEDDED_REF_CID = 90
 
 # int-like series stored as ITF8 streams
 _INT_SERIES = ["BF", "CF", "RL", "AP", "RG", "MF", "NS", "NP", "TS", "TL",
@@ -113,11 +114,14 @@ class CramWriter:
 
     def __init__(self, path: str, references: list[str], lengths: list[int],
                  sam_header: str = "", reference=None,
-                 records_per_slice: int = 10000):
+                 records_per_slice: int = 10000, embed_reference: bool = False):
         self.path = path
         self.references = references
         self.lengths = lengths
         self.reference = reference       # FastaFile for reference-based bases
+        # embed each slice's reference segment as a slice block (spec 8.5),
+        # so the file decodes without the external FASTA
+        self.embed_reference = embed_reference and reference is not None
         self.records_per_slice = records_per_slice
         self._f = open(path, "wb")
         self._crai: list[tuple[int, int, int, int, int, int]] = []
@@ -402,6 +406,16 @@ class CramWriter:
                           {TAG_CID_BASE + 2 * k + j for k in tag_keys.values() for j in (0, 1)})
         data_blocks = [self._block_bytes(METHOD_RAW, CT_CORE, 0, b"", 0)]
         content_ids = []
+        embedded_ref_id = -1
+        if self.embed_reference and ref_id >= 0 and mapped_pos:
+            refseg = self._ref_seg(self.references[ref_id], slice_start0,
+                                   slice_end0 - slice_start0).encode("ascii")
+            method, payload = self._compress("BB_val", refseg)
+            data_blocks.append(self._block_bytes(method, CT_EXTERNAL,
+                                                 EMBEDDED_REF_CID, payload,
+                                                 len(refseg)))
+            content_ids.append(EMBEDDED_REF_CID)
+            embedded_ref_id = EMBEDDED_REF_CID
         for cid in all_cids:
             buf = bytes(ext.get(cid, b""))
             name = next((n for n, c in CID.items() if c == cid), "tag")
@@ -416,7 +430,7 @@ class CramWriter:
         shead += itf8_encode(len(content_ids))
         for cid in content_ids:
             shead += itf8_encode(cid)
-        shead += itf8_encode(-1)       # no embedded reference
+        shead += itf8_encode(embedded_ref_id)
         shead += bytes(16)             # reference MD5 unset
         slice_block = self._block_bytes(METHOD_RAW, CT_SLICE_HEADER, 0,
                                         shead, len(shead))
@@ -443,7 +457,8 @@ class CramWriter:
 
 def bam_to_cram(bam_path: str, cram_path: str,
                 reference_filename: Optional[str] = None,
-                records_per_slice: int = 10000) -> str:
+                records_per_slice: int = 10000,
+                embed_reference: bool = False) -> str:
     """Convert an indexed BAM to CRAM 3.0 + .crai; returns the index path."""
     from sniffles_tpu.io.bam import AlignmentFile
     bam = AlignmentFile(bam_path)
@@ -453,7 +468,8 @@ def bam_to_cram(bam_path: str, cram_path: str,
         reference = FastaFile(reference_filename)
     w = CramWriter(cram_path, bam.references, bam.lengths,
                    sam_header=bam.text, reference=reference,
-                   records_per_slice=records_per_slice)
+                   records_per_slice=records_per_slice,
+                   embed_reference=embed_reference)
     for read in bam.fetch():
         w.write(read)
     return w.close()

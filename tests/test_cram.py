@@ -247,3 +247,40 @@ def test_native_rans_bitstream_identical():
             dec = (_rans_decode_0 if o == 0 else _rans_decode_1)(
                 memoryview(native_enc)[9:], len(data))
             assert bytes(dec) == data               # Python decode of C stream
+
+
+def test_reference_required_guard(tmp_path):
+    """A reference-based CRAM without --reference must fail loudly, not
+    silently decode bases as N (htslib behavior)."""
+    from sniffles_tpu.sim import write_dataset, PlantedSV
+    bam_path, fasta_path = write_dataset(str(tmp_path), ref_len=40_000,
+                                         svs=[PlantedSV(svtype="DEL", pos=20_000,
+                                                        svlen=100)],
+                                         depth=5, seed=9)
+    cram_path = str(tmp_path / "rr.cram")
+    bam_to_cram(bam_path, cram_path, reference_filename=fasta_path)
+    cram = CramFile(cram_path, require_index=True)  # no reference passed
+    with pytest.raises(ValueError, match="reference"):
+        list(cram.fetch())
+
+
+def test_embedded_reference_roundtrip(tmp_path):
+    """embed_reference=True stores per-slice reference segments so the
+    CRAM decodes with full fidelity without the external FASTA."""
+    from sniffles_tpu.sim import write_dataset, PlantedSV
+    bam_path, fasta_path = write_dataset(str(tmp_path), ref_len=50_000,
+                                         svs=[PlantedSV(svtype="INS", pos=25_000,
+                                                        svlen=80)],
+                                         depth=6, seed=4)
+    cram_path = str(tmp_path / "emb.cram")
+    bam_to_cram(bam_path, cram_path, reference_filename=fasta_path,
+                records_per_slice=19, embed_reference=True)
+    bam = AlignmentFile(bam_path)
+    cram = CramFile(cram_path, require_index=True)  # NO external reference
+    breads = list(bam.fetch())
+    creads = list(cram.fetch())
+    assert len(breads) == len(creads) and breads
+    for b, c in zip(breads, creads):
+        assert b.query_name == c.query_name
+        assert b.query_sequence == c.query_sequence, b.query_name
+        assert _norm_cigar(b.cigartuples) == _norm_cigar(c.cigartuples)
