@@ -216,14 +216,29 @@ def build_distance_cache(group_alts: list[str], cand_alts: list[str],
     return cache
 
 
-def edit_distance_batch(pairs: list[tuple[str, str]], max_len: int | None = None) -> np.ndarray:
-    """Edit distances for a batch of string pairs on the default device.
+# Only batches at least this many DP cells go to the device: the native
+# blocked-Myers host scan does ~64 cells/word-op per core, so small
+# batches lose more to dispatch (and, through the axon tunnel, to
+# per-shape compiles) than the MXU-adjacent kernel can win back.
+DEVICE_MIN_CELLS = 2 * 10 ** 8
 
-    On non-TPU backends the native blocked-Myers scan (bamcore) beats the
-    O(L^2) jnp wavefront plus its per-shape compile, so it is used
-    directly when available. The batch dimension is padded to a power of
-    two so repeated calls reuse a handful of compiled shapes instead of
-    compiling per batch size."""
+
+def edit_distance_batch(pairs: list[tuple[str, str]], max_len: int | None = None) -> np.ndarray:
+    """Edit distances for a batch of string pairs.
+
+    Dispatch: the native blocked-Myers scan (bamcore) handles everything
+    below DEVICE_MIN_CELLS; genuinely large batches go to the Pallas
+    wavefront kernel on TPU (or the jnp fallback elsewhere). The batch
+    dimension is padded to a power of two so repeated device calls reuse
+    a handful of compiled shapes instead of compiling per batch size."""
+    cells = sum(len(x) * len(y) for x, y in pairs)
+    if cells < DEVICE_MIN_CELLS:
+        # stay fully host-side: don't even initialize the JAX backend
+        from sniffles_tpu.io import native
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "bamcore_edit_distance"):
+            from sniffles_tpu.ops.edit_distance import edit_distance as ed_host
+            return np.array([ed_host(x, y) for x, y in pairs], dtype=np.int32)
     backend = jax.default_backend()
     on_tpu = backend in ("tpu", "axon")
     if not on_tpu:
