@@ -72,14 +72,22 @@ class Block:
 
 
 def read_block(buf: bytes, off: int) -> tuple[Block, int]:
+    import zlib
+    start = off
     method = buf[off]
     content_type = buf[off + 1]
     off += 2
     content_id, off = itf8_decode(buf, off)
     comp_size, off = itf8_decode(buf, off)
     raw_size, off = itf8_decode(buf, off)
+    if off + comp_size + 4 > len(buf):
+        raise ValueError("truncated CRAM block")
     data = decompress_block(bytes(buf[off:off + comp_size]), method, raw_size)
-    off += comp_size + 4  # skip CRC32 (v3)
+    off += comp_size
+    stored_crc = struct.unpack_from("<I", buf, off)[0]
+    off += 4
+    if stored_crc != (zlib.crc32(bytes(buf[start:off - 4])) & 0xFFFFFFFF):
+        raise ValueError("CRAM block CRC32 mismatch (corrupt file)")
     if len(data) != raw_size:
         raise ValueError("CRAM block raw size mismatch")
     return Block(method, content_type, content_id, data), off

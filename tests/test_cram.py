@@ -284,3 +284,29 @@ def test_embedded_reference_roundtrip(tmp_path):
         assert b.query_name == c.query_name
         assert b.query_sequence == c.query_sequence, b.query_name
         assert _norm_cigar(b.cigartuples) == _norm_cigar(c.cigartuples)
+
+
+def test_corruption_detected(tmp_path):
+    """Bit flips in block payloads must be caught by the CRC32 check;
+    truncation must raise cleanly rather than crash."""
+    bam_path = _make_fuzz_bam(tmp_path, seed=6, n=30)
+    cram_path = str(tmp_path / "c.cram")
+    bam_to_cram(bam_path, cram_path)
+    raw = bytearray(open(cram_path, "rb").read())
+    flip = len(raw) // 2
+    raw[flip] ^= 0xFF
+    bad_path = str(tmp_path / "bad.cram")
+    open(bad_path, "wb").write(bytes(raw))
+    import shutil
+    shutil.copy(cram_path + ".crai", bad_path + ".crai")
+    cram = CramFile(bad_path, require_index=True)
+    with pytest.raises(ValueError):
+        list(cram.fetch())
+
+    trunc_path = str(tmp_path / "trunc.cram")
+    open(trunc_path, "wb").write(bytes(raw[: len(raw) * 2 // 3]))
+    shutil.copy(cram_path + ".crai", trunc_path + ".crai")
+    # truncation anywhere must raise (never yield silently wrong records)
+    with pytest.raises(Exception):
+        cram = CramFile(trunc_path, require_index=True)
+        list(cram.fetch())
