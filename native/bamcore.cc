@@ -512,6 +512,10 @@ static int64_t rans_read_table(const uint8_t* in, int64_t in_size,
     }
     uint32_t x = 0;
     for (int s = 0; s < 256; s++) { cum[s] = x; x += freqs[s]; }
+    // bounds contract for the symbol-LUT fill: frequencies must sum to
+    // exactly TOTFREQ (the normalization target); anything else is a
+    // corrupt or malicious table and would index past the 4096-slot LUT
+    if (x != TOTFREQ) return -1;
     return off;
 }
 

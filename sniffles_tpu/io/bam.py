@@ -368,6 +368,35 @@ class IndexStatistics:
     total: int
 
 
+def normalize_fetch_args(contig, start, stop, end, region):
+    """Shared fetch() argument normalization for BAM and CRAM readers."""
+    if region is not None:
+        from sniffles_tpu.region import Region
+        reg = Region.from_string(region)
+        if reg is None:
+            raise ValueError(f"invalid region string: {region!r}")
+        contig, start, end = reg.contig, reg.start, reg.end
+    if end is None:
+        end = stop
+    return contig, start, end
+
+
+def filter_fetched(reads, rid: int, start: int, end: int):
+    """Overlap filter over a coordinate-sorted record stream: yields
+    records of contig `rid` overlapping [start, end) (pysam fetch
+    semantics), stopping at the first record that proves nothing
+    further can overlap."""
+    for read in reads:
+        if read.reference_id != rid:
+            if read.reference_id > rid or read.reference_id < 0:
+                return
+            continue
+        if read.reference_start >= end:
+            return
+        if read.reference_end > start or read.is_unmapped:
+            yield read
+
+
 def AlignmentFile(path: str, mode: str = "rb", require_index: bool = False,
                   reference_filename: Optional[str] = None):
     """pysam.AlignmentFile work-alike factory: returns a BamFile for BAM
@@ -482,25 +511,7 @@ class BamFile:
                 return
             yield parse_record(buf, self.references)
 
-    def fetch(self, contig: Optional[str] = None, start: Optional[int] = None,
-              stop: Optional[int] = None, end: Optional[int] = None,
-              until_eof: bool = False, region: Optional[str] = None) -> Iterator[BamRead]:
-        """Fetch records overlapping [start, end) of contig, in position order."""
-        if region is not None:
-            from sniffles_tpu.region import Region
-            reg = Region.from_string(region)
-            contig, start, end = reg.contig, reg.start, reg.end
-        if end is None:
-            end = stop
-        if contig is None:
-            yield from self._iter_records_from(self._data_voffset)
-            return
-        rid = self._ref_by_name[contig]
-        if start is None:
-            start = 0
-        if end is None:
-            end = self.lengths[rid]
-        chunks = self.index.chunks_for_region(rid, start, end)
+    def _records_in_chunks(self, chunks) -> Iterator[BamRead]:
         r = self._reader
         for cb, ce in chunks:
             r.seek(cb)
@@ -512,16 +523,23 @@ class BamFile:
                 buf = r.read(block_size)
                 if len(buf) < block_size:
                     return
-                read = parse_record(buf, self.references)
-                if read.reference_id != rid:
-                    if read.reference_id > rid or read.reference_id < 0:
-                        return
-                    continue
-                if read.reference_start >= end:
-                    # coordinate-sorted: nothing further can overlap
-                    return
-                if read.reference_end > start or read.is_unmapped:
-                    yield read
+                yield parse_record(buf, self.references)
+
+    def fetch(self, contig: Optional[str] = None, start: Optional[int] = None,
+              stop: Optional[int] = None, end: Optional[int] = None,
+              until_eof: bool = False, region: Optional[str] = None) -> Iterator[BamRead]:
+        """Fetch records overlapping [start, end) of contig, in position order."""
+        contig, start, end = normalize_fetch_args(contig, start, stop, end, region)
+        if contig is None:
+            yield from self._iter_records_from(self._data_voffset)
+            return
+        rid = self._ref_by_name[contig]
+        if start is None:
+            start = 0
+        if end is None:
+            end = self.lengths[rid]
+        chunks = self.index.chunks_for_region(rid, start, end)
+        yield from filter_fetched(self._records_in_chunks(chunks), rid, start, end)
 
     # --- native fast path ---
     def scan_region(self, contig: str, start: int, end: int, min_event_len: int,

@@ -80,14 +80,15 @@ def read_block(buf: bytes, off: int) -> tuple[Block, int]:
     content_id, off = itf8_decode(buf, off)
     comp_size, off = itf8_decode(buf, off)
     raw_size, off = itf8_decode(buf, off)
-    if off + comp_size + 4 > len(buf):
+    if comp_size < 0 or off + comp_size + 4 > len(buf):
         raise ValueError("truncated CRAM block")
-    data = decompress_block(bytes(buf[off:off + comp_size]), method, raw_size)
-    off += comp_size
-    stored_crc = struct.unpack_from("<I", buf, off)[0]
-    off += 4
-    if stored_crc != (zlib.crc32(bytes(buf[start:off - 4])) & 0xFFFFFFFF):
+    # verify the CRC over the compressed bytes BEFORE handing them to a
+    # codec: corrupt input must never reach the entropy decoders
+    stored_crc = struct.unpack_from("<I", buf, off + comp_size)[0]
+    if stored_crc != (zlib.crc32(bytes(buf[start:off + comp_size])) & 0xFFFFFFFF):
         raise ValueError("CRAM block CRC32 mismatch (corrupt file)")
+    data = decompress_block(bytes(buf[off:off + comp_size]), method, raw_size)
+    off += comp_size + 4
     if len(data) != raw_size:
         raise ValueError("CRAM block raw size mismatch")
     return Block(method, content_type, content_id, data), off
@@ -113,6 +114,7 @@ class ContainerHeader:
 
 
 def read_container_header(buf: bytes, off: int) -> ContainerHeader:
+    import zlib
     base = off
     length = struct.unpack_from("<i", buf, off)[0]
     off += 4
@@ -128,7 +130,10 @@ def read_container_header(buf: bytes, off: int) -> ContainerHeader:
     for _ in range(n_landmarks):
         v, off = itf8_decode(buf, off)
         landmarks.append(v)
-    off += 4  # CRC32 (v3)
+    stored_crc = struct.unpack_from("<I", buf, off)[0]
+    if stored_crc != (zlib.crc32(bytes(buf[base:off])) & 0xFFFFFFFF):
+        raise ValueError("CRAM container header CRC32 mismatch (corrupt file)")
+    off += 4
     return ContainerHeader(length, ref_seq_id, start, span, n_records,
                            record_counter, bases, n_blocks, landmarks,
                            header_size=off - base)
@@ -524,11 +529,22 @@ class SliceDecoder:
             return ("N" * min(n, max(0, -lo))) + out + "N" * (n - len(out) - min(n, max(0, -lo)))
         if self.reference is None:
             return "N" * n
-        # served from the same cache as _ref_base
-        out = []
-        for i in range(pos0, pos0 + n):
-            out.append(self._ref_base(ref_id, i))
-        return "".join(out)
+        # slice the cached segment in one go (this is the hot path of
+        # reference-based decode: one implicit-match run per aligned
+        # stretch of every read)
+        cache = self._ref_cache
+        if (cache is None or cache[0] != ref_id or pos0 < cache[1]
+                or pos0 + n > cache[1] + len(cache[2])):
+            name = self.refnames[ref_id]
+            seg_start = max(0, pos0 - 1000)
+            seg = self.reference.fetch(name, seg_start,
+                                       max(pos0 + n, pos0 + 100_000)).upper()
+            cache = self._ref_cache = (ref_id, seg_start, seg)
+        lo = pos0 - cache[1]
+        out = cache[2][lo:lo + n]
+        if len(out) < n:   # off the contig end
+            out += "N" * (n - len(out))
+        return out
 
     def decode_record(self) -> BamRead:
         h = self.h
@@ -752,14 +768,27 @@ class CramFile:
 
     def __init__(self, path: str, mode: str = "rc", require_index: bool = False,
                  reference_filename: Optional[str] = None):
+        import mmap
         self.path = path
-        with open(path, "rb") as f:
-            self._raw = f.read()
+        # mmap, never slurp: a 30x genome CRAM is tens of GB and every
+        # pipeline task opens its own handle (same rationale as
+        # BGZFReader.from_file for BAM)
+        self._file = open(path, "rb")
+        try:
+            self._raw = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:  # empty file
+            self._raw = b""
         if self._raw[:4] != CRAM_MAGIC:
             raise ValueError(f"{path} is not a CRAM file")
         self.major, self.minor = self._raw[4], self._raw[5]
-        if self.major not in (2, 3):
-            raise ValueError(f"unsupported CRAM major version {self.major}")
+        if self.major != 3:
+            # 2.x containers lack the v3 CRC fields; parsing them with the
+            # v3 layout would misread every offset
+            raise ValueError(f"unsupported CRAM major version {self.major} "
+                             "(only CRAM 3.0 is supported)")
+        if self._raw[-len(EOF_MARKER):] != EOF_MARKER:
+            # htslib likewise treats a missing v3 EOF block as truncation
+            raise ValueError(f"{path} is truncated (missing CRAM v3 EOF marker)")
         self.file_id = self._raw[6:26].rstrip(b"\x00").decode("ascii", "replace")
         off = 26
         hdr = read_container_header(self._raw, off)
@@ -903,12 +932,8 @@ class CramFile:
               stop: Optional[int] = None, end: Optional[int] = None,
               until_eof: bool = False, region: Optional[str] = None) -> Iterator[BamRead]:
         """Fetch records overlapping [start, end) of contig, in position order."""
-        if region is not None:
-            from sniffles_tpu.region import Region
-            reg = Region.from_string(region)
-            contig, start, end = reg.contig, reg.start, reg.end
-        if end is None:
-            end = stop
+        from sniffles_tpu.io.bam import normalize_fetch_args, filter_fetched
+        contig, start, end = normalize_fetch_args(contig, start, stop, end, region)
         if contig is None:
             for off in self._iter_containers():
                 yield from self._decode_container_at(off)
@@ -929,14 +954,17 @@ class CramFile:
                 seen.add(e.container_offset)
                 offsets.append(e.container_offset)
         offsets.sort()
-        for off in offsets:
-            for read in self._decode_container_at(off):
-                if read.reference_id != rid:
-                    continue
-                if read.reference_start >= end:
-                    return
-                if read.reference_end > start or read.is_unmapped:
-                    yield read
+
+        def reads():
+            for off in offsets:
+                yield from self._decode_container_at(off)
+
+        yield from filter_fetched(reads(), rid, start, end)
 
     def close(self) -> None:
+        if not isinstance(self._raw, bytes):
+            self._raw.close()
         self._raw = b""
+        if getattr(self, "_file", None) is not None:
+            self._file.close()
+            self._file = None

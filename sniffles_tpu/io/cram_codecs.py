@@ -211,6 +211,10 @@ def _read_freqs_0(buf, off: int) -> tuple[list[int], list[int], int]:
     cum = [0] * 257
     for s in range(256):
         cum[s + 1] = cum[s] + freqs[s]
+    if cum[256] != TOTFREQ:
+        # the 12-bit decode slots assume an exactly-normalized table;
+        # reject corrupt/malicious tables instead of mis-decoding
+        raise ValueError("rANS frequency table does not sum to 4096")
     return freqs, cum[:256], off
 
 
@@ -546,7 +550,10 @@ def compress_block(data: bytes, method: int, rans_order: int = 0) -> bytes:
     if method == METHOD_RAW:
         return data
     if method == METHOD_GZIP:
-        return zlib.compress(data, 6, wbits=31)
+        # compressobj: zlib.compress only grew a wbits argument in 3.11,
+        # and pyproject supports 3.10
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(data) + co.flush()
     if method == METHOD_BZIP2:
         return bz2.compress(data)
     if method == METHOD_LZMA:

@@ -287,21 +287,25 @@ def test_embedded_reference_roundtrip(tmp_path):
 
 
 def test_corruption_detected(tmp_path):
-    """Bit flips in block payloads must be caught by the CRC32 check;
-    truncation must raise cleanly rather than crash."""
+    """A bit flip ANYWHERE in the file must raise ValueError (header CRC,
+    block CRC checked before decompression, magic/version checks) —
+    never reach the entropy decoders or yield wrong records."""
+    import shutil
     bam_path = _make_fuzz_bam(tmp_path, seed=6, n=30)
     cram_path = str(tmp_path / "c.cram")
     bam_to_cram(bam_path, cram_path)
-    raw = bytearray(open(cram_path, "rb").read())
-    flip = len(raw) // 2
-    raw[flip] ^= 0xFF
+    orig = open(cram_path, "rb").read()
     bad_path = str(tmp_path / "bad.cram")
-    open(bad_path, "wb").write(bytes(raw))
-    import shutil
     shutil.copy(cram_path + ".crai", bad_path + ".crai")
-    cram = CramFile(bad_path, require_index=True)
-    with pytest.raises(ValueError):
-        list(cram.fetch())
+    rng = random.Random(13)
+    positions = [rng.randrange(len(orig)) for _ in range(40)] + [0, 4, len(orig) - 1]
+    for flip in positions:
+        raw = bytearray(orig)
+        raw[flip] ^= 0xFF
+        open(bad_path, "wb").write(bytes(raw))
+        with pytest.raises(ValueError):
+            cram = CramFile(bad_path, require_index=True)
+            list(cram.fetch())
 
     trunc_path = str(tmp_path / "trunc.cram")
     open(trunc_path, "wb").write(bytes(raw[: len(raw) * 2 // 3]))
