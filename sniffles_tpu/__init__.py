@@ -20,6 +20,20 @@ A ground-up re-design of the capabilities of Sniffles2 (reference:
   (reference: vcf.py, snf.py, snfp.py).
 """
 
+import os as _os
+
+# Large numpy allocations default to madvise(MADV_HUGEPAGE); with THP
+# defrag=madvise every first-touch fault then goes through synchronous
+# compaction, measured at 46us/page (60x slowdown) on virtualized hosts.
+# The decoder's multi-100MB scratch buffers hit this hard, so opt out.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+try:  # numpy may already be imported by the embedding application
+    from numpy._core import multiarray as _ma
+    if hasattr(_ma, "_set_madvise_hugepage"):
+        _ma._set_madvise_hugepage(False)
+except Exception:
+    pass
+
 VERSION = "sniffles-tpu"
 BUILD = "0.1.0"
 SNF_VERSION = "S2_rc4"  # SNF layout compatible with reference snf.py

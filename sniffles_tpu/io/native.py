@@ -52,12 +52,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
+    # RTLD_DEEPBIND: accelerator plugins (PJRT/axon) loaded earlier in the
+    # process export their own zlib symbols RTLD_GLOBAL; default lookup
+    # rebinds our inflate() to theirs (measured 35x slower). DEEPBIND makes
+    # this library resolve against its own DT_NEEDED libz first. New builds
+    # also link zlib statically (native/Makefile); this protects stale .so's.
+    _mode = ctypes.DEFAULT_MODE
+    if hasattr(os, "RTLD_DEEPBIND"):
+        _mode = os.RTLD_LOCAL | os.RTLD_DEEPBIND
     for p in _LIB_PATHS:
         if os.path.exists(p):
             try:
-                lib = ctypes.CDLL(p)
+                lib = ctypes.CDLL(p, mode=_mode)
             except OSError:
-                continue
+                try:
+                    lib = ctypes.CDLL(p)
+                except OSError:
+                    continue
             lib.bamcore_bgzf_inflate.restype = ctypes.c_int
             lib.bamcore_bgzf_inflate.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
