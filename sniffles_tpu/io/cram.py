@@ -1,19 +1,22 @@
 """
-CRAM 3.0 container decoding with CRAI index support.
+CRAM 3.0/3.1 container decoding with CRAI index support.
 
 Replaces the htslib CRAM path of pysam.AlignmentFile (the reference
 opens .cram inputs through pysam at leadprov.py:96-98 and
 sniffles:170-178; SURVEY §2.2). Self-contained: containers, blocks,
 compression headers, slice decoding and the record model are
-implemented here; entropy codecs live in io/cram_codecs.py.
+implemented here; entropy codecs live in io/cram_codecs.py (3.0) and
+io/cram31.py (3.1).
 
-Supported on read: CRAM 3.0 (and 3.1 containers whose blocks use 3.0
-codecs); block codecs raw/gzip/bzip2/lzma/rANS4x8; encodings NULL,
-EXTERNAL, HUFFMAN, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP, BETA, GAMMA,
-SUBEXP; single- and multi-ref slices; reference-based reads (via
---reference FASTA + substitution matrix) and referenceless reads
-('b'/BA feature bases). Yields the same BamRead objects as io/bam.py,
-so the calling pipeline is format-agnostic.
+Supported on read: CRAM 3.0 and 3.1; block codecs
+raw/gzip/bzip2/lzma/rANS4x8 plus the 3.1 set (rANS Nx16, adaptive
+arithmetic, fqzcomp, tok3 — see io/cram31.py for the validation
+caveat); encodings NULL, EXTERNAL, HUFFMAN, BYTE_ARRAY_LEN,
+BYTE_ARRAY_STOP, BETA, GAMMA, SUBEXP; single- and multi-ref slices;
+reference-based reads (via --reference FASTA + substitution matrix)
+and referenceless reads ('b'/BA feature bases). Yields the same
+BamRead objects as io/bam.py, so the calling pipeline is
+format-agnostic.
 """
 from __future__ import annotations
 
@@ -785,7 +788,7 @@ class CramFile:
             # 2.x containers lack the v3 CRC fields; parsing them with the
             # v3 layout would misread every offset
             raise ValueError(f"unsupported CRAM major version {self.major} "
-                             "(only CRAM 3.0 is supported)")
+                             "(CRAM 3.0 and 3.1 are supported)")
         if self._raw[-len(EOF_MARKER):] != EOF_MARKER:
             # htslib likewise treats a missing v3 EOF block as truncation
             raise ValueError(f"{path} is truncated (missing CRAM v3 EOF marker)")

@@ -544,6 +544,10 @@ METHOD_GZIP = 1
 METHOD_BZIP2 = 2
 METHOD_LZMA = 3
 METHOD_RANS = 4
+METHOD_RANS_NX16 = 5   # CRAM 3.1
+METHOD_ARITH = 6       # CRAM 3.1
+METHOD_FQZCOMP = 7     # CRAM 3.1
+METHOD_TOK3 = 8        # CRAM 3.1
 
 
 def compress_block(data: bytes, method: int, rans_order: int = 0) -> bytes:
@@ -560,6 +564,15 @@ def compress_block(data: bytes, method: int, rans_order: int = 0) -> bytes:
         return lzma.compress(data)
     if method == METHOD_RANS:
         return rans_encode(data, rans_order)
+    if method == METHOD_RANS_NX16:
+        from sniffles_tpu.io.cram31 import rans_nx16_encode
+        return rans_nx16_encode(data, rans_order)  # rans_order carries Nx16 flags
+    if method == METHOD_ARITH:
+        from sniffles_tpu.io.cram31 import arith_encode
+        return arith_encode(data, rans_order)
+    if method == METHOD_TOK3:
+        from sniffles_tpu.io.cram31 import tok3_encode
+        return tok3_encode(data)
     raise ValueError(f"unsupported CRAM compression method {method}")
 
 
@@ -577,5 +590,28 @@ def decompress_block(data: bytes, method: int, raw_size: int) -> bytes:
         if len(out) != raw_size:
             raise ValueError("rANS raw size mismatch")
         return out
-    raise ValueError(f"unsupported CRAM compression method {method} "
-                     "(3.1 codecs are not implemented)")
+    if method == METHOD_RANS_NX16:
+        from sniffles_tpu.io.cram31 import rans_nx16_decode
+        out = rans_nx16_decode(data, expected_len=raw_size)
+        if len(out) != raw_size:
+            raise ValueError("rANS Nx16 raw size mismatch")
+        return out
+    if method == METHOD_ARITH:
+        from sniffles_tpu.io.cram31 import arith_decode
+        out = arith_decode(data, expected_len=raw_size)
+        if len(out) != raw_size:
+            raise ValueError("arith raw size mismatch")
+        return out
+    if method == METHOD_FQZCOMP:
+        from sniffles_tpu.io.cram31 import fqzcomp_decode
+        out = fqzcomp_decode(data)
+        if len(out) != raw_size:
+            raise ValueError("fqzcomp raw size mismatch")
+        return out
+    if method == METHOD_TOK3:
+        from sniffles_tpu.io.cram31 import tok3_decode
+        out = tok3_decode(data)
+        if len(out) != raw_size:
+            raise ValueError("tok3 raw size mismatch")
+        return out
+    raise ValueError(f"unsupported CRAM compression method {method}")

@@ -3,7 +3,7 @@ CRAM 3.0 writing with CRAI index generation.
 
 Counterpart of io/cram.py; used to convert BAM inputs to CRAM and by
 the test harness (the reference has no CRAM writer of its own — it
-relies on htslib; SURVEY §2.2). Produces version 3.0 files: one slice
+relies on htslib; SURVEY §2.2). Produces version 3.0 or 3.1 files: one slice
 per container, all data series in external blocks (rANS order-0 for
 integer series, rANS order-1 for sequence bytes, gzip for names),
 referenceless ('b' feature) or reference-based (implicit match +
@@ -28,7 +28,9 @@ from sniffles_tpu.io.cram import (CT_FILE_HEADER, CT_COMPRESSION_HEADER,
                                   EN_BYTE_ARRAY_STOP, EOF_MARKER, _SUB_ALTS)
 from sniffles_tpu.io.cram_codecs import (itf8_encode, ltf8_encode,
                                          compress_block, METHOD_RAW,
-                                         METHOD_GZIP, METHOD_RANS)
+                                         METHOD_GZIP, METHOD_RANS,
+                                         METHOD_RANS_NX16, METHOD_FQZCOMP,
+                                         METHOD_TOK3)
 
 # fixed external-block content ids for the data series this writer emits
 CID = {"BF": 1, "CF": 2, "RL": 3, "AP": 4, "RG": 5, "RN": 6, "MF": 7,
@@ -109,12 +111,18 @@ class _Buffers(dict):
 
 
 class CramWriter:
-    """Writes a coordinate-sorted CRAM 3.0 file + .crai index. Records
-    must be appended in (ref_id, pos) order (unmapped last)."""
+    """Writes a coordinate-sorted CRAM 3.0 or 3.1 file + .crai index
+    (3.1 adds the rANS Nx16 / tok3 / fqzcomp block codecs to the
+    per-block codec choice). Records must be appended in (ref_id, pos)
+    order (unmapped last)."""
 
     def __init__(self, path: str, references: list[str], lengths: list[int],
                  sam_header: str = "", reference=None,
-                 records_per_slice: int = 10000, embed_reference: bool = False):
+                 records_per_slice: int = 10000, embed_reference: bool = False,
+                 version: tuple = (3, 0)):
+        if tuple(version) not in ((3, 0), (3, 1)):
+            raise ValueError(f"unsupported CRAM version {version}")
+        self.version = tuple(version)
         self.path = path
         self.references = references
         self.lengths = lengths
@@ -131,7 +139,7 @@ class CramWriter:
         self._ref_cache: tuple[str, int, str] | None = None
 
         file_id = os.path.basename(path).encode("ascii", "replace")[:20]
-        self._f.write(b"CRAM" + bytes((3, 0)) + file_id.ljust(20, b"\x00"))
+        self._f.write(b"CRAM" + bytes(self.version) + file_id.ljust(20, b"\x00"))
 
         text = sam_header
         if "@SQ" not in text:
@@ -158,10 +166,22 @@ class CramWriter:
         if len(data) < 32:
             return METHOD_RAW, data
         candidates = [(METHOD_GZIP, compress_block(data, METHOD_GZIP))]
-        if cid_name in ("BB_val", "SC_val", "IN_val", "BA", "QS"):
+        order1_series = cid_name in ("BB_val", "SC_val", "IN_val", "BA", "QS")
+        if order1_series:
             candidates.append((METHOD_RANS, compress_block(data, METHOD_RANS, rans_order=1)))
         else:
             candidates.append((METHOD_RANS, compress_block(data, METHOD_RANS, rans_order=0)))
+        if self.version >= (3, 1):
+            from sniffles_tpu.io.cram31 import (
+                rans_nx16_encode, tok3_encode, fqzcomp_encode,
+                RANS_NX16_ORDER1, RANS_NX16_PACK, RANS_NX16_RLE)
+            flags = (RANS_NX16_ORDER1 if order1_series else 0) | RANS_NX16_PACK | RANS_NX16_RLE
+            candidates.append((METHOD_RANS_NX16, rans_nx16_encode(data, flags)))
+            if cid_name == "RN":
+                candidates.append((METHOD_TOK3, tok3_encode(data)))
+            if cid_name == "QS" and len(data) <= 65536:
+                # the QS series is a byte stream here; encode as one record
+                candidates.append((METHOD_FQZCOMP, fqzcomp_encode(data, [len(data)])))
         method, payload = min(candidates, key=lambda mp: len(mp[1]))
         if len(payload) >= len(data):
             return METHOD_RAW, data
@@ -458,8 +478,9 @@ class CramWriter:
 def bam_to_cram(bam_path: str, cram_path: str,
                 reference_filename: Optional[str] = None,
                 records_per_slice: int = 10000,
-                embed_reference: bool = False) -> str:
-    """Convert an indexed BAM to CRAM 3.0 + .crai; returns the index path."""
+                embed_reference: bool = False,
+                version: tuple = (3, 0)) -> str:
+    """Convert an indexed BAM to CRAM 3.0/3.1 + .crai; returns the index path."""
     from sniffles_tpu.io.bam import AlignmentFile
     bam = AlignmentFile(bam_path)
     reference = None
@@ -469,7 +490,7 @@ def bam_to_cram(bam_path: str, cram_path: str,
     w = CramWriter(cram_path, bam.references, bam.lengths,
                    sam_header=bam.text, reference=reference,
                    records_per_slice=records_per_slice,
-                   embed_reference=embed_reference)
+                   embed_reference=embed_reference, version=version)
     for read in bam.fetch():
         w.write(read)
     return w.close()
