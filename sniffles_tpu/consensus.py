@@ -42,13 +42,19 @@ def _flatten_votes(best_seq: str, alignments: list, consensus_min: int,
         return best_seq
     size = len(best_seq)
     best = np.frombuffer(best_seq.encode("ascii"), dtype=np.uint8)
-    mat = np.frombuffer("".join(alignments).encode("ascii"),
-                        dtype=np.uint8).reshape(n_aln, size)
+    if isinstance(alignments[0], np.ndarray):
+        mat = np.vstack(alignments)
+    else:
+        mat = np.frombuffer("".join(alignments).encode("ascii"),
+                            dtype=np.uint8).reshape(n_aln, size)
     maxal = float(n_aln + 1)
 
     al_count = (mat != _DASH).sum(axis=0)
-    syms = np.unique(np.concatenate([np.unique(mat), np.unique(best)]))
-    syms = syms[syms != _DASH]
+    present = np.zeros(256, dtype=bool)
+    present[mat.reshape(-1)] = True
+    present[best] = True
+    present[_DASH] = False
+    syms = np.nonzero(present)[0].astype(np.uint8)
     counts = np.zeros((len(syms), size), dtype=np.int32)
     for k, s in enumerate(syms):
         counts[k] = (mat == s).sum(axis=0)
@@ -69,13 +75,19 @@ def _flatten_votes(best_seq: str, alignments: list, consensus_min: int,
 
 def _filter_segments(conseq: str, best: np.ndarray, minident: float,
                      minident_abs: int) -> str:
+    carr = np.frombuffer(conseq.encode("ascii"), dtype=np.uint8).copy()
+    return _filter_segments_arr(carr, best, minident,
+                                minident_abs).tobytes().decode("ascii")
+
+
+def _filter_segments_arr(carr: np.ndarray, best: np.ndarray, minident: float,
+                         minident_abs: int) -> np.ndarray:
     """Blank out non-gap segments below the identity floor (reference:
     consensus.py:360-375), via run-length reduceat instead of the
-    reference's per-character scan."""
-    carr = np.frombuffer(conseq.encode("ascii"), dtype=np.uint8).copy()
+    reference's per-character scan. Mutates and returns `carr`."""
     nondash = carr != _DASH
     if not nondash.any():
-        return conseq
+        return carr
     # run starts: first position, and every dash/non-dash flip
     flips = np.empty(carr.shape[0], dtype=bool)
     flips[0] = True
@@ -90,7 +102,7 @@ def _filter_segments(conseq: str, best: np.ndarray, minident: float,
     blank = run_is_seq & ~keep
     for s, ln in zip(starts[blank], len_per_run[blank]):
         carr[s:s + ln] = _DASH
-    return carr.tobytes().decode("ascii")
+    return carr
 
 
 def _pack_kmers(arr: np.ndarray, klen: int, skip: int) -> tuple[np.ndarray, np.ndarray]:
@@ -159,66 +171,75 @@ def novel_from_reads(best_lead, other_leads, klen, skip, skip_repetitive, debug=
         shift_ok = np.abs(ii - jj) <= maxshift
         ii = ii[shift_ok]
         jj = jj[shift_ok]
-        if ii.shape[0]:
-            # greedy chain in j order: accept iff i exceeds every prior i
-            # (prior rejected i are <= the running max, so the running max
-            # over all priors equals the last accepted i)
-            pm = np.maximum.accumulate(ii)
-            accept = np.empty(ii.shape[0], dtype=bool)
-            accept[0] = True
-            accept[1:] = ii[1:] > pm[:-1]
-            ii = ii[accept]
-            jj = jj[accept]
+        if ii.shape[0] == 0:
+            continue     # no anchors: span stays 0, alignment is dropped
+        # greedy chain in j order: accept iff i exceeds every prior i
+        # (prior rejected i are <= the running max, so the running max
+        # over all priors equals the last accepted i)
+        pm = np.maximum.accumulate(ii)
+        accept = np.empty(ii.shape[0], dtype=bool)
+        accept[0] = True
+        accept[1:] = ii[1:] > pm[:-1]
+        ii = ii[accept]
+        jj = jj[accept]
 
-        parts: list[str] = []
-        clen = 0
-        span = 0
-        last_i = last_j = None
-        diag_prefix: dict[int, np.ndarray] = {}
+        # Segment s runs from anchor s to anchor s+1. The reference walks
+        # them sequentially, carrying `clen` (output length so far) with a
+        # clamp at lb; since every fwd_j > 0, the clamped running length
+        # is min(lb, clen0 + cumsum(fwd_j)) and the whole walk vectorizes.
+        nseg = ii.shape[0] - 1
+        if nseg == 0:
+            continue     # single anchor: span 0, alignment dropped
         ll = lead_arr.shape[0]
-        for i, j in zip(ii.tolist(), jj.tolist()):
-            if last_i is None:
-                if j > 0:
-                    parts.append("-" * i)
-                    clen = i
-            else:
-                fwd_i = i - last_i
-                fwd_j = j - last_j
-                if clen + fwd_j > lb:
-                    fwd_j = lb - clen
-                if fwd_i == fwd_j and fwd_j > 0:
-                    span += j - last_j
-                    d = i - j      # == last_i - last_j on this diagonal
-                    pref = diag_prefix.get(d)
-                    if pref is None:
-                        eq = np.zeros(ll + 1, dtype=np.int32)
-                        s = max(0, -d)
-                        e = min(ll, lb - d)
-                        if e > s:
-                            np.cumsum(lead_arr[s:e] == best_arr[s + d:e + d],
-                                      out=eq[s + 1:e + 1], dtype=np.int32)
-                            eq[e + 1:] = eq[e]
-                        diag_prefix[d] = pref = eq
-                    m = int(pref[j + 1] - pref[last_j + 1])
-                    if m / float(j - last_j) >= minident:
-                        seg = lead_seq[last_j:j][:fwd_j]
-                    else:
-                        seg = "-" * fwd_j
-                    parts.append(seg)
-                    clen += len(seg)
-                else:
-                    seg = "-" * fwd_j
-                    parts.append(seg)
-                    clen += len(seg)
-            last_i = i
-            last_j = j
+        clen0 = int(ii[0]) if jj[0] > 0 else 0
+        fwd_i = np.diff(ii)
+        fwd_j = np.diff(jj)
+        cum = np.minimum(clen0 + np.cumsum(fwd_j), lb)
+        prev = np.empty(nseg, dtype=np.int64)
+        prev[0] = clen0
+        prev[1:] = cum[:-1]
+        fwd_jc = cum - prev                      # post-clamp fwd_j
+        same = (fwd_i == fwd_jc) & (fwd_jc > 0)
+        span = int(fwd_j[same].sum())            # reference adds unclamped j-last_j
+        if span / float(lb) <= minspan:
+            continue
 
-        if clen < lb:
-            parts.append("-" * (lb - clen))
-        conseq = _filter_segments("".join(parts), best_arr, minident,
-                                  minident_abs)
-        if span / float(lb) > minspan:
-            alignments.append(conseq)
+        # identity gate per same-diagonal segment: equal-char count between
+        # lead[last_j+1:j+1] and best on diagonal d = last_i - last_j, via
+        # one equality prefix sum per distinct diagonal
+        ident_ok = np.zeros(nseg, dtype=bool)
+        sidx = np.nonzero(same)[0]
+        d_seg = ii[sidx] - jj[sidx]
+        diag_prefix: dict[int, np.ndarray] = {}
+        for d in np.unique(d_seg).tolist():
+            pref = diag_prefix.get(d)
+            if pref is None:
+                eq = np.zeros(ll + 1, dtype=np.int32)
+                s = max(0, -d)
+                e = min(ll, lb - d)
+                if e > s:
+                    np.cumsum(lead_arr[s:e] == best_arr[s + d:e + d],
+                              out=eq[s + 1:e + 1], dtype=np.int32)
+                    eq[e + 1:] = eq[e]
+                diag_prefix[d] = pref = eq
+            sel = sidx[d_seg == d]
+            m = pref[jj[sel + 1] + 1] - pref[jj[sel] + 1]
+            ident_ok[sel] = (m.astype(np.float64)
+                             / (jj[sel + 1] - jj[sel])) >= minident
+
+        out = np.full(lb, _DASH, dtype=np.uint8)
+        total = int(cum[-1]) - clen0
+        if total > 0:
+            use = same & ident_ok
+            seg_of = np.repeat(np.arange(nseg), fwd_jc)
+            within = np.arange(total, dtype=np.int64) \
+                - np.repeat(prev - clen0, fwd_jc)
+            src = jj[:nseg][seg_of] + within
+            vals = np.where(use[seg_of], lead_arr[src], _DASH)
+            out[clen0:clen0 + total] = vals
+
+        alignments.append(_filter_segments_arr(out, best_arr, minident,
+                                               minident_abs))
 
     return _flatten_votes(best_seq, alignments, consensus_min, minalns,
                           minbestdiff)
