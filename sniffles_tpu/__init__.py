@@ -34,6 +34,30 @@ try:  # numpy may already be imported by the embedding application
 except Exception:
     pass
 
+# Persist XLA compilations across processes: every worker/run otherwise
+# pays the full compile cost (tens of seconds per kernel shape on TPU)
+# for the same clustering/QC/genotype programs. Respect an explicit user
+# setting; fall back to the XDG cache.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _cache = _os.path.join(
+        _os.environ.get("XDG_CACHE_HOME",
+                        _os.path.join(_os.path.expanduser("~"), ".cache")),
+        "sniffles-tpu", "jax")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
+        # The env var is only read at jax import; if an embedding
+        # application (or sitecustomize) already imported jax, apply the
+        # setting through the live config instead.
+        import sys as _sys
+        if "jax" in _sys.modules:
+            _sys.modules["jax"].config.update("jax_compilation_cache_dir",
+                                              _cache)
+    except OSError:
+        pass
+    except Exception:
+        pass
+
 VERSION = "sniffles-tpu"
 BUILD = "0.1.0"
 SNF_VERSION = "S2_rc4"  # SNF layout compatible with reference snf.py
