@@ -59,7 +59,11 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
         pass
 
 VERSION = "sniffles-tpu"
-BUILD = "0.1.0"
+# Feature lineage 2.8 (reference parity target), our own build counter
+# after the '+'. The leading component must compare >= "2.5.3" as a
+# string: both this tool and reference Sniffles2 auto re-QC SNF files
+# whose recorded build sorts below that (reference: snf.py:68-81).
+BUILD = "2.8.0+tpu.0.1.0"
 SNF_VERSION = "S2_rc4"  # SNF layout compatible with reference snf.py
 
 __version__ = BUILD

@@ -370,3 +370,8 @@ def resolve_block_groups(svtype, svcands, groups_initial, config, ed_cache=None)
         else:
             best_group.add_candidate(svcand)
     return groups
+
+
+from sniffles_tpu.compat import alias_module_for_pickle
+
+alias_module_for_pickle("sniffles.cluster", __name__, [Cluster])

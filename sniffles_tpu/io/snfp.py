@@ -163,3 +163,9 @@ class PopulationSNF(SNFileBase):
         for call in svcalls:
             psnf.store(call)
         return psnf
+
+
+from sniffles_tpu.compat import alias_module_for_pickle
+
+alias_module_for_pickle("sniffles.snfp", __name__,
+                        [PopulationVariant, PopulationInfo])

@@ -751,3 +751,8 @@ class LeadProvider:
 
             pos_read += add_read * oplength
             pos_ref += add_ref * oplength
+
+
+from sniffles_tpu.compat import alias_module_for_pickle
+
+alias_module_for_pickle("sniffles.leadprov", __name__, [Lead])

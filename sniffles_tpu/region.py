@@ -40,3 +40,8 @@ class Region:
 
     def __str__(self) -> str:
         return f'{self.contig}:{self.start}-{self.end}'
+
+
+from sniffles_tpu.compat import alias_module_for_pickle
+
+alias_module_for_pickle("sniffles.region", __name__, [Region])

@@ -714,3 +714,10 @@ def classify_splits(read, leads: list, config, main_contig: str) -> list:
             return classify_splits(read, leads, config, main_contig)
 
     return leads
+
+
+from sniffles_tpu.compat import alias_module_for_pickle
+
+alias_module_for_pickle("sniffles.sv", __name__,
+                        [SVCallBNDInfo, SVCallPostprocessingInfo,
+                         ForwardDifferenceWelford, SVCall, SVGroup])
