@@ -256,17 +256,25 @@ class SNFile(SNFileBase):
         snf_block_size = self.config.snf_block_size
         samples_per_block = snf_block_size // coverage_binsize_combine
 
-        padding_length = -len(lead_provider.coverage) % coverage_binsize_combine
-        downsampled_coverage = np.pad(lead_provider.coverage, (0, padding_length),
-                                      mode='constant').reshape(-1, coverage_binsize_combine).mean(axis=1)
-
+        # The reference (snf.py:258) pads and downsamples the FULL contig
+        # coverage array per task — a multi-hundred-MB copy on large
+        # contigs — to then read back only the blocks that hold
+        # candidates. Blocks are exact multiples of the coverage bin
+        # (10^5 / 500), so windows never straddle blocks and per-block
+        # slices are numerically identical.
+        assert snf_block_size % coverage_binsize_combine == 0
+        coverage = lead_provider.coverage
         for block_offset in self.blocks.keys():
-            block_index = block_offset // snf_block_size
-            for i in range(samples_per_block):
-                idx = block_index * samples_per_block + i
-                if idx < len(downsampled_coverage):
-                    self.blocks[block_offset]['_COVERAGE'][block_offset + i * coverage_binsize_combine] = \
-                        round(downsampled_coverage[idx])
+            chunk = coverage[block_offset:block_offset + snf_block_size]
+            if len(chunk) == 0:
+                continue
+            pad = -len(chunk) % coverage_binsize_combine
+            if pad:
+                chunk = np.pad(chunk, (0, pad), mode='constant')
+            ds = chunk.reshape(-1, coverage_binsize_combine).mean(axis=1)
+            block_cov = self.blocks[block_offset]['_COVERAGE']
+            for i in range(min(samples_per_block, len(ds))):
+                block_cov[block_offset + i * coverage_binsize_combine] = round(ds[i])
 
 
 class RemoteIndexSNFile(SNFile):
