@@ -37,10 +37,17 @@ _MODULE_RENAMES = {
 }
 
 
+_FIND_CLASS_CACHE: dict = {}
+
+
 class _CompatUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
-        module = _MODULE_RENAMES.get(module, module)
-        return super().find_class(module, name)
+        cls = _FIND_CLASS_CACHE.get((module, name))
+        if cls is None:
+            mapped = _MODULE_RENAMES.get(module, module)
+            cls = super().find_class(mapped, name)
+            _FIND_CLASS_CACHE[(module, name)] = cls
+        return cls
 
 
 def _compat_loads(data: bytes):

@@ -526,7 +526,10 @@ class CombineTask(Task):
                             size = 0
                             continue
 
-                        ed_cache = None
+                        # memoizes host edit distances across group probes
+                        # within this batch (align_call fills it)
+                        ed_cache = {} if (svtype == "INS"
+                                          and self.config.combine_pctseq) else None
                         if (svtype == "INS" and self.config.combine_pctseq
                                 and getattr(self.config, "tpu_device_pipeline", False)
                                 and len(svcands) >= 8):

@@ -252,10 +252,19 @@ class SVGroup:
         if not limit:
             return True
         key = (self.candidates[0].alt, candidate.alt)
-        if ed_cache is not None and key in ed_cache:
+        if key[0] == key[1]:
+            distance = 0
+        elif ed_cache is not None and key in ed_cache:
             distance = ed_cache[key]
         else:
+            # distance >= |len(a) - len(b)|: when even that lower bound
+            # fails the identity gate, the DP outcome is already decided
+            length_lb = abs(len(key[0]) - len(key[1]))
+            if (self.len_mean - length_lb) / self.len_mean <= limit:
+                return False
             distance = edit_distance(*key)
+            if ed_cache is not None:
+                ed_cache[key] = distance
         return ((self.len_mean - distance) / self.len_mean) > limit
 
     def add_candidate(self, candidate: SVCall):
