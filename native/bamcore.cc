@@ -779,4 +779,48 @@ int64_t bamcore_rans_uncompress(const uint8_t* in, int64_t in_size,
     return raw_size;
 }
 
+// Bulk ITF8 varint tokenizer (CRAM 3.x; spec section 2.3). Parses the
+// whole buffer front-to-back, writing decoded int32 values and the end
+// byte offset of each token. Returns the token count; a truncated tail
+// (fewer bytes than the prefix demands) stops the parse and is left to
+// the caller. Semantics mirror cram_codecs.itf8_decode.
+int64_t bamcore_itf8_bulk(const uint8_t* buf, int64_t len,
+                          int32_t* vals, int32_t* ends, int64_t cap) {
+    int64_t off = 0, n = 0;
+    while (off < len && n < cap) {
+        uint8_t b0 = buf[off];
+        uint32_t v;
+        int64_t need;
+        if (b0 < 0x80) {
+            need = 1;
+            v = b0;
+        } else if (b0 < 0xC0) {
+            need = 2;
+            if (off + need > len) break;
+            v = ((uint32_t)(b0 & 0x7F) << 8) | buf[off + 1];
+        } else if (b0 < 0xE0) {
+            need = 3;
+            if (off + need > len) break;
+            v = ((uint32_t)(b0 & 0x3F) << 16) | ((uint32_t)buf[off + 1] << 8)
+              | buf[off + 2];
+        } else if (b0 < 0xF0) {
+            need = 4;
+            if (off + need > len) break;
+            v = ((uint32_t)(b0 & 0x1F) << 24) | ((uint32_t)buf[off + 1] << 16)
+              | ((uint32_t)buf[off + 2] << 8) | buf[off + 3];
+        } else {
+            need = 5;
+            if (off + need > len) break;
+            v = ((uint32_t)(b0 & 0x0F) << 28) | ((uint32_t)buf[off + 1] << 20)
+              | ((uint32_t)buf[off + 2] << 12) | ((uint32_t)buf[off + 3] << 4)
+              | (buf[off + 4] & 0x0F);
+        }
+        off += need;
+        vals[n] = (int32_t)v;
+        ends[n] = (int32_t)off;
+        n++;
+    }
+    return n;
+}
+
 }  // extern "C"

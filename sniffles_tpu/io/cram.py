@@ -168,11 +168,14 @@ class _BitReader:
 
 
 class _ByteCursor:
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "_tok_vals", "_tok_ends", "_tok_idx")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
+        self._tok_vals = None   # None: untested; False: per-call fallback
+        self._tok_ends = None
+        self._tok_idx = 0
 
     def read_byte(self) -> int:
         b = self.data[self.pos]
@@ -180,7 +183,40 @@ class _ByteCursor:
         return b
 
     def read_itf8(self) -> int:
+        # Per-int ITF8 parsing dominates CRAM record decode; tokenize the
+        # whole stream once (native bamcore_itf8_bulk) on first use and
+        # serve values by index. Mixed streams (byte/array reads moving
+        # `pos` between int reads) self-resync on the token boundaries and
+        # fall back to direct decode off-boundary, so semantics are
+        # position-exact either way.
+        vals = self._tok_vals
+        if vals is None:
+            from sniffles_tpu.io import native
+            tok = native.itf8_bulk(self.data)
+            if tok is None:
+                self._tok_vals = vals = False
+            else:
+                self._tok_vals, self._tok_ends = tok
+                vals = self._tok_vals
+                self._tok_idx = 0
+        if vals is False:
+            v, self.pos = itf8_decode(self.data, self.pos)
+            return v
+        ends = self._tok_ends
+        i = self._tok_idx
+        if i < len(vals) and self.pos == (ends[i - 1] if i else 0):
+            self.pos = ends[i]
+            self._tok_idx = i + 1
+            return vals[i]
+        # resync: the token starting exactly at pos, if any
+        import bisect
+        j = bisect.bisect_right(ends, self.pos)
+        if j < len(vals) and self.pos == (ends[j - 1] if j else 0):
+            self.pos = ends[j]
+            self._tok_idx = j + 1
+            return vals[j]
         v, self.pos = itf8_decode(self.data, self.pos)
+        self._tok_idx = len(vals)  # off the token grid; resync next time
         return v
 
     def read_bytes(self, n: int) -> bytes:
@@ -486,6 +522,63 @@ class SliceDecoder:
         self._ref_cache: tuple[int, int, str] | None = None
         self.last_ap = sheader.start
         self.record_index = 0
+        self._int_next = self._build_int_fastpaths(comp, external)
+
+    # data-series access kinds are fixed by the spec / decode_record:
+    # these are consumed as single raw bytes, everything else that is
+    # not a byte array is an ITF8 int
+    _BYTE_KEYS = frozenset(("FC", "BA", "QS"))
+
+    def _build_int_fastpaths(self, comp: CompressionHeader,
+                             external: dict[int, bytes]) -> dict:
+        """For external blocks consumed exclusively as ITF8 ints, tokenize
+        the whole stream once (native bamcore_itf8_bulk) and serve the
+        values through a shared iterator per block — this removes the
+        4-deep per-int call chain that dominates record decode. Blocks
+        touched by any byte/array access keep the position-exact cursor
+        path."""
+        from sniffles_tpu.io import native
+
+        usage: dict[int, set] = {}
+
+        def note(enc, kind):
+            if enc is None:
+                return
+            c = enc.codec
+            if c == EN_EXTERNAL:
+                usage.setdefault(enc.content_id, set()).add(kind)
+            elif c == EN_BYTE_ARRAY_LEN:
+                # array lengths read through Encoding.read_int directly
+                # (not _read_int), so their blocks must keep the cursor
+                note(enc.len_enc, "len")
+                note(enc.val_enc, "bytes")
+            elif c == EN_BYTE_ARRAY_STOP:
+                usage.setdefault(enc.content_id, set()).add("bytes")
+
+        for key, enc in comp.ds_encodings.items():
+            note(enc, "byte" if key in self._BYTE_KEYS else "int")
+        for enc in comp.tag_encodings.values():
+            note(enc, "bytes")
+
+        out: dict[str, object] = {}
+        iters: dict[int, object] = {}
+        for key, enc in comp.ds_encodings.items():
+            if (enc.codec != EN_EXTERNAL or key in self._BYTE_KEYS
+                    or usage.get(enc.content_id) != {"int"}):
+                continue
+            cid = enc.content_id
+            nxt = iters.get(cid)
+            if nxt is None:
+                data = external.get(cid)
+                if data is None:
+                    continue
+                tok = native.itf8_bulk(data)
+                # only a full tokenization (no truncated tail) is usable
+                if tok is None or (tok[1] and tok[1][-1] != len(data)):
+                    continue
+                iters[cid] = nxt = iter(tok[0]).__next__
+            out[key] = nxt
+        return out
 
     def _ds(self, key: str) -> Encoding:
         enc = self.h.ds_encodings.get(key)
@@ -494,6 +587,12 @@ class SliceDecoder:
         return enc
 
     def _read_int(self, key: str) -> int:
+        nxt = self._int_next.get(key)
+        if nxt is not None:
+            return nxt()
+        return self._read_int_slow(key)
+
+    def _read_int_slow(self, key: str) -> int:
         return self._ds(key).read_int(self.core, self.ext)
 
     def _read_byte(self, key: str) -> int:

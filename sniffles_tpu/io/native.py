@@ -103,6 +103,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib.bamcore_rans_uncompress.argtypes = [
                     ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
                     ctypes.c_int64]
+                lib.bamcore_itf8_bulk.restype = ctypes.c_int64
+                lib.bamcore_itf8_bulk.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_int64]
             except AttributeError:
                 pass
             _LIB = lib
@@ -116,6 +120,24 @@ def available() -> bool:
 
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def itf8_bulk(data: bytes):
+    """Tokenize a whole ITF8 stream (CRAM external block) in one native
+    call; returns (values, token_end_offsets) as Python-int lists, or
+    None when the native library (or the symbol, in stale builds) is
+    unavailable. A truncated tail is left unparsed — ends[-1] < len(data)
+    then, and the caller's per-token path takes over there."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bamcore_itf8_bulk"):
+        return None
+    n = len(data)
+    if n == 0:
+        return [], []
+    vals = np.empty(n, dtype=np.int32)     # <= 1 token per byte
+    ends = np.empty(n, dtype=np.int32)
+    count = lib.bamcore_itf8_bulk(data, n, _ptr(vals), _ptr(ends), n)
+    return vals[:count].tolist(), ends[:count].tolist()
 
 
 def walk_blocks(raw, start: int = 0, end: int | None = None):

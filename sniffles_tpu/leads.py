@@ -332,6 +332,9 @@ class LeadProvider:
         self.overflow = 0
 
     def record_hap_ref(self, hp_index, pos_leadtab, end_leadtab, step):
+        """Per-read scalar form of the REF haplotype bin counts
+        (reference: leadprov.py:387-398); the region scans batch this via
+        fold_hap_spans, which is exactness-tested against this method."""
         leadtab_hapc = self.leadhapcount["REF"]
         for this_pos in range(pos_leadtab, end_leadtab, step):
             if this_pos in leadtab_hapc:
@@ -340,6 +343,33 @@ class LeadProvider:
                 counts = [0, 0, 0]
                 counts[hp_index] = 1
                 leadtab_hapc[this_pos] = counts
+
+    def fold_hap_spans(self, spans: list, binsize: int) -> None:
+        """Batched equivalent of per-read record_hap_ref calls: `spans`
+        holds (hp, pos_leadtab, end_leadtab) per read; bins cover
+        [pos_leadtab, end_leadtab) exclusive, accumulated per haplotype
+        with difference arrays."""
+        if not spans:
+            return
+        arr = np.asarray(spans, dtype=np.int64)
+        hps = arr[:, 0]
+        b0 = arr[:, 1] // binsize
+        b1 = arr[:, 2] // binsize
+        n_bins = int(b1.max()) + 1
+        ref_hapc = self.leadhapcount["REF"]
+        for hpv in np.unique(hps):
+            sel = hps == hpv
+            d = np.zeros(n_bins + 1, dtype=np.int64)
+            np.add.at(d, b0[sel], 1)
+            np.add.at(d, np.minimum(b1[sel], n_bins), -1)
+            counts = np.cumsum(d[:n_bins])
+            for b in np.nonzero(counts)[0]:
+                key = int(b) * binsize
+                row = ref_hapc.get(key)
+                if row is None:
+                    row = [0, 0, 0]
+                    ref_hapc[key] = row
+                row[int(hpv)] += int(counts[b])
 
     def record_lead(self, ld: Lead, pos_leadtab: int) -> None:
         leadtab_svtype = self.leadtab[ld.svtype]
@@ -441,6 +471,7 @@ class LeadProvider:
 
         trace_read = config.dev_trace_read
         coverage = self.coverage
+        hap_spans: list[tuple[int, int, int]] = []
         for read in bam.fetch(region.contig, region.start, region.end):
             if trace_read and read.query_name in trace_read:
                 print(f"[DEV_TRACE_READ] [0b/4] [LeadProvider.iter_region] [{region}] "
@@ -505,13 +536,16 @@ class LeadProvider:
                     yield from read_itersplits(curr_read_id, read, region.contig, config,
                                                read_nm=nm, read_hap=hp, read_ps=ps)
 
-            # record haplotype counts over the read's span
+            # record haplotype counts over the read's span (folded in one
+            # batch after the scan; per-bin dict updates per read were a
+            # top-3 cost of this loop)
             ld_ref_start, ld_ref_end = read.reference_start, read.reference_end
             pos_leadtab = int(ld_ref_start / ld_binsize) * ld_binsize
             end_leadtab = int(ld_ref_end / ld_binsize) * ld_binsize
             if region.start <= ld_ref_start < region.end:
-                self.record_hap_ref(hp, pos_leadtab, end_leadtab, ld_binsize)
+                hap_spans.append((hp, pos_leadtab, end_leadtab))
 
+        self.fold_hap_spans(hap_spans, ld_binsize)
         log.debug(f'Processed {self.read_count} reads in region '
                   f'{region.contig}:{region.start}-{region.end}')
 
