@@ -21,6 +21,8 @@ import struct
 from dataclasses import dataclass
 from typing import Iterator, Optional
 
+import numpy as np
+
 from sniffles_tpu.io.bgzf import BGZFReader, _read_block_at
 
 # CIGAR operations, same encoding as the BAM spec / pysam constants
@@ -35,6 +37,7 @@ FDUP = 0x400
 FSUPPLEMENTARY = 0x800
 
 SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+_SEQ_NT16_LUT = np.frombuffer(SEQ_NT16.encode("ascii"), dtype=np.uint8)
 
 # (add_read, add_ref) per CIGAR op (reference: leadprov.py:180-195 OPTAB)
 _CONSUME_READ = (1, 1, 0, 0, 1, 0, 0, 1, 1)
@@ -95,12 +98,11 @@ class BamRead:
         if self._seq_cache is None:
             if self._l_seq == 0:
                 return None
-            raw = self._seq_raw
-            out = []
-            for b in raw:
-                out.append(SEQ_NT16[b >> 4])
-                out.append(SEQ_NT16[b & 0xF])
-            self._seq_cache = "".join(out[:self._l_seq])
+            raw = np.frombuffer(self._seq_raw, dtype=np.uint8)
+            chars = np.empty(raw.shape[0] * 2, dtype=np.uint8)
+            chars[0::2] = _SEQ_NT16_LUT[raw >> 4]
+            chars[1::2] = _SEQ_NT16_LUT[raw & 0xF]
+            self._seq_cache = chars[:self._l_seq].tobytes().decode("ascii")
         return self._seq_cache
 
     def has_tag(self, tag: str) -> bool:

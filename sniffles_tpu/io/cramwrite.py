@@ -17,6 +17,8 @@ import struct
 import zlib
 from typing import Optional
 
+import numpy as np
+
 from sniffles_tpu.io.bam import (BamRead, CMATCH, CINS, CDEL, CREF_SKIP,
                                  CSOFT_CLIP, CHARD_CLIP, CPAD, CEQUAL, CDIFF,
                                  FUNMAP, _CONSUME_READ)
@@ -230,18 +232,23 @@ class CramWriter:
         q = 0
         refpos = read.reference_start
         use_ref = self.reference is not None and seq is not None
+        seq_arr = (np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+                   if use_ref else None)
         for op, ln in read.cigartuples:
             if op in (CMATCH, CEQUAL, CDIFF):
                 if seq is None:
                     pass  # implicit match; bases unknown (CF flag set)
                 elif use_ref:
                     refseg = self._ref_seg(read.reference_name, refpos, ln)
-                    rdseg = seq[q:q + ln]
-                    for k in range(ln):
-                        rb = refseg[k] if k < len(refseg) else "N"
-                        db = rdseg[k]
-                        if db == rb:
-                            continue
+                    rf = np.frombuffer(refseg.encode("ascii"), dtype=np.uint8)
+                    if rf.shape[0] < ln:   # off the contig end: pad with N
+                        rf = np.concatenate(
+                            [rf, np.full(ln - rf.shape[0], ord("N"), np.uint8)])
+                    rd = seq_arr[q:q + ln]
+                    # per-base scan only at the (rare) mismatch positions
+                    for k in np.nonzero(rd != rf)[0].tolist():
+                        rb = chr(rf[k])
+                        db = chr(rd[k])
                         alts = _SUB_ALTS.get(rb if rb in "ACGTN" else "N")
                         if db in alts:
                             # substitution code from the identity matrix
