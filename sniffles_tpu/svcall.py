@@ -511,7 +511,11 @@ def call_from(cluster, config, keep_qc_fails, task):
         return
 
     svpi = SVCallPostprocessingInfo(cluster=cluster)
-    rnames = list(support_set)
+    # sorted, not set order: the reference emits RNAMES in hash-seed-
+    # dependent set order (reference sv.py:555 via list(support_set)),
+    # so its output varies run to run under --output-rnames; ours is
+    # deterministic (docs/migration.md, known differences)
+    rnames = sorted(support_set)
 
     svcall = SVCall(contig=cluster.contig,
                     pos=svstart,

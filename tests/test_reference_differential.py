@@ -55,26 +55,41 @@ def run_reference(args, cwd):
 
 
 def read_records(vcf_path, normalize_ref_bugs=False):
-    """Record lines (no headers), optionally normalizing reference bug #1."""
+    """Record lines (no headers), optionally normalizing reference bug #1.
+
+    RNAMES lists are always re-sorted before comparison: the reference
+    emits them in Python-set order, which varies with PYTHONHASHSEED
+    between runs (reference sv.py:555); ours are sorted at source.
+    """
     out = []
     with open(vcf_path) as f:
         for line in f:
             if line.startswith("#"):
                 continue
             line = line.rstrip("\n")
+            fields = line.split("\t")
+            info = fields[7].split(";")
+            changed = False
+            for i, entry in enumerate(info):
+                if entry.startswith("RNAMES="):
+                    info[i] = "RNAMES=" + ",".join(sorted(entry[7:].split(",")))
+                    changed = True
+            if changed:
+                fields[7] = ";".join(info)
             if normalize_ref_bugs:
-                fields = line.split("\t")
                 alt = fields[4]
                 if alt.startswith("<") and "N" in alt:
                     svtype = None
-                    for entry in fields[7].split(";"):
+                    for entry in info:
                         if entry.startswith("SVTYPE="):
                             svtype = entry[7:]
                     corrupt = ("<" + svtype + ">").translate(
                         str.maketrans("RYSWKMBDHV", "N" * 10))
                     if alt == corrupt:
                         fields[4] = "<" + svtype + ">"
-                        line = "\t".join(fields)
+                        changed = True
+            if changed:
+                line = "\t".join(fields)
             out.append(line)
     return out
 
@@ -165,6 +180,45 @@ def test_differential_genotype_vcf(tmp_path):
     our_records = read_records(tmp_path / "our_gt.vcf")
     assert ref_records == our_records
     assert len(ref_records) >= 50
+
+
+@pytest.fixture(scope="module")
+def sweep_dataset(tmp_path_factory):
+    tmpdir = tmp_path_factory.mktemp("sweep")
+    bam, fasta = make_mixed_dataset(tmpdir)
+    tr_bed = os.path.join(str(tmpdir), "tr.bed")
+    with open(tr_bed, "w") as f:
+        f.write("chr1\t15000\t30000\nchr1\t60000\t90000\n")
+    return bam, fasta, tr_bed
+
+
+@pytest.mark.parametrize("flags", [
+    ["--phase"],
+    ["--minsvlen", "200"],
+    ["--symbolic"],
+    ["--no-qc"],
+    ["--output-rnames"],
+    ["--qc-coverage", "5", "--qc-stdev-abs-max", "100"],
+], ids=lambda f: " ".join(f))
+def test_differential_flag_sweep(sweep_dataset, tmp_path, flags):
+    """Flag-surface differential: each combination must produce the same
+    records from both tools (modulo the two documented reference bugs)."""
+    bam, fasta, tr_bed = sweep_dataset
+    args = ["--input", bam, "--reference", fasta, "--threads", "0"] + flags
+    run_reference(args + ["--vcf", "ref.vcf"], tmp_path)
+    run_ours(args + ["--vcf", "ours.vcf"], tmp_path)
+    assert_differential_match(tmp_path / "ref.vcf", tmp_path / "ours.vcf")
+
+
+def test_differential_tandem_repeats(sweep_dataset, tmp_path):
+    """--tandem-repeats changes the cluster merge criteria (cluster_repeat_h,
+    merge-all inside TRs); both tools must agree with a TR bed loaded."""
+    bam, fasta, tr_bed = sweep_dataset
+    args = ["--input", bam, "--reference", fasta, "--threads", "0",
+            "--tandem-repeats", tr_bed]
+    run_reference(args + ["--vcf", "ref.vcf"], tmp_path)
+    run_ours(args + ["--vcf", "ours.vcf"], tmp_path)
+    assert_differential_match(tmp_path / "ref.vcf", tmp_path / "ours.vcf")
 
 
 def test_differential_combine(tmp_path):
