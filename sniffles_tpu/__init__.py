@@ -21,6 +21,18 @@ A ground-up re-design of the capabilities of Sniffles2 (reference:
 """
 
 import os as _os
+import sys as _sys
+
+# The environment sets PYTHONDONTWRITEBYTECODE=1, which forces every
+# process to re-compile all imported sources (importing jax alone costs
+# ~2s of builtins.compile per run). Reading .pyc is unaffected by the
+# flag, so cache bytecode under the same per-user cache directory the
+# XLA compile cache already uses; imports that happen after this point
+# (numpy, jax, the rest of this package) hit it on warm runs.
+if _sys.dont_write_bytecode and "PYTHONPYCACHEPREFIX" not in _os.environ:
+    _sys.dont_write_bytecode = False
+    _sys.pycache_prefix = _os.path.join(
+        _os.path.expanduser("~"), ".cache", "sniffles-tpu", "pycache")
 
 # Large numpy allocations default to madvise(MADV_HUGEPAGE); with THP
 # defrag=madvise every first-touch fault then goes through synchronous

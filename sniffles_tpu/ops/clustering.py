@@ -50,8 +50,7 @@ def _apply_order(arrays: dict, order: jnp.ndarray) -> dict:
     return {k: jnp.take(v, order) for k, v in arrays.items()}
 
 
-@partial(jax.jit, static_argnames=("binsize", "resplit_binsize"))
-def cluster_signatures(sig: dict,
+def _cluster_body(sig: dict,
                        cluster_r: float,
                        cluster_repeat_h: float,
                        cluster_repeat_h_max: float,
@@ -150,6 +149,56 @@ def cluster_signatures(sig: dict,
     out["cluster_id"] = cluster_id
     out["n_clusters"] = n_clusters
     return out
+
+
+cluster_signatures = partial(jax.jit, static_argnames=("binsize", "resplit_binsize"))(
+    _cluster_body)
+
+
+@partial(jax.jit, static_argnames=("cluster_r", "cluster_repeat_h",
+                                   "cluster_repeat_h_max", "cluster_merge_bnd",
+                                   "cluster_merge_len", "minsvlen",
+                                   "binsize", "resplit_binsize"))
+def cluster_assign_packed(packed: jnp.ndarray, *,
+                          cluster_r: float,
+                          cluster_repeat_h: float,
+                          cluster_repeat_h_max: float,
+                          cluster_merge_bnd: int,
+                          cluster_merge_len: float,
+                          minsvlen: int,
+                          binsize: int = 100,
+                          resplit_binsize: int = 20) -> jnp.ndarray:
+    """Lean cluster-assignment entry for the production --tpu-call path:
+    ONE H2D transfer in, ONE D2H transfer out. This matters because the
+    per-transfer latency host<->device dwarfs the kernel time at
+    per-task batch sizes (measured ~30 ms per small transfer over a
+    tunneled chip vs <1 ms of compute).
+
+    `packed` is a (6, N) int32 matrix with rows pos, svlen, svtype,
+    read_id, repeat, valid. All scalar params are static, so dispatch
+    ships no scalar buffers. Returns a (3, N) int32 matrix with rows
+    cluster_id, read_id (sort-permuted), valid.
+    """
+    zeros = jnp.zeros_like(packed[0])
+    sig = {
+        "pos": packed[0],
+        "svlen": packed[1],
+        "svtype": packed[2],
+        "read_id": packed[3],
+        "strand": jnp.ones_like(packed[0]),
+        "mapq": zeros,
+        "nm": zeros.astype(jnp.float32),
+        "repeat": packed[4] > 0,
+        "valid": packed[5] > 0,
+    }
+    out = _cluster_body(sig, cluster_r=cluster_r, cluster_repeat_h=cluster_repeat_h,
+                        cluster_repeat_h_max=cluster_repeat_h_max,
+                        cluster_merge_bnd=cluster_merge_bnd,
+                        cluster_merge_len=cluster_merge_len, minsvlen=minsvlen,
+                        binsize=binsize, resplit_binsize=resplit_binsize)
+    return jnp.stack([out["cluster_id"].astype(jnp.int32),
+                      out["read_id"].astype(jnp.int32),
+                      out["valid"].astype(jnp.int32)])
 
 
 @jax.jit

@@ -33,7 +33,7 @@ def device_clusters(lead_provider, config, tr):
     host path.
     """
     import jax.numpy as jnp
-    from sniffles_tpu.ops.clustering import cluster_signatures
+    from sniffles_tpu.ops.clustering import cluster_assign_packed
 
     # Flatten the leadtab (reference layout: leadprov.py:400-418) into a
     # signature batch; leads_long (svlen None) stay host-side per bin.
@@ -61,32 +61,23 @@ def device_clusters(lead_provider, config, tr):
     tr_starts = np.array([s for s, e in tr_sorted], dtype=np.int64)
     tr_ends = np.array([e for s, e in tr_sorted], dtype=np.int64)
 
-    sig = {
-        "pos": np.zeros(size, dtype=np.int32),
-        "svlen": np.zeros(size, dtype=np.int32),
-        "svtype": np.zeros(size, dtype=np.int32),
-        "read_id": np.zeros(size, dtype=np.int32),
-        "strand": np.ones(size, dtype=np.int32),
-        "mapq": np.zeros(size, dtype=np.int32),
-        "nm": np.zeros(size, dtype=np.float32),
-        "repeat": np.zeros(size, dtype=bool),
-        "valid": np.zeros(size, dtype=bool),
-    }
-    for i, ld in enumerate(leads):
-        sig["pos"][i] = ld.ref_start
-        sig["svlen"][i] = ld.svlen
-        sig["svtype"][i] = SVTYPE_CODES[ld.svtype]
-        sig["read_id"][i] = i
-        sig["strand"][i] = 1 if ld.strand == "+" else -1
-        sig["mapq"][i] = ld.mapq or 0
-        sig["valid"][i] = True
+    # single packed (6, size) int32 buffer: rows pos, svlen, svtype,
+    # read_id, repeat, valid — one H2D transfer per task (transfer
+    # latency over a tunneled chip dominates kernel time at task-sized
+    # batches, so the number of transfers is the cost that matters)
+    packed = np.zeros((6, size), dtype=np.int32)
+    packed[0, :n] = [ld.ref_start for ld in leads]
+    packed[1, :n] = [ld.svlen for ld in leads]
+    packed[2, :n] = [SVTYPE_CODES[ld.svtype] for ld in leads]
+    packed[3, :n] = np.arange(n, dtype=np.int32)
+    packed[5, :n] = 1
     if len(tr_starts):
-        idx = np.searchsorted(tr_starts, sig["pos"][:n], side="right") - 1
-        sig["repeat"][:n] = (idx >= 0) & (sig["pos"][:n] < tr_ends[np.clip(idx, 0, len(tr_ends) - 1)])
-    repeat_flags = sig["repeat"][:n].copy()
+        idx = np.searchsorted(tr_starts, packed[0, :n], side="right") - 1
+        packed[4, :n] = ((idx >= 0) & (packed[0, :n] < tr_ends[np.clip(idx, 0, len(tr_ends) - 1)]))
+    repeat_flags = packed[4, :n] > 0
 
-    out = cluster_signatures(
-        {k: jnp.asarray(v) for k, v in sig.items()},
+    out = np.asarray(cluster_assign_packed(
+        jnp.asarray(packed),
         cluster_r=float(config.cluster_r),
         cluster_repeat_h=float(config.cluster_repeat_h),
         cluster_repeat_h_max=float(config.cluster_repeat_h_max),
@@ -95,11 +86,11 @@ def device_clusters(lead_provider, config, tr):
         minsvlen=int(config.minsvlen),
         binsize=int(config.cluster_binsize),
         resplit_binsize=int(config.cluster_resplit_binsize),
-    )
+    ))
 
-    cids = np.asarray(out["cluster_id"])
-    ridx = np.asarray(out["read_id"])   # original lead index, permuted with the sort
-    valid = np.asarray(out["valid"])
+    cids = out[0]
+    ridx = out[1]   # original lead index, permuted with the sort
+    valid = out[2]
 
     groups: dict[int, list[int]] = {}
     for cid, li, ok in zip(cids.tolist(), ridx.tolist(), valid.tolist()):
