@@ -221,6 +221,64 @@ def test_differential_tandem_repeats(sweep_dataset, tmp_path):
     assert_differential_match(tmp_path / "ref.vcf", tmp_path / "ours.vcf")
 
 
+def test_differential_population_snf(tmp_path):
+    """Population flow: both tools write a population SNF during combine
+    (--dev-population-snf) and both annotate AFs from one
+    (--combine-population), crosswise: ours annotates from the
+    reference-written population SNF and vice versa."""
+    for name, seed, depth in (("s1", 3, 24), ("s2", 21, 30), ("s3", 33, 24)):
+        (tmp_path / name).mkdir(exist_ok=True)
+        bam, _ = make_mixed_dataset(tmp_path / name, seed=seed, depth=depth)
+        run_ours(["--input", bam, "--snf", f"{name}.snf", "--sample-id", name,
+                  "--threads", "0"], tmp_path)
+    snfs = ["s1.snf", "s2.snf", "s3.snf"]
+    # 1. write population SNFs with both tools
+    run_reference(["--input"] + snfs + ["--vcf", "ref_pop_build.vcf",
+                   "--dev-population-snf", "ref_pop.snf", "--threads", "0"], tmp_path)
+    run_ours(["--input"] + snfs + ["--vcf", "our_pop_build.vcf",
+              "--dev-population-snf", "our_pop.snf", "--threads", "0"], tmp_path)
+    assert read_records(tmp_path / "ref_pop_build.vcf", normalize_ref_bugs=True) \
+        == read_records(tmp_path / "our_pop_build.vcf")
+    # 2. crosswise AF annotation: each tool reads the OTHER's population SNF.
+    # Reference runs with --threads 1: its inline mode shares one config
+    # across tasks, and CombineTask.execute (parallel.py:455) replaces
+    # config.combine_population with the opened PopulationSNF, so the
+    # second task crashes re-opening it (we guard with an isinstance
+    # check, pipeline/tasks.py:463).
+    run_reference(["--input"] + snfs + ["--vcf", "ref_annot.vcf",
+                   "--combine-population", "our_pop.snf", "--threads", "1"], tmp_path)
+    run_ours(["--input"] + snfs + ["--vcf", "our_annot.vcf",
+              "--combine-population", "ref_pop.snf", "--threads", "0"], tmp_path)
+    ref_records = read_records(tmp_path / "ref_annot.vcf", normalize_ref_bugs=True)
+    our_records = read_records(tmp_path / "our_annot.vcf")
+    assert len(ref_records) >= 40
+    assert ref_records == our_records
+    assert any("POPULATION_AF" in r or "SUPP_VEC" in r for r in ref_records)
+
+
+def test_differential_combine_tmpfile_spill(tmp_path):
+    """>20 samples triggers the CombineResultTmpFile part-VCF spill path
+    (reference result.py:164-242); both tools must emit the same records."""
+    (tmp_path / "base").mkdir(exist_ok=True)
+    bam, _ = make_mixed_dataset(tmp_path / "base", seed=3)
+    snfs = []
+    for i in range(22):
+        name = f"t{i:02d}.snf"
+        run_ours(["--input", bam, "--snf", name, "--sample-id", f"t{i:02d}",
+                  "--threads", "0"], tmp_path)
+        snfs.append(name)
+    run_reference(["--input"] + snfs + ["--vcf", "ref_multi.vcf",
+                   "--threads", "0"], tmp_path)
+    run_ours(["--input"] + snfs + ["--vcf", "our_multi.vcf",
+              "--threads", "0"], tmp_path)
+    ref_records = read_records(tmp_path / "ref_multi.vcf", normalize_ref_bugs=True)
+    our_records = read_records(tmp_path / "our_multi.vcf")
+    assert len(ref_records) >= 40
+    # 22 genotype columns + SUPP_VEC present
+    assert all(len(r.split("\t")) == 9 + 22 for r in ref_records)
+    assert ref_records == our_records
+
+
 def test_differential_combine(tmp_path):
     """Multi-sample combine: SNFs written by our caller, merged by both
     tools (reference reads them through its own snf.py + stdlib pickle)."""
