@@ -20,19 +20,17 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_SRC = "/root/reference/src"
-for _p in (os.path.join(REPO, "tools", "refshim"), REF_SRC, REPO):
-    if _p not in sys.path:
-        sys.path.insert(0, _p)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+# NOTE: REF_SRC/refshim must NOT be put on sys.path at module level:
+# pytest imports this file at collection time, and with the real
+# reference package importable, pickling of our data-model classes
+# (whose __module__ is aliased to "sniffles.*" for SNF interop,
+# compat.py) resolves to the reference classes in OTHER test modules.
+# The R fixture adds and removes the paths around this module's tests.
 
 pytestmark = pytest.mark.skipif(not os.path.exists(REF_SRC),
                                 reason="reference checkout not available")
-
-ref_util = pytest.importorskip("sniffles.util")
-import sniffles.cluster as ref_cluster          # noqa: E402
-import sniffles.sv as ref_sv                    # noqa: E402
-import sniffles.postprocessing as ref_pp        # noqa: E402
-from sniffles.config import SnifflesConfig as RefConfig        # noqa: E402
-from sniffles.leadprov import Lead as RefLead                  # noqa: E402
 
 import sniffles_tpu.util as our_util            # noqa: E402
 import sniffles_tpu.cluster as our_cluster      # noqa: E402
@@ -45,20 +43,58 @@ BASE_ARGS = ("--input", "input.bam", "--vcf", "out.vcf")
 
 
 @pytest.fixture(scope="module")
-def configs():
-    return RefConfig(*BASE_ARGS), OurConfig(*BASE_ARGS)
+def R():
+    """Import the REAL reference package for the duration of this module
+    only, then purge it. Our data-model classes carry
+    __module__ == "sniffles.sv" for SNF pickle interop (compat.py), so
+    while the genuine package is importable, pickling OUR objects
+    in-process resolves to the reference classes and fails — other test
+    modules must not see it (it must not be imported at collection time
+    either, which is why this is a fixture, not module-level imports)."""
+    import types
+    paths = [os.path.join(REPO, "tools", "refshim"), REF_SRC]
+    for p in paths:
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    saved = {m: sys.modules[m] for m in list(sys.modules)
+             if m == "sniffles" or m.startswith("sniffles.")}
+    for m in saved:
+        del sys.modules[m]
+    try:
+        import sniffles.util as ref_util
+        import sniffles.cluster as ref_cluster
+        import sniffles.sv as ref_sv
+        import sniffles.postprocessing as ref_pp
+        from sniffles.config import SnifflesConfig as RefConfig
+        from sniffles.leadprov import Lead as RefLead
+        yield types.SimpleNamespace(
+            util=ref_util, cluster=ref_cluster, sv=ref_sv, pp=ref_pp,
+            Config=RefConfig, Lead=RefLead)
+    finally:
+        for m in [m for m in sys.modules
+                  if m == "sniffles" or m.startswith("sniffles.")]:
+            del sys.modules[m]
+        sys.modules.update(saved)
+        for p in paths:
+            if p in sys.path:
+                sys.path.remove(p)
 
 
 @pytest.fixture(scope="module")
-def mosaic_configs():
+def configs(R):
+    return R.Config(*BASE_ARGS), OurConfig(*BASE_ARGS)
+
+
+@pytest.fixture(scope="module")
+def mosaic_configs(R):
     args = BASE_ARGS + ("--mosaic",)
-    return RefConfig(*args), OurConfig(*args)
+    return R.Config(*args), OurConfig(*args)
 
 
 # ---------------------------------------------------------------- util
 
 
-def test_robust_statistics_match():
+def test_robust_statistics_match(R):
     rnd = random.Random(1)
     for case in range(600):
         n = rnd.randint(1, 40)
@@ -67,11 +103,11 @@ def test_robust_statistics_match():
         nums = [rnd.randint(0, span) for _ in range(n)]
         for fname in ("median_modes", "median_noavg", "median_or_mode",
                       "trim", "most_common", "most_common_top", "median"):
-            r = getattr(ref_util, fname)(list(nums))
+            r = getattr(R.util, fname)(list(nums))
             o = getattr(our_util, fname)(list(nums))
             assert r == o, (fname, nums)
-        assert ref_util.stdev(nums) == pytest.approx(our_util.stdev(nums))
-        assert ref_util.mean(nums) == pytest.approx(our_util.mean(nums))
+        assert R.util.stdev(nums) == pytest.approx(our_util.stdev(nums))
+        assert R.util.mean(nums) == pytest.approx(our_util.mean(nums))
 
 
 # ------------------------------------------------- split classification
@@ -119,14 +155,14 @@ class _ReadStub:
     query_sequence = "ACGT" * 20_000  # sliced for INS seq caching
 
 
-def test_classify_splits_match(configs):
+def test_classify_splits_match(R, configs):
     ref_cfg, our_cfg = configs
     rnd = random.Random(2)
     for case in range(800):
         specs = _random_chain(rnd)
-        ref_leads = _leads_from_specs(RefLead, specs)
+        ref_leads = _leads_from_specs(R.Lead, specs)
         our_leads = _leads_from_specs(OurLead, specs)
-        ref_sv.classify_splits(_ReadStub(), ref_leads, ref_cfg, "chr1")
+        R.sv.classify_splits(_ReadStub(), ref_leads, ref_cfg, "chr1")
         our_sv.classify_splits(_ReadStub(), our_leads, our_cfg, "chr1")
         ref_out = [ld.svtypes_starts_lens for ld in ref_leads]
         our_out = [ld.svtypes_starts_lens for ld in our_leads]
@@ -184,13 +220,13 @@ def _cluster_shape(clusters):
 
 
 @pytest.mark.parametrize("svtype", ["INS", "DEL", "DUP", "INV"])
-def test_cluster_resolve_match(configs, svtype):
+def test_cluster_resolve_match(R, configs, svtype):
     ref_cfg, our_cfg = configs
     rnd = random.Random(hash(svtype) & 0xFFFF)
     binsize = ref_cfg.cluster_binsize
     for case in range(120):
         seed_state = rnd.getstate()
-        leadtab_r, hap = _random_leadtab(rnd, RefLead, svtype, binsize)
+        leadtab_r, hap = _random_leadtab(rnd, R.Lead, svtype, binsize)
         rnd.setstate(seed_state)
         leadtab_o, hap_o = _random_leadtab(rnd, OurLead, svtype, binsize)
         assert hap == hap_o
@@ -202,7 +238,7 @@ def test_cluster_resolve_match(configs, svtype):
                            {svtype: hap, "REF": {}})
         prov_o = _Provider("chr1", 0, {svtype: leadtab_o},
                            {svtype: hap, "REF": {}})
-        ref_clusters = list(ref_cluster.resolve(svtype, prov_r, ref_cfg, tr))
+        ref_clusters = list(R.cluster.resolve(svtype, prov_r, ref_cfg, tr))
         our_clusters = list(our_cluster.resolve(svtype, prov_o, our_cfg, tr))
         assert _cluster_shape(ref_clusters) == _cluster_shape(our_clusters), \
             (svtype, case)
@@ -284,27 +320,27 @@ def _qc_result(call):
 
 
 @pytest.mark.parametrize("mode", ["germline", "mosaic"])
-def test_qc_and_genotyper_match(configs, mosaic_configs, mode):
+def test_qc_and_genotyper_match(R, configs, mosaic_configs, mode):
     ref_cfg, our_cfg = configs if mode == "germline" else mosaic_configs
     rnd = random.Random(4 if mode == "germline" else 5)
     avg_cov = 30.0
     for case in range(1000):
         spec = _call_spec(rnd)
-        ref_call = _mk_call(ref_sv, spec)
+        ref_call = _mk_call(R.sv, spec)
         our_call = _mk_call(our_sv, spec)
 
-        r_qc = ref_pp.qc_sv(ref_call, ref_cfg)
+        r_qc = R.pp.qc_sv(ref_call, ref_cfg)
         o_qc = our_pp.qc_sv(our_call, our_cfg)
         assert r_qc == o_qc, (mode, case, spec)
 
-        ref_pp.genotype_sv(ref_call, ref_cfg)
+        R.pp.genotype_sv(ref_call, ref_cfg)
         our_pp.genotype_sv(our_call, our_cfg)
 
         # per-task regional NM statistic: the reference mutates it onto the
         # shared config (leadprov.py:577-578); ours passes it explicitly
         nm_thr = rnd.uniform(0.05, 0.4)
         ref_cfg.qc_nm_threshold = nm_thr
-        r_post = ref_pp.qc_sv_post_annotate(ref_call, ref_cfg, avg_cov)
+        r_post = R.pp.qc_sv_post_annotate(ref_call, ref_cfg, avg_cov)
         o_post = our_pp.qc_sv_post_annotate(our_call, our_cfg, avg_cov,
                                             nm_threshold=nm_thr)
         assert r_post == o_post, (mode, case, spec)
