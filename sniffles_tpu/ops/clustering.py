@@ -13,8 +13,14 @@ pipeline is fully static-shaped and jit-compatible:
      criterion (cluster_r), the tandem-repeat length criterion
      (cluster_repeat_h), or the BND merge distance — the reference's
      sequential backtracking sweep computes a chain fixed point; the
-     relaxation converges to the same merges for separated clusters
-     and is iterated MERGE_ITERS times
+     relaxation is iterated to ITS fixed point (boundary vector stops
+     changing; capped at MERGE_ITERS_MAX rounds). Merging only grows
+     segment stdevs, so every merge the sweep performs the relaxation
+     also performs (m1 only gets easier); the relaxation can merge
+     MORE than the sweep on adversarial chains, because the sweep's
+     `i = max(0, i-2) + 1` backtracking never re-examines the boundary
+     between the first two clusters and is otherwise order-dependent
+     (see test_merge_chain_host_sweep_documented_divergence)
   4. resplit by |svlen| histogram bins (cluster.py:125-161), single
      chain pass
   5. per-cluster robust statistics (ops/stats.py) and support counting
@@ -37,7 +43,7 @@ from sniffles_tpu.ops.segments import (segment_ids_from_boundaries, seg_sum, seg
                                        unique_count_per_segment)
 from sniffles_tpu.ops.stats import seg_median_modes, seg_trimmed_stdev
 
-MERGE_ITERS = 3
+MERGE_ITERS_MAX = 32
 
 # svtype codes (order matches svcall.ALL_TYPES)
 SVTYPE_INS, SVTYPE_DEL, SVTYPE_DUP, SVTYPE_INV, SVTYPE_BND = 0, 1, 2, 3, 4
@@ -88,7 +94,7 @@ def _cluster_body(sig: dict,
     boundary = jnp.concatenate([first, change])
 
     # --- 3. iterative merge relaxation ---
-    def merge_step(boundary, _):
+    def merge_step(boundary):
         seg = segment_ids_from_boundaries(boundary)
         # segment extent in bin coordinates (reference cluster start/end:
         # seed bin start .. last bin end + binsize)
@@ -117,9 +123,23 @@ def _cluster_body(sig: dict,
         can_merge = boundary & same_type_prev & valid & (m1 | m2 | m3)
         # the very first element always starts a segment
         keep_first = jnp.concatenate([jnp.ones((1,), dtype=bool), jnp.zeros((n - 1,), dtype=bool)])
-        return jnp.where(can_merge & ~keep_first, False, boundary), None
+        return jnp.where(can_merge & ~keep_first, False, boundary)
 
-    boundary, _ = jax.lax.scan(merge_step, boundary, None, length=MERGE_ITERS)
+    # Iterate to the relaxation fixed point. Each round only clears
+    # boundaries (merges), so "changed" is simply a count decrease and
+    # the loop terminates in <= n rounds; MERGE_ITERS_MAX bounds the
+    # compiled trip count for adversarial chains.
+    def merge_cond(state):
+        it, n_bounds, prev_n = state[0], state[1], state[2]
+        return (it < MERGE_ITERS_MAX) & (n_bounds != prev_n)
+
+    def merge_body(state):
+        it, n_bounds, _, boundary = state
+        new = merge_step(boundary)
+        return (it + 1, jnp.sum(new), n_bounds, new)
+
+    init = (jnp.int32(0), jnp.sum(boundary), jnp.int32(-1), boundary)
+    *_, boundary = jax.lax.while_loop(merge_cond, merge_body, init)
 
     # --- 4. resplit by |svlen| histogram inside each segment ---
     seg = segment_ids_from_boundaries(boundary)

@@ -100,3 +100,77 @@ def test_device_cluster_count_reasonable(config):
     out = call_pipeline_step(sig, coverage, default_params(config))
     ncl = int(out["n_clusters"])
     assert 40 <= ncl <= 48  # all true sites found, few spurious splits
+
+
+def _merge_cascade_positions():
+    """A 5-link merge cascade whose fixed point needs 5 relaxation
+    rounds: each segment is a contiguous run of occupied 100bp bins
+    (coalesces in round 1), and each inter-segment gap is sized so the
+    m1 criterion (inner_gap <= 2.5 * min(sd_left, sd_right),
+    cluster.py:163-171) only passes once the left prefix has absorbed
+    the previous segment and its position stdev has grown. A fixed
+    3-iteration relaxation leaves this chain at 3 clusters; the
+    reference's sequential backtracking sweep merges it to 1.
+    """
+    BIN = 100
+    spans = [(100_000, 400), (100_800, 700), (102_500, 1500),
+             (106_200, 3300), (114_600, 7300)]
+    pos = []
+    for start, width in spans:
+        for p in range(start, start + width + 1, BIN):
+            pos.extend((p, p))  # 2 leads/bin: host dev_min_leads_cluster
+    return pos
+
+
+def test_merge_chain_reaches_fixed_point(config):
+    from sniffles_tpu.ops.clustering import cluster_assign_packed
+
+    pos = _merge_cascade_positions()
+    n = len(pos)
+    size = 512
+    packed = np.zeros((6, size), dtype=np.int32)
+    packed[0, :n] = pos
+    packed[1, :n] = 100          # identical svlen: no |svlen| resplit
+    packed[2, :n] = 0            # INS
+    packed[3, :n] = np.arange(n)
+    packed[5, :n] = 1
+    out = np.asarray(cluster_assign_packed(
+        jnp.asarray(packed), cluster_r=2.5, cluster_repeat_h=0.4,
+        cluster_repeat_h_max=1000, cluster_merge_bnd=1500,
+        cluster_merge_len=0.33, minsvlen=35))
+    cluster_ids = out[0][out[2] > 0]
+    assert len(set(cluster_ids.tolist())) == 1, sorted(set(cluster_ids.tolist()))
+
+
+def test_merge_chain_host_sweep_documented_divergence(config):
+    """The same cascade through the host sequential sweep.
+
+    The sweep (reference: cluster.py:277-308) advances with
+    `i = max(0, i-2); i += 1` after each merge, so the boundary between
+    clusters[0] and clusters[1] is examined exactly once, at the start —
+    `max(0, i-2) + 1 >= 1` can never return to i=0. On this cascade the
+    first span therefore stays split (bins absorbed into clusters[1]
+    after i moved on), its stdev stays small, and no gap boundary ever
+    merges: 6 clusters. The device relaxation re-evaluates every
+    boundary each round and reaches the true fixed point (1 cluster, a
+    superset of the sweep's merges — every sweep merge only becomes
+    easier as stdevs grow). This test pins the host behavior so any
+    change to either side is visible; differential tests on realistic
+    data show the two agree away from adversarial chains.
+    """
+    from sniffles_tpu import cluster as cl
+    from sniffles_tpu.leads import Lead, LeadProvider
+
+    pos = _merge_cascade_positions()
+    provider = LeadProvider(config, 0, "chr1")
+    binsize = config.cluster_binsize
+    for i, p in enumerate(pos):
+        ld = Lead(read_id=i, read_qname=str(i), contig="chr1",
+                  ref_start=p, ref_end=p, qry_start=0, qry_end=0,
+                  strand="+", mapq=60, nm=0.0, source="INLINE",
+                  svtype="INS", svlen=100)
+        provider.record_lead(ld, int(p / binsize) * binsize)
+    provider.start = 0
+    provider.end = 1_000_000
+    clusters = list(cl.resolve("INS", provider, config, None))
+    assert len(clusters) == 6, [(c.start, c.end, len(c.leads)) for c in clusters]
