@@ -281,31 +281,58 @@ class ScanResult:
         return self.buf[off:off + ln].tobytes()
 
 
+_SCAN_TLS = threading.local()
+
+_COL_DTYPES = {
+    "offset": np.int64, "rec_len": np.int32, "refid": np.int32, "pos": np.int32,
+    "flag": np.int32, "mapq": np.int32, "ref_len": np.int32, "qstart": np.int32,
+    "qalen": np.int32, "l_seq": np.int32, "nm": np.int32, "hp": np.int32,
+    "ps": np.int32, "sa_off": np.int64, "sa_len": np.int32,
+    "large_indel_sum": np.int32, "name_off": np.int64, "name_len": np.int32,
+    "seq_off": np.int64,
+}
+_EV_DTYPES = {
+    "rec_index": np.int32, "op": np.int32, "oplen": np.int32,
+    "pos_ref": np.int32, "pos_read": np.int32,
+}
+
+
+def _scan_scratch(rec_cap: int, ev_cap: int):
+    """Thread-local column/event buffers, reused across scans. The native
+    scanner writes every field of every produced record (bamcore.cc sets
+    sa_off=-1 explicitly when absent), so the buffers need no zeroing —
+    and keeping them hot avoids re-faulting tens of MB of fresh pages on
+    every chunk. Lifetime contract matches the inflate scratch above:
+    the returned ScanResult is valid until the next scan_records call on
+    the same thread."""
+    st = getattr(_SCAN_TLS, "scratch", None)
+    if st is None or st["rec_cap"] < rec_cap or st["ev_cap"] < ev_cap:
+        rec_cap = max(rec_cap, st["rec_cap"] if st else 0)
+        ev_cap = max(ev_cap, st["ev_cap"] if st else 0)
+        st = {
+            "rec_cap": rec_cap,
+            "ev_cap": ev_cap,
+            "cols": {k: np.empty(rec_cap, dtype=dt) for k, dt in _COL_DTYPES.items()},
+            "events": {k: np.empty(ev_cap, dtype=dt) for k, dt in _EV_DTYPES.items()},
+        }
+        _SCAN_TLS.scratch = st
+    return st["cols"], st["events"]
+
+
 def scan_records(decompressed: np.ndarray, min_event_len: int,
                  nm_adjust_oplen: int = 10) -> ScanResult:
-    """Run the native record scan over a decompressed BAM record stream."""
+    """Run the native record scan over a decompressed BAM record stream.
+
+    The returned ScanResult's columns live in thread-local scratch and
+    are only valid until the next scan_records call on this thread
+    (matching bgzf_inflate_into(reuse=True), which backs res.buf)."""
     lib = get_lib()
     n_bytes = decompressed.shape[0]
     rec_cap = max(1024, n_bytes // 600)   # long reads: >> 600 B/record
     ev_cap = max(4096, rec_cap * 64)
 
     while True:
-        i64 = lambda: np.zeros(rec_cap, dtype=np.int64)  # noqa: E731
-        i32 = lambda: np.zeros(rec_cap, dtype=np.int32)  # noqa: E731
-        cols = {
-            "offset": i64(), "rec_len": i32(), "refid": i32(), "pos": i32(),
-            "flag": i32(), "mapq": i32(), "ref_len": i32(), "qstart": i32(),
-            "qalen": i32(), "l_seq": i32(), "nm": i32(), "hp": i32(), "ps": i32(),
-            "sa_off": i64(), "sa_len": i32(), "large_indel_sum": i32(),
-            "name_off": i64(), "name_len": i32(), "seq_off": i64(),
-        }
-        events = {
-            "rec_index": np.zeros(ev_cap, dtype=np.int32),
-            "op": np.zeros(ev_cap, dtype=np.int32),
-            "oplen": np.zeros(ev_cap, dtype=np.int32),
-            "pos_ref": np.zeros(ev_cap, dtype=np.int32),
-            "pos_read": np.zeros(ev_cap, dtype=np.int32),
-        }
+        cols, events = _scan_scratch(rec_cap, ev_cap)
         rc = _RecordCols(**{k: _ptr(v).value for k, v in cols.items()})
         ec = _EventCols(**{k: _ptr(v).value for k, v in events.items()})
         n_events = ctypes.c_int64(0)
