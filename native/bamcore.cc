@@ -823,4 +823,177 @@ int64_t bamcore_itf8_bulk(const uint8_t* buf, int64_t len,
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// INS consensus: k-mer-anchor pseudo-alignment + per-column majority vote
+// (reference: consensus.py:280-394 novel_from_reads; constants :286-292).
+// Exact-native port of sniffles_tpu/consensus.py::novel_from_reads_spec —
+// the per-lead anchor-chain walk, the per-segment identity filter and the
+// column vote are sequential scalar scans, which is why this lives here
+// rather than in numpy (per-op dispatch overhead dominates at the typical
+// 10-lead x few-kb cluster size).
+// ---------------------------------------------------------------------------
+
+// Consensus for one INS cluster. `best` is the anchor read's insertion
+// sequence (lb bytes); `others` holds the remaining leads' sequences
+// concatenated, delimited by off[0..n_leads] (off[n_leads] = total).
+// klen <= 8 (kmers are compared as base-256 packed uint64). Writes the
+// lb-byte consensus into `out`. Returns 0 on success.
+int bamcore_consensus_novel(const uint8_t* best, int64_t lb,
+                            const uint8_t* others, const int64_t* off,
+                            int32_t n_leads,
+                            int32_t klen, int32_t skip, int32_t skip_rep,
+                            uint8_t* out) {
+    const uint8_t DASH = '-';
+    // reference constants (consensus.py:286-292)
+    const int consensus_min = 2;
+    const int64_t maxshift = klen;
+    const double minspan = 0.2, minalns = 0.25, minident = 0.5;
+    const int64_t minident_abs = 5;
+    const int64_t minbestdiff = 3;
+
+    if (lb <= 0) return 0;
+    std::memcpy(out, best, (size_t)lb);  // fallback: the anchor read itself
+    if (n_leads <= 0) return 0;
+    if (klen <= 0 || klen > 8 || skip < 1 || skip_rep < 1) return -1;
+
+    // anchor map: sampled best-read kmers that occur exactly once in the
+    // sample (the reference deletes+taboos on a repeat; net effect is
+    // count==1). Open-addressing hash, val: -1 empty / -2 taboo / else pos.
+    int64_t n_k = 0;
+    for (int64_t i = 0; i < lb - klen; i += skip_rep) n_k++;
+    uint64_t tab_size = 16;
+    while (tab_size < (uint64_t)(n_k * 2 + 1)) tab_size <<= 1;
+    std::vector<uint64_t> tab_key(tab_size);
+    std::vector<int64_t> tab_val(tab_size, -1);
+    const uint64_t tab_mask = tab_size - 1;
+
+    auto pack = [klen](const uint8_t* p) -> uint64_t {
+        uint64_t v = 0;
+        for (int32_t k = 0; k < klen; ++k) v = (v << 8) | p[k];
+        return v;
+    };
+    auto slot_of = [&](uint64_t code) -> uint64_t {
+        uint64_t s = (code * 0x9E3779B97F4A7C15ULL) & tab_mask;
+        while (tab_val[s] != -1 && tab_key[s] != code) s = (s + 1) & tab_mask;
+        return s;
+    };
+    for (int64_t i = 0; i < lb - klen; i += skip_rep) {
+        uint64_t code = pack(best + i);
+        uint64_t s = slot_of(code);
+        if (tab_val[s] == -1) {
+            tab_key[s] = code;
+            tab_val[s] = i;
+        } else if (tab_val[s] >= 0) {
+            tab_val[s] = -2;  // repeated kmer: taboo
+        }
+    }
+
+    std::vector<uint8_t> rowbuf((size_t)n_leads * (size_t)lb);
+    std::vector<const uint8_t*> rows;
+    rows.reserve(n_leads);
+
+    for (int32_t l = 0; l < n_leads; ++l) {
+        const uint8_t* ls = others + off[l];
+        const int64_t ll = off[l + 1] - off[l];
+        uint8_t* row = rowbuf.data() + (size_t)l * (size_t)lb;
+        std::memset(row, DASH, (size_t)lb);
+        int64_t last_i = -1, last_j = -1, clen = 0, span = 0;
+        for (int64_t j = 0; j < ll - klen; j += skip) {
+            uint64_t code = pack(ls + j);
+            uint64_t s = slot_of(code);
+            int64_t i = tab_val[s];
+            if (i < 0) continue;                       // absent or taboo
+            int64_t d = i - j;
+            if ((d < 0 ? -d : d) > maxshift) continue;
+            if (last_i >= 0 && i <= last_i) continue;
+            if (last_i < 0) {
+                if (j > 0) clen = i;                   // leading gap "-"*i
+            } else {
+                const int64_t t = j - last_j;          // unclamped fwd_j
+                int64_t fwd_j = t;
+                if (clen + fwd_j > lb) fwd_j = lb - clen;
+                if (i - last_i == fwd_j && fwd_j > 0) {
+                    span += t;
+                    // identity over lead[last_j+1:j+1] vs the same-length
+                    // best slice starting at last_i+1 (reference
+                    // consensus.py:341-344), bounds-clamped like the
+                    // vectorized diagonal prefix sums
+                    int64_t tt = t;
+                    if (last_i + 1 + tt > lb) tt = lb - (last_i + 1);
+                    if (last_j + 1 + tt > ll) tt = ll - (last_j + 1);
+                    int64_t m = 0;
+                    const uint8_t* pa = ls + last_j + 1;
+                    const uint8_t* pb = best + last_i + 1;
+                    for (int64_t k = 0; k < tt; ++k) m += (pa[k] == pb[k]);
+                    if ((double)m / (double)t >= minident)
+                        std::memcpy(row + clen, ls + last_j, (size_t)fwd_j);
+                    clen += fwd_j;
+                } else {
+                    clen += fwd_j;                     // gap: row is dash
+                }
+            }
+            last_i = i;
+            last_j = j;
+        }
+        if ((double)span / (double)lb <= minspan) continue;  // dropped
+
+        // segment identity filter (reference: consensus.py:360-375)
+        int64_t sg = 0;
+        while (sg < lb) {
+            if (row[sg] == DASH) { sg++; continue; }
+            int64_t e = sg, ident = 0;
+            while (e < lb && row[e] != DASH) {
+                ident += (row[e] == best[e]);
+                e++;
+            }
+            if (!((double)ident / (double)(e - sg) > minident
+                  && ident > minident_abs))
+                std::memset(row + sg, DASH, (size_t)(e - sg));
+            sg = e;
+        }
+        rows.push_back(row);
+    }
+
+    const int64_t n_aln = (int64_t)rows.size();
+    if (n_aln == 0) return 0;  // out already holds best
+    const double maxal = (double)(n_aln + 1);
+
+    // per-column vote (reference: consensus.py:377-394): dash-excluded
+    // symbol counts incl. the anchor base (+1); argmax ties break to the
+    // smallest ASCII symbol (np.argmax over ascending-sorted syms)
+    int32_t cnt[256];
+    std::memset(cnt, 0, sizeof(cnt));
+    uint8_t seen[64];
+    for (int64_t c = 0; c < lb; ++c) {
+        int ns = 0;
+        int64_t al = 0;
+        for (int64_t r = 0; r < n_aln; ++r) {
+            uint8_t ch = rows[r][c];
+            if (ch == DASH) continue;
+            al++;
+            if (cnt[ch]++ == 0 && ns < 64) seen[ns++] = ch;
+        }
+        uint8_t bc = best[c];
+        if (cnt[bc]++ == 0 && ns < 64) seen[ns++] = bc;
+        int64_t top1 = 0, top2 = 0;
+        for (int k = 0; k < ns; ++k) {
+            int64_t v = cnt[seen[k]];
+            if (v > top1) { top2 = top1; top1 = v; }
+            else if (v > top2) top2 = v;
+        }
+        // smallest ASCII symbol holding the max count (np.argmax tie rule)
+        uint8_t top_sym = 255;
+        for (int k = 0; k < ns; ++k) {
+            uint8_t chs = seen[k];
+            if (cnt[chs] == top1 && chs < top_sym) top_sym = chs;
+        }
+        bool use_vote = (al >= consensus_min)
+                        && ((double)al / maxal >= minalns)
+                        && (top1 - top2 >= minbestdiff);
+        out[c] = use_vote ? top_sym : bc;
+        for (int k = 0; k < ns; ++k) cnt[seen[k]] = 0;
+    }
+    return 0;
+}
+
 }  // extern "C"

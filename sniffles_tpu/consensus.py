@@ -132,6 +132,14 @@ def novel_from_reads(best_lead, other_leads, klen, skip, skip_repetitive, debug=
     if klen > 8:
         return novel_from_reads_spec(best_lead, other_leads, klen, skip,
                                      skip_repetitive, debug)
+    if not debug:
+        from sniffles_tpu.io import native
+        res = native.consensus_novel(
+            best_lead.seq.encode("ascii"),
+            [ld.seq.encode("ascii") for ld in other_leads],
+            klen, skip, skip_repetitive)
+        if res is not None:
+            return res
     consensus_min = 2
     maxshift = klen
     minspan = 0.2

@@ -107,6 +107,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib.bamcore_itf8_bulk.argtypes = [
                     ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
                     ctypes.c_void_p, ctypes.c_int64]
+                lib.bamcore_consensus_novel.restype = ctypes.c_int
+                lib.bamcore_consensus_novel.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                    ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
             except AttributeError:
                 pass
             _LIB = lib
@@ -232,6 +237,30 @@ def prefix_add_u16(diff: np.ndarray, cov: np.ndarray) -> bool:
     assert diff.shape[0] >= n
     lib.bamcore_prefix_add_u16(_ptr(diff), _ptr(cov), n)
     return True
+
+
+def consensus_novel(best: bytes, others: list[bytes], klen: int, skip: int,
+                    skip_repetitive: int):
+    """Native k-mer-anchor INS consensus (bamcore_consensus_novel; exact
+    port of consensus.novel_from_reads_spec). Returns the consensus str,
+    or None when the native path is unavailable for these parameters
+    (no lib / stale .so / klen > 8) — callers fall back to numpy."""
+    lib = get_lib()
+    if (lib is None or not hasattr(lib, "bamcore_consensus_novel")
+            or not (0 < klen <= 8) or skip < 1 or skip_repetitive < 1):
+        return None
+    n = len(others)
+    off = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        np.cumsum([len(s) for s in others], out=off[1:])
+    concat = b"".join(others)
+    out = np.empty(len(best), dtype=np.uint8)
+    rc = lib.bamcore_consensus_novel(
+        best, len(best), concat, _ptr(off), n,
+        klen, skip, skip_repetitive, _ptr(out))
+    if rc != 0:
+        return None
+    return out.tobytes().decode("ascii")
 
 
 def bgzf_inflate(raw: bytes) -> bytes:

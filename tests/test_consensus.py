@@ -184,3 +184,12 @@ def test_novel_from_reads_matches_spec_port():
         want = novel_from_reads_spec(best, others, klen=klen, skip=skip,
                                      skip_repetitive=skip_rep)
         assert got == want, (trial, n, klen, skip, skip_rep)
+        # the line above takes the native path when libbamcore is present;
+        # force the numpy path too so both stay pinned to the spec
+        from unittest import mock
+        from sniffles_tpu.io import native as native_mod
+        with mock.patch.object(native_mod, "consensus_novel",
+                               lambda *a, **k: None):
+            got_np = novel_from_reads(best, others, klen=klen, skip=skip,
+                                      skip_repetitive=skip_rep)
+        assert got_np == want, (trial, n, klen, skip, skip_rep)
