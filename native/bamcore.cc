@@ -963,7 +963,7 @@ int bamcore_consensus_novel(const uint8_t* best, int64_t lb,
     // smallest ASCII symbol (np.argmax over ascending-sorted syms)
     int32_t cnt[256];
     std::memset(cnt, 0, sizeof(cnt));
-    uint8_t seen[64];
+    uint8_t seen[256];
     for (int64_t c = 0; c < lb; ++c) {
         int ns = 0;
         int64_t al = 0;
@@ -971,10 +971,10 @@ int bamcore_consensus_novel(const uint8_t* best, int64_t lb,
             uint8_t ch = rows[r][c];
             if (ch == DASH) continue;
             al++;
-            if (cnt[ch]++ == 0 && ns < 64) seen[ns++] = ch;
+            if (cnt[ch]++ == 0) seen[ns++] = ch;
         }
         uint8_t bc = best[c];
-        if (cnt[bc]++ == 0 && ns < 64) seen[ns++] = bc;
+        if (cnt[bc]++ == 0) seen[ns++] = bc;
         int64_t top1 = 0, top2 = 0;
         for (int k = 0; k < ns; ++k) {
             int64_t v = cnt[seen[k]];
