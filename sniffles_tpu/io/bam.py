@@ -265,8 +265,28 @@ class BamIndex:
                 merged.append([cb, ce])
         return [(cb, ce) for cb, ce in merged]
 
+    # Parsed-index cache: every task re-opens the BAM (one AlignmentFile
+    # per task execution, reference opens per-worker too) and re-parsing
+    # a whole-genome BAI is ~100k struct unpacks. Indexes are immutable
+    # for a given (path, mtime, size), so share the parsed object.
+    _CACHE: dict = {}
+
     @classmethod
     def load(cls, path: str) -> "BamIndex":
+        try:
+            st = os.stat(path)
+            key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = None
+        if key is not None and key in cls._CACHE:
+            return cls._CACHE[key]
+        idx = cls._load_uncached(path)
+        if key is not None:
+            cls._CACHE[key] = idx
+        return idx
+
+    @classmethod
+    def _load_uncached(cls, path: str) -> "BamIndex":
         with open(path, "rb") as f:
             raw = f.read()
         if raw[:4] == b"CSI\x01":
