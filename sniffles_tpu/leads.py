@@ -29,9 +29,25 @@ from sniffles_tpu.io.bam import (BamRead, CINS, CDEL, CSOFT_CLIP, CHARD_CLIP, CM
 log = logging.getLogger(__name__)
 
 
-@dataclass
+@dataclass(slots=True)
 class Lead:
-    """A raw SV signature from one read (reference: leadprov.py:34-141)."""
+    """A raw SV signature from one read (reference: leadprov.py:34-141).
+
+    Slots: leads are the most numerous objects in the pipeline (millions
+    at WGS scale), so per-instance dicts dominate memory without them.
+    `__setstate__` also accepts the reference's dict-form pickle state so
+    Leads inside reference-written SNF blocks still load (compat.py maps
+    sniffles.leadprov.Lead here)."""
+
+    def __setstate__(self, state):
+        if isinstance(state, tuple):
+            d, s = state
+        else:
+            d, s = state, None
+        for src in (d, s):
+            if src:
+                for k, v in src.items():
+                    object.__setattr__(self, k, v)
     read_id: int = None
     read_qname: str = None
     contig: str = None
