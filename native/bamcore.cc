@@ -21,6 +21,50 @@
 #include <thread>
 #include <vector>
 #include <zlib.h>
+#include <dlfcn.h>
+
+// ---------------------------------------------------------------------------
+// libdeflate (optional, dlopen'd): raw-deflate decode 2-3x faster than
+// zlib inflate. BGZF stores each block's exact uncompressed size (ISIZE),
+// which is libdeflate's fastest mode (single-shot, exact output buffer).
+// Falls back to zlib when the library is absent at runtime.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+typedef void* (*ld_alloc_fn)();
+typedef int (*ld_decomp_fn)(void*, const void*, size_t, void*, size_t, size_t*);
+typedef void (*ld_free_fn)(void*);
+
+struct LibDeflate {
+    ld_alloc_fn alloc_decompressor = nullptr;
+    ld_decomp_fn deflate_decompress = nullptr;
+    ld_free_fn free_decompressor = nullptr;
+    bool ok = false;
+    LibDeflate() {
+        void* h = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_LOCAL);
+        if (!h) h = dlopen("libdeflate.so", RTLD_NOW | RTLD_LOCAL);
+        if (!h) return;
+        alloc_decompressor = (ld_alloc_fn)dlsym(h, "libdeflate_alloc_decompressor");
+        deflate_decompress = (ld_decomp_fn)dlsym(h, "libdeflate_deflate_decompress");
+        free_decompressor = (ld_free_fn)dlsym(h, "libdeflate_free_decompressor");
+        ok = alloc_decompressor && deflate_decompress && free_decompressor;
+    }
+};
+
+const LibDeflate& libdeflate() {
+    static LibDeflate ld;
+    return ld;
+}
+
+// ISIZE (uncompressed length) from the BGZF block tail.
+inline uint32_t bgzf_isize(const uint8_t* raw, int64_t in_off, int32_t bsize) {
+    uint32_t isize;
+    std::memcpy(&isize, raw + in_off + bsize - 4, 4);
+    return isize;
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -59,18 +103,34 @@ int bamcore_bgzf_inflate(const uint8_t* raw, int64_t raw_len,
         int64_t cdata_len = bsize - 12 - xlen - 8;
         if (in_off + bsize > raw_len) break;  // truncated tail block
 
-        z_stream zs;
-        std::memset(&zs, 0, sizeof(zs));
-        if (inflateInit2(&zs, -15) != Z_OK) return -3;
-        zs.next_in = const_cast<Bytef*>(raw + cdata_off);
-        zs.avail_in = (uInt)cdata_len;
-        zs.next_out = out + out_off;
-        zs.avail_out = (uInt)(out_cap - out_off);
-        int ret = inflate(&zs, Z_FINISH);
-        int64_t produced = (int64_t)zs.total_out;
-        inflateEnd(&zs);
-        if (ret != Z_STREAM_END) return -4;
-        out_off += produced;
+        const LibDeflate& ld = libdeflate();
+        if (ld.ok) {
+            uint32_t isize = bgzf_isize(raw, in_off, bsize);
+            if (out_off + (int64_t)isize > out_cap) return -5;
+            if (isize > 0) {
+                static thread_local void* dec = nullptr;
+                if (!dec) dec = ld.alloc_decompressor();
+                if (!dec) return -3;
+                size_t actual = 0;
+                int ret = ld.deflate_decompress(dec, raw + cdata_off, (size_t)cdata_len,
+                                                out + out_off, (size_t)isize, &actual);
+                if (ret != 0 || actual != isize) return -4;
+            }
+            out_off += isize;
+        } else {
+            z_stream zs;
+            std::memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, -15) != Z_OK) return -3;
+            zs.next_in = const_cast<Bytef*>(raw + cdata_off);
+            zs.avail_in = (uInt)cdata_len;
+            zs.next_out = out + out_off;
+            zs.avail_out = (uInt)(out_cap - out_off);
+            int ret = inflate(&zs, Z_FINISH);
+            int64_t produced = (int64_t)zs.total_out;
+            inflateEnd(&zs);
+            if (ret != Z_STREAM_END) return -4;
+            out_off += produced;
+        }
         in_off += bsize;
     }
     *out_len = out_off;
@@ -91,10 +151,13 @@ int bamcore_bgzf_inflate_mt(const uint8_t* raw,
     std::atomic<int64_t> next(0);
     std::atomic<int> err(0);
 
+    const LibDeflate& ld = libdeflate();
+
     auto worker = [&]() {
+        void* dec = ld.ok ? ld.alloc_decompressor() : nullptr;
         z_stream zs;
         std::memset(&zs, 0, sizeof(zs));
-        if (inflateInit2(&zs, -15) != Z_OK) { err.store(-3); return; }
+        if (!dec && inflateInit2(&zs, -15) != Z_OK) { err.store(-3); return; }
         for (;;) {
             int64_t i = next.fetch_add(1);
             if (i >= n_blocks || err.load() != 0) break;
@@ -106,15 +169,27 @@ int bamcore_bgzf_inflate_mt(const uint8_t* raw,
             int64_t cdata_off = in_off + 12 + xlen;
             int64_t cdata_len = bsize - 12 - xlen - 8;
             if (block_out_off[i] >= out_cap) { err.store(-5); break; }
-            if (inflateReset(&zs) != Z_OK) { err.store(-3); break; }
-            zs.next_in = const_cast<Bytef*>(raw + cdata_off);
-            zs.avail_in = (uInt)cdata_len;
-            zs.next_out = out + block_out_off[i];
-            zs.avail_out = (uInt)(out_cap - block_out_off[i]);
-            int ret = inflate(&zs, Z_FINISH);
-            if (ret != Z_STREAM_END) { err.store(-4); break; }
+            if (dec) {
+                uint32_t isize = bgzf_isize(raw, in_off, bsize);
+                if (block_out_off[i] + (int64_t)isize > out_cap) { err.store(-5); break; }
+                if (isize == 0) continue;
+                size_t actual = 0;
+                int ret = ld.deflate_decompress(dec, raw + cdata_off, (size_t)cdata_len,
+                                                out + block_out_off[i], (size_t)isize,
+                                                &actual);
+                if (ret != 0 || actual != isize) { err.store(-4); break; }
+            } else {
+                if (inflateReset(&zs) != Z_OK) { err.store(-3); break; }
+                zs.next_in = const_cast<Bytef*>(raw + cdata_off);
+                zs.avail_in = (uInt)cdata_len;
+                zs.next_out = out + block_out_off[i];
+                zs.avail_out = (uInt)(out_cap - block_out_off[i]);
+                int ret = inflate(&zs, Z_FINISH);
+                if (ret != Z_STREAM_END) { err.store(-4); break; }
+            }
         }
-        inflateEnd(&zs);
+        if (dec) ld.free_decompressor(dec);
+        else inflateEnd(&zs);
     };
 
     std::vector<std::thread> threads;

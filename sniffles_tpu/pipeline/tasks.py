@@ -530,8 +530,14 @@ class CombineTask(Task):
                         # within this batch (align_call fills it)
                         ed_cache = {} if (svtype == "INS"
                                           and self.config.combine_pctseq) else None
+                        # device prefilter only under the combine device path
+                        # opt-in (--tpu-combine): riding the default
+                        # --tpu-device-pipeline here made every combine pay
+                        # per-shape device dispatch/compile latency, which
+                        # dwarfs the host Myers scan at typical batch sizes
                         if (svtype == "INS" and self.config.combine_pctseq
-                                and getattr(self.config, "tpu_device_pipeline", False)
+                                and getattr(self.config, "tpu_combine", False)
+                                and self.config.threads == 0
                                 and len(svcands) >= 8):
                             try:
                                 from sniffles_tpu.ops.edit_distance_jax import build_distance_cache
