@@ -1,14 +1,23 @@
 """
 Device-backed multi-sample candidate grouping for the production
-combine path (--tpu-combine): the sort-and-segment grouping kernel
-(ops/combine_groups) assigns candidates to groups on the device; SVGroup
-objects are materialized from the assignment and flow through the exact
-host group-calling chain (SVGroup.call), replacing the sequential greedy
-assignment of cluster.resolve_block_groups (reference: cluster.py:356-390).
+combine path (--tpu-combine).
 
-The INS sequence-identity gate (combine_pctseq, reference: sv.py:280-289)
-is applied after grouping: members failing the gate against their
-group's first candidate are evicted into their own groups.
+Design: the device computes a coarse position segmentation of the
+batch (ops/combine_groups.coarse_segments) at sorted-position gaps
+larger than combine_match_max — cuts the host greedy provably cannot
+merge across — and the exact host greedy assignment
+(cluster.resolve_block_groups, reference: cluster.py:356-390) then runs
+independently inside each segment. The result is identical to the host
+path by construction (including tie-breaking: see the output ordering
+note below), while the quadratic candidate×group scan is confined to
+tiny per-segment populations and the INS sequence-identity gates can be
+served from a device-precomputed edit-distance cache.
+
+An earlier revision re-implemented the greedy itself as an
+adjacent-pair segment kernel; at population scale (64+ samples) its
+grouping diverged from the evolving-mean greedy and downstream QC
+dropped most records. Correctness owns the grouping; the device owns
+segmentation and the batched DP.
 """
 from __future__ import annotations
 
@@ -16,103 +25,83 @@ import logging
 
 import numpy as np
 
-from sniffles_tpu import svcall as sv
-from sniffles_tpu.ops.clustering import SVTYPE_CODES
+from sniffles_tpu import cluster as cl
 
 log = logging.getLogger(__name__)
 
 
 def device_block_groups(svtype: str, svcands: list, groups_initial: list, config,
                         ed_cache=None) -> list:
-    """
-    Drop-in for cluster.resolve_block_groups with device grouping.
-
-    Existing kept groups are represented by their first candidate so the
-    kernel can merge ongoing frontier groups with new candidates; their
-    accumulated members are re-attached afterwards.
-    """
+    """Drop-in for cluster.resolve_block_groups (output-identical)."""
     import jax.numpy as jnp
-    from sniffles_tpu.ops.combine_groups import group_candidates
+    from sniffles_tpu.ops.combine_groups import coarse_segments
 
-    # Candidate rows: new candidates plus one representative per kept group
-    rows = [(cand, None) for cand in svcands] + \
-           [(g.candidates[0], g) for g in groups_initial]
-    n = len(rows)
-    if n == 0:
+    n_cands = len(svcands)
+    if n_cands == 0:
         return groups_initial
 
-    size = 256
-    while size < n:
-        size *= 2
+    # rows: kept frontier groups (by their evolving pos_mean) + candidates
+    rows = [(g.pos_mean, 0, i) for i, g in enumerate(groups_initial)] + \
+           [(c.pos, 1, i) for i, c in enumerate(svcands)]
+    n = len(rows)
+    gap = float(config.combine_match_max)
+    if n < 1024:
+        # streaming combine batches are capped at max(25, n_samples/2)
+        # candidates (reference: parallel.py:489-528), far below where a
+        # device round trip pays for itself — same segmentation in numpy
+        pos_np = np.fromiter((p for p, _, _ in rows), dtype=np.int64, count=n)
+        order = np.argsort(pos_np, kind="stable")
+        p_sorted = pos_np[order]
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        np.greater(p_sorted[1:] - p_sorted[:-1], gap, out=boundary[1:])
+        seg = np.cumsum(boundary) - 1
+    else:
+        size = 1024
+        while size < n:
+            size *= 2
+        pos = np.zeros(size, dtype=np.int32)
+        valid = np.zeros(size, dtype=bool)
+        for j, (p, _, _) in enumerate(rows):
+            pos[j] = int(p)
+            valid[j] = True
+        order, seg = coarse_segments(jnp.asarray(pos), jnp.asarray(valid), gap)
+        order = np.asarray(order)
+        seg = np.asarray(seg)
 
-    cand_arrays = {
-        "pos": np.zeros(size, dtype=np.int32),
-        "svlen": np.zeros(size, dtype=np.int32),
-        "svtype": np.zeros(size, dtype=np.int32),
-        "sample_id": np.zeros(size, dtype=np.int32),
-        "support": np.zeros(size, dtype=np.int32),
-        "qc": np.zeros(size, dtype=bool),
-        "valid": np.zeros(size, dtype=bool),
-    }
-    tcode = SVTYPE_CODES.get(svtype, 0)
-    for i, (cand, _) in enumerate(rows):
-        cand_arrays["pos"][i] = cand.pos
-        cand_arrays["svlen"][i] = cand.svlen
-        cand_arrays["svtype"][i] = tcode
-        cand_arrays["sample_id"][i] = cand.sample_internal_id or 0
-        cand_arrays["support"][i] = cand.support
-        cand_arrays["qc"][i] = bool(cand.qc)
-        cand_arrays["valid"][i] = True
-    # row identity travels through the kernel's sorts via a unique key
-    # recovered by (pos, svlen, sample, support) — attach explicit index
-    # instead: reuse sample_id? Use a parallel lookup by sorting order.
-    out = group_candidates({k: jnp.asarray(v) for k, v in cand_arrays.items()},
-                           combine_match=float(config.combine_match),
-                           combine_match_max=float(config.combine_match_max))
-
-    gid = np.asarray(out["group_id"])
-    valid = np.asarray(out["valid"])
-    pos_s = np.asarray(out["pos"])
-    len_s = np.asarray(out["svlen"])
-    sam_s = np.asarray(out["sample_id"])
-    sup_s = np.asarray(out["support"])
-
-    # map sorted rows back to original candidates
-    buckets: dict[tuple, list] = {}
-    for i, (cand, keep_group) in enumerate(rows):
-        key = (cand.pos, cand.svlen, cand.sample_internal_id or 0, cand.support)
-        buckets.setdefault(key, []).append((cand, keep_group))
-
-    assignment: dict[int, list] = {}
-    for i in np.nonzero(valid)[0]:
-        key = (int(pos_s[i]), int(len_s[i]), int(sam_s[i]), int(sup_s[i]))
-        cand, keep_group = buckets[key].pop()
-        assignment.setdefault(int(gid[i]), []).append((cand, keep_group))
-
-    groups_out: list = []
-    for gid_val in sorted(assignment):
-        members = assignment[gid_val]
-        # kept frontier groups absorb the new members of their device group
-        kept = [kg for _, kg in members if kg is not None]
-        news = [c for c, kg in members if kg is None]
-        if kept:
-            base = kept[0]
-            # merge any additional kept groups the kernel united
-            for extra in kept[1:]:
-                for c in extra.candidates:
-                    base.add_candidate(c)
-                base.coverages_nonincluded.update(extra.coverages_nonincluded)
-        elif news:
-            news.sort(key=lambda c: c.support, reverse=True)
-            base = sv.SVGroup.from_candidate(news.pop(0))
+    # bucket rows by segment, in ascending position order
+    seg_keeps: dict[int, list] = {}
+    seg_cands: dict[int, list] = {}
+    seg_order: list[int] = []
+    for k in range(n):  # first n sorted entries are the valid rows
+        j = int(order[k])
+        s = int(seg[k])
+        if s not in seg_keeps:
+            seg_keeps[s] = []
+            seg_cands[s] = []
+            seg_order.append(s)
+        _, kind, idx = rows[j]
+        if kind == 0:
+            seg_keeps[s].append(idx)
         else:
-            continue
+            seg_cands[s].append(idx)
 
-        for cand in sorted(news, key=lambda c: c.support, reverse=True):
-            if config.combine_pctseq and svtype == "INS" and \
-                    not base.align_call(cand, config.combine_pctseq, ed_cache):
-                groups_out.append(sv.SVGroup.from_candidate(cand))
-            else:
-                base.add_candidate(cand)
-        groups_out.append(base)
-    return groups_out
+    # exact host greedy inside each segment
+    out_by_seg: dict[int, list] = {}
+    for s in seg_order:
+        keeps = [groups_initial[i] for i in sorted(seg_keeps[s])]
+        cands = [svcands[i] for i in sorted(seg_cands[s])]
+        out_by_seg[s] = cl.resolve_block_groups(svtype, cands, keeps, config, ed_cache)
+
+    # reconstruct the host path's global output order: groups_initial in
+    # their original order first, then new groups by the global
+    # support-descending rank of their creating candidate (greedy
+    # creation order) — keeps downstream id assignment/tie-breaking
+    # byte-identical to the host run
+    keep_rank = {id(g): i for i, g in enumerate(groups_initial)}
+    cand_rank = {id(c): i for i, c in enumerate(
+        sorted(svcands, key=lambda cand: cand.support, reverse=True))}
+    out = [g for groups in out_by_seg.values() for g in groups]
+    out.sort(key=lambda g: (1, cand_rank[id(g.candidates[0])])
+             if id(g) not in keep_rank else (0, keep_rank[id(g)]))
+    return out

@@ -527,27 +527,16 @@ class CombineTask(Task):
                             continue
 
                         # memoizes host edit distances across group probes
-                        # within this batch (align_call fills it)
+                        # within this batch (align_call fills it). An eager
+                        # device all-pairs prefilter was tried here and
+                        # removed: the greedy probes only a few pairs per
+                        # batch (with length-bound shortcuts), so computing
+                        # every pair ahead of time loses even before device
+                        # dispatch latency; the mesh-sharded combine step
+                        # (parallel/mesh.py) keeps its own batched DP where
+                        # whole blocks are resident on device.
                         ed_cache = {} if (svtype == "INS"
                                           and self.config.combine_pctseq) else None
-                        # device prefilter only under the combine device path
-                        # opt-in (--tpu-combine): riding the default
-                        # --tpu-device-pipeline here made every combine pay
-                        # per-shape device dispatch/compile latency, which
-                        # dwarfs the host Myers scan at typical batch sizes
-                        if (svtype == "INS" and self.config.combine_pctseq
-                                and getattr(self.config, "tpu_combine", False)
-                                and self.config.threads == 0
-                                and len(svcands) >= 8):
-                            try:
-                                from sniffles_tpu.ops.edit_distance_jax import build_distance_cache
-                                ed_cache = build_distance_cache(
-                                    [g.candidates[0].alt for g in keep]
-                                    + [c.alt for c in svcands],
-                                    [c.alt for c in svcands])
-                            except Exception:
-                                log.debug("device edit-distance prefilter unavailable",
-                                          exc_info=True)
                         use_device_combine = (getattr(self.config, "tpu_combine", False)
                                               and self.config.threads == 0
                                               and svtype != "BND" and len(svcands) >= 4)

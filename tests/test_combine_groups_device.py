@@ -104,3 +104,71 @@ def test_device_grouping_matches_greedy_on_separated_sites():
     counts = np.asarray(out["group_sample_count"])[:n_groups]
     host_counts = sorted(len({m[2] for m in g["members"]}) for g in host_groups)
     assert sorted(counts.tolist()) == host_counts
+
+
+def _mk_call(pos, svlen, svtype, sample, support, alt, qc=True):
+    from sniffles_tpu import svcall as sv
+    c = sv.SVCall(
+        contig="chr1", pos=pos, id=f"{svtype}.{pos}.{sample}", ref="N", alt=alt,
+        qual=50, filter="PASS", info={}, svtype=svtype, svlen=svlen,
+        end=pos + abs(svlen) if svtype == "DEL" else pos,
+        genotypes={0: (0, 1, 60, support, support, (None, None))},
+        precise=True, support=support, rnames=None, qc=qc, nm=-1,
+        postprocess=None, fwd=support // 2, rev=support - support // 2,
+        coverage_upstream=30, coverage_start=30, coverage_center=30,
+        coverage_end=30, coverage_downstream=30)
+    c.sample_internal_id = sample
+    return c
+
+
+def _group_shape(groups):
+    return [tuple(c.id for c in g.candidates) for g in groups]
+
+
+@pytest.mark.parametrize("svtype", ["INS", "DEL"])
+def test_device_block_groups_identical_to_host_greedy_population(svtype):
+    """device_block_groups must reproduce cluster.resolve_block_groups
+    exactly — member assignment AND output order — at population scale
+    (64 samples, multi-allelic sites, kept frontier groups)."""
+    import copy
+    from sniffles_tpu import cluster as cl
+    from sniffles_tpu import svcall as sv
+    from sniffles_tpu.parallel.device_combine import device_block_groups
+    from sniffles_tpu.config import SnifflesConfig
+
+    config = SnifflesConfig("--input", "x.snf", "--vcf", "y.vcf")
+    rng = np.random.default_rng(23)
+
+    seqpool = ["".join(rng.choice(list("ACGT"), size=200)) for _ in range(6)]
+    cands = []
+    pos0 = 50_000
+    for site in range(12):
+        base_alleles = [(60 + 10 * a, seqpool[a % len(seqpool)]) for a in range(1 + site % 3)]
+        for sample in range(64):
+            if rng.random() < 0.3:
+                continue
+            ln, seq = base_alleles[int(rng.integers(len(base_alleles)))]
+            ln = int(ln + rng.integers(-3, 4))
+            alt = seq[:ln] if svtype == "INS" else f"<{svtype}>"
+            cands.append(_mk_call(int(pos0 + rng.integers(-15, 16)),
+                                  ln if svtype == "INS" else -ln,
+                                  svtype, sample, int(rng.integers(4, 40)), alt))
+        pos0 += int(rng.integers(2_500, 40_000))
+    rng.shuffle(cands)
+
+    # kept frontier groups near the first two sites
+    keeps = []
+    for i in range(2):
+        g = sv.SVGroup.from_candidate(_mk_call(50_000 + 7_000 * i, 64, svtype, 99,
+                                               30, seqpool[0][:64] if svtype == "INS"
+                                               else f"<{svtype}>"))
+        keeps.append(g)
+
+    cands_h = copy.deepcopy(cands)
+    keeps_h = copy.deepcopy(keeps)
+    host = cl.resolve_block_groups(svtype, cands_h, keeps_h, config, None)
+
+    dev = device_block_groups(svtype, cands, keeps, config, None)
+
+    assert _group_shape(dev) == _group_shape(host)
+    assert [g.pos_mean for g in dev] == pytest.approx([g.pos_mean for g in host])
