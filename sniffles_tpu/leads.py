@@ -669,34 +669,50 @@ class LeadProvider:
             if len(interesting) == 0:
                 continue
             read_id_of = dict(zip(idxs.tolist(), read_ids.tolist()))
-            ev_lo = np.searchsorted(ev_rec, interesting, side="left")
-            ev_hi = np.searchsorted(ev_rec, interesting, side="right")
+            ev_lo = np.searchsorted(ev_rec, interesting, side="left").tolist()
+            ev_hi = np.searchsorted(ev_rec, interesting, side="right").tolist()
+
+            # batch scalar extraction: one .tolist() per column beats
+            # per-element numpy indexing (~8 boxed reads per record) in
+            # this, the last remaining per-read Python loop
+            flag_l = flag_arr[interesting].tolist()
+            pos_l = pos_arr[interesting].tolist()
+            hp_l = c["hp"][interesting].tolist()
+            ps_l = c["ps"][interesting].tolist()
+            nm_raw_l = c["nm"][interesting].tolist()
+            lis_l = c["large_indel_sum"][interesting].tolist()
+            qalen_l = qalen_arr[interesting].tolist()
+            mapq_l = c["mapq"][interesting].tolist()
+            sa_l = has_sa_arr[interesting].tolist()
+            ev_op_l = res.events["op"].tolist()
+            ev_oplen_l = res.events["oplen"].tolist()
+            ev_pos_ref_l = res.events["pos_ref"].tolist()
+            ev_pos_read_l = res.events["pos_read"].tolist()
 
             for k, i in enumerate(interesting.tolist()):
-                flag = int(flag_arr[i])
-                ref_start = int(pos_arr[i])
-                hp = int(c["hp"][i])
-                ps_raw = int(c["ps"][i])
+                flag = flag_l[k]
+                ref_start = pos_l[k]
+                hp = hp_l[k]
+                ps_raw = ps_l[k]
                 ps = ps_raw if ps_raw >= 0 else "NULL"
-                has_sa = bool(has_sa_arr[i])
+                has_sa = sa_l[k]
                 is_supp = bool(flag & FSUPPLEMENTARY)
                 use_clips = detect_large_ins and not is_supp and not has_sa
                 curr_read_id = read_id_of[i]
                 nm = -1
-                if advanced_tags and int(c["nm"][i]) >= 0:
-                    nm = (int(c["nm"][i]) - int(c["large_indel_sum"][i])) \
-                        / float(int(qalen_arr[i]) + 1)
+                if advanced_tags and nm_raw_l[k] >= 0:
+                    nm = (nm_raw_l[k] - lis_l[k]) / float(qalen_l[k] + 1)
                 qname = res.name(i)
                 strand = "-" if (flag & FREVERSE) else "+"
-                mapq = int(c["mapq"][i])
-                read_len = int(qalen_arr[i])
+                mapq = mapq_l[k]
+                read_len = qalen_l[k]
 
                 # CIGAR indel/clip leads from pre-extracted native events
-                for e in range(int(ev_lo[k]), int(ev_hi[k])):
-                    op = int(res.events["op"][e])
-                    oplength = int(res.events["oplen"][e])
-                    pos_ref = int(res.events["pos_ref"][e])
-                    pos_read = int(res.events["pos_read"][e])
+                for e in range(ev_lo[k], ev_hi[k]):
+                    op = ev_op_l[e]
+                    oplength = ev_oplen_l[e]
+                    pos_ref = ev_pos_ref_l[e]
+                    pos_read = ev_pos_read_l[e]
                     if op == OP_I:
                         yield Lead(curr_read_id, qname, region.contig,
                                    pos_ref, pos_ref, pos_read, pos_read + oplength,
