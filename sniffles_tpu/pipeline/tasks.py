@@ -185,8 +185,9 @@ class Task:
 
             if config.dev_output_candidates:
                 try:
-                    svc.csv_line  # noqa - cache csv data
-                    svc.csv_line_single  # noqa
+                    # snapshot CSV lines while postprocess info is attached
+                    svc.csv_line = svc._to_csv_line()
+                    svc.csv_line_single = svc._to_csv_line(single_break=True)
                 except Exception:
                     log.exception(f'Error generating CSV line for {svc}')
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import logging
 import math
 from dataclasses import dataclass, field
-from functools import cached_property
+
 from typing import Optional, TYPE_CHECKING
 
 from sniffles_tpu import util
@@ -82,9 +82,15 @@ class ForwardDifferenceWelford:
         return self.m2 / self.n  # ddof=0
 
 
-@dataclass
+@dataclass(slots=True)
 class SVCall:
-    """A called SV record (reference: sv.py:87-223)."""
+    """A called SV record (reference: sv.py:87-223).
+
+    Slots: calls are the bulk of SNF blocks and combine working sets
+    (samples x blocks), so per-instance dicts dominate memory at
+    population scale. `__setstate__` also accepts the reference's
+    dict-form pickle state so SVCalls inside reference-written SNF
+    blocks still load (compat.py maps sniffles.sv.SVCall here)."""
     contig: str
     pos: int
     id: str
@@ -128,7 +134,28 @@ class SVCall:
     raw_vcf_line: Optional[str] = None
     raw_vcf_line_index: Optional[int] = None
 
-    _counter = 0
+    # snapshotted candidate-CSV lines (see Task.finalize_candidates:
+    # computed while postprocess info is still attached, consumed by
+    # CallResult.store_candidates); plain fields instead of
+    # cached_property so the class can use slots
+    csv_line: Optional[tuple] = None
+    csv_line_single: Optional[tuple] = None
+
+    # force-calling match state (GenotypeTask, reference: parallel.py:309-366)
+    genotype_match_sv: Optional['SVCall'] = None
+    genotype_match_dist: float = 0.0
+
+    def __setstate__(self, state):
+        # accept both the slots pickle form and the reference's plain
+        # dict form (reference SNF interop)
+        if isinstance(state, tuple):
+            d, s = state
+        else:
+            d, s = state, None
+        for src in (d, s):
+            if src:
+                for k, v in src.items():
+                    object.__setattr__(self, k, v)
 
     def set_info(self, k, v):
         self.info[k] = v
@@ -139,17 +166,9 @@ class SVCall:
     def has_info(self, k):
         return k in self.info
 
-    @cached_property
+    @property
     def is_single_break(self) -> bool:
         return self.svtype.startswith('SINGLE')
-
-    @cached_property
-    def csv_line(self) -> tuple | None:
-        return self._to_csv_line()
-
-    @cached_property
-    def csv_line_single(self) -> tuple | None:
-        return self._to_csv_line(single_break=True)
 
     def _to_csv_line(self, single_break: bool = False) -> tuple | None:
         """Candidate CSV emission (reference: sv.py:180-214)."""
