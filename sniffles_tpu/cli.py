@@ -19,7 +19,7 @@ from sniffles_tpu import util
 from sniffles_tpu.config import SnifflesConfig
 
 
-def main_with_config(config: SnifflesConfig, processes: list) -> None:
+def main_with_config(config: SnifflesConfig, processes: list) -> int:
     from sniffles_tpu.io import vcf as vcfmod
     from sniffles_tpu.io import snf as snfmod
     from sniffles_tpu.io.bam import AlignmentFile
@@ -406,6 +406,17 @@ def main_with_config(config: SnifflesConfig, processes: list) -> None:
     if monitor:
         monitor.stop()
 
+    # The reference logs task errors and still exits 0 with partial
+    # results (reference: result.py:288-299, sniffles:544-547); surface
+    # them in the exit code instead so pipelines can't silently consume
+    # a truncated VCF.
+    n_errors = sum(1 for t in finished_tasks if getattr(t.result, "error", False))
+    if n_errors or len(tasks) > 0:
+        log.error(f"{n_errors} task(s) failed, {len(tasks)} task(s) unprocessed; "
+                  f"output is partial.")
+        return 1
+    return 0
+
 
 def main(args: list[str] = None) -> int:
     processes: list = []
@@ -440,7 +451,7 @@ def main(args: list[str] = None) -> int:
 
     try:
         config = SnifflesConfig(*(args or []))
-        main_with_config(config, processes)
+        return main_with_config(config, processes) or 0
     except (util.SnifflesTPUExit, SystemExit) as exit_code:
         if len(processes):
             print("sniffles-tpu: Shutting down workers")

@@ -44,10 +44,12 @@ class Lead:
             d, s = state
         else:
             d, s = state, None
+        fields = self.__class__.__slots__
         for src in (d, s):
             if src:
                 for k, v in src.items():
-                    object.__setattr__(self, k, v)
+                    if k in fields:
+                        object.__setattr__(self, k, v)
     read_id: int = None
     read_qname: str = None
     contig: str = None

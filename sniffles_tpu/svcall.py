@@ -146,16 +146,20 @@ class SVCall:
     genotype_match_dist: float = 0.0
 
     def __setstate__(self, state):
-        # accept both the slots pickle form and the reference's plain
-        # dict form (reference SNF interop)
+        # accept both the slots pickle form and dict-form states: the
+        # reference's plain-dataclass pickles (SNF interop) and pre-slots
+        # pickles of this class, whose __dict__ may carry cached-property
+        # values (is_single_break/csv_line) that are not settable fields
         if isinstance(state, tuple):
             d, s = state
         else:
             d, s = state, None
+        fields = self.__class__.__slots__
         for src in (d, s):
             if src:
                 for k, v in src.items():
-                    object.__setattr__(self, k, v)
+                    if k in fields:
+                        object.__setattr__(self, k, v)
 
     def set_info(self, k, v):
         self.info[k] = v
