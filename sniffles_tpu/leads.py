@@ -591,6 +591,7 @@ class LeadProvider:
         nm_sum = 0.0
         nm_count = 0
         coverage = self.coverage
+        hap_diff = None  # (3, n_bins+1) per-hp difference accumulator
 
         from sniffles_tpu.io import native
         from sniffles_tpu.io.bam import parse_record, FREVERSE, FSECONDARY, FSUPPLEMENTARY
@@ -643,25 +644,22 @@ class LeadProvider:
                 nm_sum += float(nm_vals[has_nm].sum())
                 nm_count += int(has_nm.sum())
 
-            # haplotype/REF-bin counts, batched via per-hp difference arrays
+            # haplotype/REF-bin counts: accumulate per-region difference
+            # arrays across batches, folded into the leadhapcount dict
+            # ONCE after the scan (a per-batch dict fold was ~1.5M dict
+            # ops on a 30x multi-contig run)
             hp_arr = np.clip(c["hp"][idxs], 0, 2)
             bin_start = (starts // ld_binsize).astype(np.int64)
             bin_end = (ends // ld_binsize).astype(np.int64)
-            n_bins = int(bin_end.max()) + 1
-            for hpv in np.unique(hp_arr):
-                sel = hp_arr == hpv
-                d = np.zeros(n_bins + 1, dtype=np.int64)
-                np.add.at(d, bin_start[sel], 1)
-                np.add.at(d, np.minimum(bin_end[sel], n_bins), -1)
-                counts = np.cumsum(d[:n_bins])
-                ref_hapc = self.leadhapcount["REF"]
-                for b in np.nonzero(counts)[0]:
-                    key = int(b) * ld_binsize
-                    row = ref_hapc.get(key)
-                    if row is None:
-                        row = [0, 0, 0]
-                        ref_hapc[key] = row
-                    row[int(hpv)] += int(counts[b])
+            if hap_diff is None or hap_diff.shape[1] <= int(bin_end.max()) + 1:
+                need = max(int(bin_end.max()) + 2,
+                           len(coverage) // ld_binsize + 2)
+                grown = np.zeros((3, need), dtype=np.int64)
+                if hap_diff is not None:
+                    grown[:, :hap_diff.shape[1]] = hap_diff
+                hap_diff = grown
+            np.add.at(hap_diff, (hp_arr, bin_start), 1)
+            np.add.at(hap_diff, (hp_arr, bin_end), -1)
 
             # Only reads producing leads need Python-side work
             has_events = np.zeros(len(pos_arr), dtype=bool)
@@ -756,6 +754,22 @@ class LeadProvider:
                     if not is_supp:
                         yield from read_itersplits(curr_read_id, read, region.contig, config,
                                                    read_nm=nm, read_hap=hp, read_ps=ps)
+
+        if hap_diff is not None:
+            counts = np.cumsum(hap_diff[:, :-1], axis=1)
+            ref_hapc = self.leadhapcount["REF"]
+            nz = np.nonzero(counts.any(axis=0))[0]
+            c0, c1, c2 = (counts[0, nz].tolist(), counts[1, nz].tolist(),
+                          counts[2, nz].tolist())
+            for j, b in enumerate(nz.tolist()):
+                key = b * ld_binsize
+                row = ref_hapc.get(key)
+                if row is None:
+                    ref_hapc[key] = [c0[j], c1[j], c2[j]]
+                else:
+                    row[0] += c0[j]
+                    row[1] += c1[j]
+                    row[2] += c2[j]
 
         config.average_regional_nm = nm_sum / float(max(1, nm_count))
         config.qc_nm_threshold = config.average_regional_nm
