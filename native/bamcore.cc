@@ -104,13 +104,12 @@ int bamcore_bgzf_inflate(const uint8_t* raw, int64_t raw_len,
         if (in_off + bsize > raw_len) break;  // truncated tail block
 
         const LibDeflate& ld = libdeflate();
-        if (ld.ok) {
+        static thread_local void* dec = nullptr;
+        if (ld.ok && !dec) dec = ld.alloc_decompressor();
+        if (ld.ok && dec) {
             uint32_t isize = bgzf_isize(raw, in_off, bsize);
             if (out_off + (int64_t)isize > out_cap) return -5;
             if (isize > 0) {
-                static thread_local void* dec = nullptr;
-                if (!dec) dec = ld.alloc_decompressor();
-                if (!dec) return -3;
                 size_t actual = 0;
                 int ret = ld.deflate_decompress(dec, raw + cdata_off, (size_t)cdata_len,
                                                 out + out_off, (size_t)isize, &actual);

@@ -82,3 +82,48 @@ def alias_module_for_pickle(ref_name: str, module_name: str, classes) -> None:
     _ALIASES[ref_name] = module_name
     if _FINDER not in sys.meta_path:
         sys.meta_path.append(_FINDER)
+
+
+# ---------------------------------------------------------------------------
+# Pickle state application for slots dataclasses
+# ---------------------------------------------------------------------------
+
+_STATE_DEFAULTS_CACHE: dict[type, tuple] = {}
+
+
+def _state_defaults(cls) -> tuple:
+    """(name, default_or_factory) for every defaulted dataclass field."""
+    cached = _STATE_DEFAULTS_CACHE.get(cls)
+    if cached is None:
+        import dataclasses
+        cached = tuple(
+            (f.name,
+             f.default_factory if f.default_factory is not dataclasses.MISSING
+             else f.default)
+            for f in dataclasses.fields(cls)
+            if f.default is not dataclasses.MISSING
+            or f.default_factory is not dataclasses.MISSING)
+        _STATE_DEFAULTS_CACHE[cls] = cached
+    return cached
+
+
+def _apply_pickle_state(obj, state) -> None:
+    """__setstate__ body for slots dataclasses that must load both their
+    own slots pickle form and dict-form states from the reference's
+    plain dataclasses (SNF interop) or from pre-slots builds.
+
+    Dict-form states may lack fields added since (-> dataclass default)
+    and may carry stale cached-property entries (-> ignored)."""
+    if isinstance(state, tuple):
+        d, s = state
+    else:
+        d, s = state, None
+    cls = obj.__class__
+    for k, v in _state_defaults(cls):
+        object.__setattr__(obj, k, v() if callable(v) else v)
+    fields = cls.__slots__
+    for src in (d, s):
+        if src:
+            for k, v in src.items():
+                if k in fields:
+                    object.__setattr__(obj, k, v)

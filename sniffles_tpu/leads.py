@@ -40,16 +40,8 @@ class Lead:
     sniffles.leadprov.Lead here)."""
 
     def __setstate__(self, state):
-        if isinstance(state, tuple):
-            d, s = state
-        else:
-            d, s = state, None
-        fields = self.__class__.__slots__
-        for src in (d, s):
-            if src:
-                for k, v in src.items():
-                    if k in fields:
-                        object.__setattr__(self, k, v)
+        from sniffles_tpu.compat import _apply_pickle_state
+        _apply_pickle_state(self, state)
     read_id: int = None
     read_qname: str = None
     contig: str = None
@@ -669,8 +661,14 @@ class LeadProvider:
             if len(interesting) == 0:
                 continue
             read_id_of = dict(zip(idxs.tolist(), read_ids.tolist()))
-            ev_lo = np.searchsorted(ev_rec, interesting, side="left").tolist()
-            ev_hi = np.searchsorted(ev_rec, interesting, side="right").tolist()
+            ev_lo_a = np.searchsorted(ev_rec, interesting, side="left")
+            ev_hi_a = np.searchsorted(ev_rec, interesting, side="right")
+            # box only the event range interesting reads consume (events
+            # of reads failing the pass mask are skipped entirely)
+            ev_base = int(ev_lo_a[0]) if len(ev_lo_a) else 0
+            ev_top = int(ev_hi_a[-1]) if len(ev_hi_a) else 0
+            ev_lo = (ev_lo_a - ev_base).tolist()
+            ev_hi = (ev_hi_a - ev_base).tolist()
 
             # batch scalar extraction: one .tolist() per column beats
             # per-element numpy indexing (~8 boxed reads per record) in
@@ -684,10 +682,10 @@ class LeadProvider:
             qalen_l = qalen_arr[interesting].tolist()
             mapq_l = c["mapq"][interesting].tolist()
             sa_l = has_sa_arr[interesting].tolist()
-            ev_op_l = res.events["op"].tolist()
-            ev_oplen_l = res.events["oplen"].tolist()
-            ev_pos_ref_l = res.events["pos_ref"].tolist()
-            ev_pos_read_l = res.events["pos_read"].tolist()
+            ev_op_l = res.events["op"][ev_base:ev_top].tolist()
+            ev_oplen_l = res.events["oplen"][ev_base:ev_top].tolist()
+            ev_pos_ref_l = res.events["pos_ref"][ev_base:ev_top].tolist()
+            ev_pos_read_l = res.events["pos_read"][ev_base:ev_top].tolist()
 
             for k, i in enumerate(interesting.tolist()):
                 flag = flag_l[k]

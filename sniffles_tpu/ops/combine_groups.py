@@ -23,31 +23,6 @@ from sniffles_tpu.ops.stats import seg_median_modes
 
 
 @partial(jax.jit, static_argnames=())
-def coarse_segments(pos, valid, gap):
-    """Segment candidates at sorted-position gaps > `gap`.
-
-    With gap = combine_match_max, segments are provably interaction-free
-    for the host greedy (reference: cluster.py:356-390): a group's
-    pos_mean always lies within its members' position range, and any
-    candidate across a > combine_match_max sorted-gap is farther than
-    the join threshold from every such mean, so the greedy can never
-    merge across a cut. The exact host greedy then runs independently
-    per segment with results identical to the global run.
-
-    Returns (order, seg): `order` sorts candidates by position (invalid
-    rows last), `seg` is the segment id per sorted row.
-    """
-    INT32_MAX = jnp.int32(2 ** 31 - 1)
-    order = jnp.argsort(jnp.where(valid, pos, INT32_MAX))
-    p = jnp.take(pos, order)
-    prev = jnp.concatenate([p[:1], p[:-1]])
-    boundary = (p - prev) > gap
-    boundary = boundary.at[0].set(True)
-    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    return order, seg
-
-
-@partial(jax.jit, static_argnames=())
 def group_candidates(cand: dict, combine_match: float, combine_match_max: float) -> dict:
     """
     cand: dict of [N] arrays — pos (i32), svlen (i32), svtype (i32),

@@ -2,16 +2,17 @@
 Device-backed multi-sample candidate grouping for the production
 combine path (--tpu-combine).
 
-Design: the device computes a coarse position segmentation of the
-batch (ops/combine_groups.coarse_segments) at sorted-position gaps
-larger than combine_match_max — cuts the host greedy provably cannot
-merge across — and the exact host greedy assignment
+Design: batches are coarsely segmented at sorted-position gaps larger
+than combine_match_max — cuts the host greedy provably cannot merge
+across — and the exact host greedy assignment
 (cluster.resolve_block_groups, reference: cluster.py:356-390) then runs
 independently inside each segment. The result is identical to the host
 path by construction (including tie-breaking: see the output ordering
 note below), while the quadratic candidate×group scan is confined to
-tiny per-segment populations and the INS sequence-identity gates can be
-served from a device-precomputed edit-distance cache.
+tiny per-segment populations. Streaming batches are small (capped at
+max(25, n_samples/2)), so the segmentation itself is host-vectorized;
+device offload of combine grouping lives in the mesh-sharded step
+(ops/combine_groups.group_candidates).
 
 An earlier revision re-implemented the greedy itself as an
 adjacent-pair segment kernel; at population scale (64+ samples) its
@@ -33,41 +34,27 @@ log = logging.getLogger(__name__)
 def device_block_groups(svtype: str, svcands: list, groups_initial: list, config,
                         ed_cache=None) -> list:
     """Drop-in for cluster.resolve_block_groups (output-identical)."""
-    import jax.numpy as jnp
-    from sniffles_tpu.ops.combine_groups import coarse_segments
-
     n_cands = len(svcands)
     if n_cands == 0:
         return groups_initial
 
-    # rows: kept frontier groups (by their evolving pos_mean) + candidates
+    # rows: kept frontier groups (by their evolving pos_mean) + candidates.
+    # Streaming combine batches are capped at max(25, n_samples/2)
+    # candidates (reference: parallel.py:489-528), far below where a
+    # device round trip would pay for itself, so the segmentation is
+    # host-vectorized; device offload of combine lives in the
+    # mesh-sharded step (ops/combine_groups.group_candidates).
     rows = [(g.pos_mean, 0, i) for i, g in enumerate(groups_initial)] + \
            [(c.pos, 1, i) for i, c in enumerate(svcands)]
     n = len(rows)
     gap = float(config.combine_match_max)
-    if n < 1024:
-        # streaming combine batches are capped at max(25, n_samples/2)
-        # candidates (reference: parallel.py:489-528), far below where a
-        # device round trip pays for itself — same segmentation in numpy
-        pos_np = np.fromiter((p for p, _, _ in rows), dtype=np.int64, count=n)
-        order = np.argsort(pos_np, kind="stable")
-        p_sorted = pos_np[order]
-        boundary = np.empty(n, dtype=bool)
-        boundary[0] = True
-        np.greater(p_sorted[1:] - p_sorted[:-1], gap, out=boundary[1:])
-        seg = np.cumsum(boundary) - 1
-    else:
-        size = 1024
-        while size < n:
-            size *= 2
-        pos = np.zeros(size, dtype=np.int32)
-        valid = np.zeros(size, dtype=bool)
-        for j, (p, _, _) in enumerate(rows):
-            pos[j] = int(p)
-            valid[j] = True
-        order, seg = coarse_segments(jnp.asarray(pos), jnp.asarray(valid), gap)
-        order = np.asarray(order)
-        seg = np.asarray(seg)
+    pos_np = np.fromiter((p for p, _, _ in rows), dtype=np.int64, count=n)
+    order = np.argsort(pos_np, kind="stable")
+    p_sorted = pos_np[order]
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    np.greater(p_sorted[1:] - p_sorted[:-1], gap, out=boundary[1:])
+    seg = np.cumsum(boundary) - 1
 
     # bucket rows by segment, in ascending position order
     seg_keeps: dict[int, list] = {}

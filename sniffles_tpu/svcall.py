@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 from typing import Optional, TYPE_CHECKING
 
 from sniffles_tpu import util
+from sniffles_tpu.compat import _apply_pickle_state
 from sniffles_tpu.ops.edit_distance import edit_distance
 
 if TYPE_CHECKING:
@@ -149,17 +150,11 @@ class SVCall:
         # accept both the slots pickle form and dict-form states: the
         # reference's plain-dataclass pickles (SNF interop) and pre-slots
         # pickles of this class, whose __dict__ may carry cached-property
-        # values (is_single_break/csv_line) that are not settable fields
-        if isinstance(state, tuple):
-            d, s = state
-        else:
-            d, s = state, None
-        fields = self.__class__.__slots__
-        for src in (d, s):
-            if src:
-                for k, v in src.items():
-                    if k in fields:
-                        object.__setattr__(self, k, v)
+        # values (is_single_break/csv_line) that are not settable fields.
+        # Defaults are applied first so fields absent from an older state
+        # (e.g. csv_line on a reference-written SNF) read as their
+        # dataclass defaults instead of raising AttributeError.
+        _apply_pickle_state(self, state)
 
     def set_info(self, k, v):
         self.info[k] = v
