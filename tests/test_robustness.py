@@ -63,3 +63,32 @@ def test_module_main_entry(tmp_path):
                          capture_output=True, text=True, env=env, timeout=120)
     assert res.returncode == 0
     assert "sniffles-tpu" in res.stdout
+
+
+def test_task_errors_produce_nonzero_exit(tmp_path):
+    """Corrupt SNF blocks: tasks fail, partial results are written, and
+    the exit code is nonzero in both inline and worker modes (the
+    reference logs the errors and exits 0, result.py:288-299 — the TPU
+    build surfaces them so pipelines cannot consume a truncated VCF)."""
+    from sniffles_tpu.sim import write_dataset, PlantedSV
+
+    bam, _ = write_dataset(str(tmp_path), ref_len=120_000, depth=15, seed=4,
+                           svs=[PlantedSV(pos=50_000, svtype="DEL", svlen=120)])
+    res = run_cli(["--input", bam, "--snf", "a.snf", "--sample-id", "A",
+                   "--threads", "0"], tmp_path)
+    assert res.returncode == 0, res.stderr
+
+    # keep the JSON header line, zero the block payloads
+    raw = (tmp_path / "a.snf").read_bytes()
+    nl = raw.index(b"\n")
+    (tmp_path / "bad.snf").write_bytes(raw[:nl + 1] + bytes(len(raw) - nl - 1))
+
+    for threads in ("0", "2"):
+        res = run_cli(["--input", "a.snf", "bad.snf", "--vcf", f"o{threads}.vcf",
+                       "--threads", threads, "--allow-overwrite"], tmp_path)
+        assert res.returncode != 0, f"threads={threads} should fail: {res.stdout}"
+
+    # healthy combine still exits 0
+    res = run_cli(["--input", "a.snf", "a.snf", "--vcf", "ok.vcf",
+                   "--threads", "2", "--allow-overwrite"], tmp_path)
+    assert res.returncode == 0, res.stderr
