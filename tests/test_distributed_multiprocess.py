@@ -1,0 +1,144 @@
+"""Multi-PROCESS execution of the sharded calling step: two OS processes
+with 4 virtual CPU devices each join through jax.distributed (Gloo
+collectives standing in for DCN), build the 8-device global genome mesh,
+and run parallel/mesh.build_sharded_step with real cross-process
+psum/ppermute. Results must equal the single-process 8-device run.
+
+This validates the multi-host design (parallel/distributed.py +
+parallel/mesh.py) end to end without TPU pod hardware: the same code
+paths initialize the runtime, assign shards, elect the emitter, place
+global arrays, and execute collectives across process boundaries.
+"""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_PROC = 2
+DEV_PER_PROC = 4
+N_DEV = N_PROC * DEV_PER_PROC
+
+CHILD = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count={dev_per_proc}")
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from sniffles_tpu.parallel import distributed
+
+    pid = int(sys.argv[1])
+    assert distributed.initialize(coordinator_address=sys.argv[2],
+                                  num_processes={n_proc}, process_id=pid)
+    assert jax.process_count() == {n_proc}
+    assert jax.device_count() == {n_dev}
+    assert distributed.is_emitter() == (pid == 0)
+    assert distributed.shard_assignment(5) == [i for i in range(5)
+                                               if i % {n_proc} == pid]
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils
+    from sniffles_tpu.signatures import synthetic_batch
+    from sniffles_tpu.parallel.mesh import (make_genome_mesh, build_sharded_step,
+                                            shard_batch, GENOME_AXIS)
+    from sniffles_tpu.parallel.engine import default_params
+
+    mesh = make_genome_mesh({n_dev})
+    n_dev = {n_dev}
+    per_dev = 512
+    total = per_dev * n_dev
+    batch = synthetic_batch(total - 8, 4 * n_dev, seed=11,
+                            genome_span=50_000 * n_dev, batch_size=total)
+    sig_np = shard_batch(batch.as_dict(), n_dev)
+    cov_per_dev = 65536
+    cov_np = np.full((cov_per_dev * n_dev,), 25, dtype=np.int32)
+    off_np = (np.arange(n_dev, dtype=np.int32) * cov_per_dev)
+
+    def place(arr):
+        sharding = NamedSharding(mesh, P(GENOME_AXIS))
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
+
+    sig = {{k: place(np.asarray(v)) for k, v in sig_np.items()}}
+    coverage = place(cov_np)
+    region_offset = place(off_np)
+
+    step = build_sharded_step(mesh, default_params())
+    out = step(sig, coverage, region_offset)
+    jax.block_until_ready(out)
+
+    ncl = multihost_utils.process_allgather(out["n_clusters"], tiled=True).reshape(-1)
+    cov = multihost_utils.process_allgather(out["coverage_global"], tiled=True).reshape(-1)
+    print("RESULT", pid, ",".join(str(int(x)) for x in ncl), float(cov[0]), flush=True)
+""").format(repo=REPO, n_proc=N_PROC, n_dev=N_DEV, dev_per_proc=DEV_PER_PROC)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _expected():
+    """Single-process 8-device reference result (same construction)."""
+    import jax
+    import jax.numpy as jnp
+    from sniffles_tpu.signatures import synthetic_batch
+    from sniffles_tpu.parallel.mesh import make_genome_mesh, build_sharded_step, shard_batch
+    from sniffles_tpu.parallel.engine import default_params
+
+    mesh = make_genome_mesh(N_DEV)
+    per_dev = 512
+    total = per_dev * N_DEV
+    batch = synthetic_batch(total - 8, 4 * N_DEV, seed=11,
+                            genome_span=50_000 * N_DEV, batch_size=total)
+    sig = {k: jnp.asarray(v) for k, v in shard_batch(batch.as_dict(), N_DEV).items()}
+    coverage = jnp.full((65536 * N_DEV,), 25, dtype=jnp.int32)
+    region_offset = jnp.arange(N_DEV, dtype=jnp.int32) * 65536
+    out = build_sharded_step(mesh, default_params())(sig, coverage, region_offset)
+    jax.block_until_ready(out)
+    return (np.asarray(out["n_clusters"]).reshape(-1).tolist(),
+            float(np.asarray(out["coverage_global"]).reshape(-1)[0]))
+
+
+@pytest.mark.slow
+def test_two_process_sharded_call_step(tmp_path):
+    import jax
+    if len(jax.devices()) < N_DEV:
+        pytest.skip(f"needs {N_DEV} virtual devices")
+
+    exp_ncl, exp_cov = _expected()
+
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, "-c", CHILD, str(i), coord],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env)
+             for i in range(N_PROC)]
+    results = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out[-4000:]
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, ncl, cov = line.split()
+                results[int(pid)] = ([int(x) for x in ncl.split(",")], float(cov))
+    assert set(results) == set(range(N_PROC)), results
+
+    # every process saw the same global result, equal to single-process
+    for pid, (ncl, cov) in results.items():
+        assert ncl == exp_ncl, (pid, ncl, exp_ncl)
+        assert cov == pytest.approx(exp_cov)
