@@ -80,6 +80,26 @@ CHILD = textwrap.dedent("""
     ncl = multihost_utils.process_allgather(out["n_clusters"], tiled=True).reshape(-1)
     cov = multihost_utils.process_allgather(out["coverage_global"], tiled=True).reshape(-1)
     print("RESULT", pid, ",".join(str(int(x)) for x in ncl), float(cov[0]), flush=True)
+
+    # sharded multi-sample combine step (grouping + psum + halo exchange)
+    from sniffles_tpu.parallel.mesh import build_sharded_combine_step
+    rngc = np.random.default_rng(3)
+    total_c = 128 * n_dev
+    cand_np = {{
+        "pos": rngc.integers(0, 50_000 * n_dev, size=total_c).astype(np.int32),
+        "svlen": rngc.integers(60, 500, size=total_c).astype(np.int32),
+        "svtype": rngc.integers(0, 4, size=total_c).astype(np.int32),
+        "sample_id": rngc.integers(0, 8, size=total_c).astype(np.int32),
+        "support": rngc.integers(3, 30, size=total_c).astype(np.int32),
+        "qc": np.ones(total_c, dtype=bool),
+        "valid": np.ones(total_c, dtype=bool),
+    }}
+    cand = {{k: place(v) for k, v in cand_np.items()}}
+    cout = build_sharded_combine_step(mesh)(cand)
+    jax.block_until_ready(cout)
+    ng = multihost_utils.process_allgather(cout["n_groups"], tiled=True).reshape(-1)
+    gc = multihost_utils.process_allgather(cout["global_candidates"], tiled=True).reshape(-1)
+    print("COMBINE", pid, ",".join(str(int(x)) for x in ng), int(gc[0]), flush=True)
 """).format(repo=REPO, n_proc=N_PROC, n_dev=N_DEV, dev_per_proc=DEV_PER_PROC)
 
 
@@ -129,6 +149,7 @@ def test_two_process_sharded_call_step(tmp_path):
                               text=True, env=env)
              for i in range(N_PROC)]
     results = {}
+    combine = {}
     for p in procs:
         out, _ = p.communicate(timeout=900)
         assert p.returncode == 0, out[-4000:]
@@ -136,9 +157,20 @@ def test_two_process_sharded_call_step(tmp_path):
             if line.startswith("RESULT"):
                 _, pid, ncl, cov = line.split()
                 results[int(pid)] = ([int(x) for x in ncl.split(",")], float(cov))
+            elif line.startswith("COMBINE"):
+                _, pid, ng, gc = line.split()
+                combine[int(pid)] = ([int(x) for x in ng.split(",")], int(gc))
     assert set(results) == set(range(N_PROC)), results
+    assert set(combine) == set(range(N_PROC)), combine
 
     # every process saw the same global result, equal to single-process
     for pid, (ncl, cov) in results.items():
         assert ncl == exp_ncl, (pid, ncl, exp_ncl)
         assert cov == pytest.approx(exp_cov)
+
+    # combine: psum'd candidate total is the global count on every process,
+    # and per-shard group counts agree across processes
+    for pid, (ng, gc) in combine.items():
+        assert gc == 128 * N_DEV
+        assert ng == combine[0][0]
+        assert len(ng) == N_DEV and all(x > 0 for x in ng)
