@@ -282,6 +282,8 @@ class BamIndex:
             return cls._CACHE[key]
         idx = cls._load_uncached(path)
         if key is not None:
+            if len(cls._CACHE) >= 16:  # long-lived processes, many inputs
+                cls._CACHE.pop(next(iter(cls._CACHE)))
             cls._CACHE[key] = idx
         return idx
 
