@@ -39,7 +39,27 @@ from sniffles_tpu.io import tabix as _tabix      # noqa: E402
  CHARD_CLIP, CPAD, CEQUAL, CDIFF, CBACK) = range(10)
 
 AlignedSegment = _bam.BamRead
-AlignmentFile = _bam.AlignmentFile
+
+
+def AlignmentFile(path, mode="rb", **kwargs):
+    """Factory wrapper translating pysam's 1-based-inclusive region
+    strings (fetch(region="chr1:100-200") means 0-based [99, 200)) into
+    the 0-based half-open coordinates the underlying reader uses."""
+    handle = _bam.AlignmentFile(path, mode, **kwargs)
+    inner_fetch = handle.fetch
+
+    def fetch(contig=None, start=None, stop=None, end=None,
+              until_eof=False, region=None):
+        if region is not None:
+            c, _, span = region.partition(":")
+            if span:
+                s, _, e = span.replace(",", "").partition("-")
+                return inner_fetch(c, int(s) - 1, int(e) if e else None)
+            return inner_fetch(c)
+        return inner_fetch(contig, start, stop, end=end, until_eof=until_eof)
+
+    handle.fetch = fetch
+    return handle
 
 
 class FastaFile(_fasta.FastaFile):
