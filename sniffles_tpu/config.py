@@ -356,6 +356,11 @@ class SnifflesConfig(argparse.Namespace):
         developer_args.add_argument("--dev-no-qc", default=False, action="store_true", help=argparse.SUPPRESS)
         developer_args.add_argument("--dev-disable-interblock-threads", default=False, help=argparse.SUPPRESS, action="store_true")
         developer_args.add_argument("--dev-combine-medians", default=False, help=argparse.SUPPRESS, action="store_true")
+        # extension over the reference: the reference's combine length
+        # screen (sv.py:470-471) drops BND groups whose stored svlen is 0
+        # (all inter-contig translocations, whose leads come from
+        # Lead.for_bnd) — this flag keeps them in multi-sample output
+        developer_args.add_argument("--dev-combine-keep-bnd", default=False, help=argparse.SUPPRESS, action="store_true")
         developer_args.add_argument("--dev-monitor-memory", metavar="N", type=int, default=0, help=argparse.SUPPRESS)
         developer_args.add_argument("--dev-monitor-filename", metavar="memory.csv", type=str, help=argparse.SUPPRESS)
         developer_args.add_argument("--dev-debug-log", default=False, action="store_true", help=argparse.SUPPRESS)

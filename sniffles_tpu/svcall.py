@@ -446,11 +446,18 @@ class SVGroup:
             svcall.set_info("STDEV_POS", util.stdev(cand.pos for cand in self.candidates))
             svcall.set_info("STDEV_LEN", util.stdev(cand.svlen for cand in self.candidates))
 
-        # BNDs have no length (for_bnd leads carry svlen=0); applying the
-        # length screen to them (as the reference does at sv.py:470-471)
-        # silently drops all breakends from multi-sample output.
-        if svcall.svtype != "BND" and abs(svcall.svlen) < config.minsvlen_screen:
-            return None
+        # The reference applies the length screen HERE to every type,
+        # including BND (sv.py:470-471) — unlike call_from, which exempts
+        # BND (sv.py:511-514). BND groups whose stored median svlen is 0
+        # (clusters dominated by for_bnd leads, i.e. all inter-contig
+        # translocations) are therefore dropped from combine output;
+        # split-lead-backed BNDs carry bnd_cluster_length and survive.
+        # Found via combine fuzzing (tools/diff_fuzz.py --combine, seed
+        # 700); --dev-combine-keep-bnd opts out of the reference quirk.
+        if abs(svcall.svlen) < config.minsvlen_screen:
+            if not (svcall.svtype == "BND"
+                    and getattr(config, "dev_combine_keep_bnd", False)):
+                return None
 
         task.sv_id += 1
 

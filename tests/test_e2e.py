@@ -69,8 +69,13 @@ def test_snf_roundtrip_and_combine(tmp_path):
     assert r2.returncode == 0, r2.stderr + r2.stdout
     assert snf1.exists() and snf1.stat().st_size > 0
 
+    # for_bnd translocation groups are dropped by the reference's combine
+    # length screen (parity, sv.py:470-471; see
+    # test_modes_e2e.test_combine_bnd_length_screen_matches_reference);
+    # --dev-combine-keep-bnd retains them for this round-trip check
     out = tmp_path / "multi.vcf"
-    rc = run_cli(["--input", str(snf1), str(snf2), "--vcf", str(out), "--threads", "0"], tmp_path)
+    rc = run_cli(["--input", str(snf1), str(snf2), "--vcf", str(out),
+                  "--dev-combine-keep-bnd", "--threads", "0"], tmp_path)
     assert rc.returncode == 0, rc.stderr + rc.stdout
     with open(out) as f:
         header = [l for l in f if l.startswith("#CHROM")]

@@ -168,3 +168,28 @@ def test_population_annotation_multi_contig(tmp_path):
     calls = read_calls(out)
     assert len(calls) == 2
     assert all("POPULATION_AF" in c[7] for c in calls)
+
+
+def test_combine_bnd_length_screen_matches_reference(tmp_path):
+    """Multi-sample combine drops BND groups whose stored svlen is 0
+    (all for_bnd-sourced translocations) — reference sv.py:470-471
+    applies the length screen to every type, and the real reference
+    emits 0 records for an hg008-SNF self-combine (verified against it
+    directly). --dev-combine-keep-bnd opts out of the quirk."""
+    bam = "/root/reference/src/tests/data/hg008.bam"
+    if not os.path.exists(bam):
+        pytest.skip("reference fixtures not mounted")
+    res = run_cli(["--input", bam, "--snf", "a.snf", "--sample-id", "A",
+                   "--vcf", "a.vcf", "--threads", "0"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    assert len(read_calls(tmp_path / "a.vcf")) == 4  # single-sample keeps BNDs
+
+    res = run_cli(["--input", "a.snf", "a.snf", "--vcf", "m.vcf",
+                   "--threads", "0"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    assert len(read_calls(tmp_path / "m.vcf")) == 0  # reference parity
+
+    res = run_cli(["--input", "a.snf", "a.snf", "--vcf", "mk.vcf",
+                   "--dev-combine-keep-bnd", "--threads", "0"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    assert len(read_calls(tmp_path / "mk.vcf")) == 4  # opt-out keeps them

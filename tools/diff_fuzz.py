@@ -69,6 +69,23 @@ def run(cmd, cwd):
                           env=env, timeout=600)
 
 
+def _diff(tmpdir, flags, label, seed):
+    ref = read_records(os.path.join(tmpdir, "ref.vcf"), normalize_ref_bugs=True)
+    ours = read_records(os.path.join(tmpdir, "ours.vcf"))
+    ours_set = set(ours)
+    missing = [x for x in ref if x not in ours_set]
+    extras = [x for x in ours if x not in set(ref)
+              and not is_intercontig_bnd(x)]
+    if missing or extras:
+        detail = "\n".join("MISSING " + m for m in missing[:5])
+        detail += "\n" + "\n".join("EXTRA " + e for e in extras[:5])
+        return (f"seed {seed}: {label} MISMATCH flags={flags} "
+                f"ref={len(ref)} ours={len(ours)} "
+                f"missing={len(missing)} extras={len(extras)}\n{detail}")
+    print(f"seed {seed}: {label} OK ({len(ref)} records, flags={flags})", flush=True)
+    return None
+
+
 def fuzz_seed(seed):
     with tempfile.TemporaryDirectory() as tmpdir:
         bam, flags = gen_dataset(tmpdir, seed)
@@ -81,28 +98,50 @@ def fuzz_seed(seed):
                 + args + ["--vcf", "ours.vcf"], tmpdir)
         if o.returncode != 0:
             return f"seed {seed}: OURS FAILED ({flags})\n{o.stderr[-2000:]}"
-        ref = read_records(os.path.join(tmpdir, "ref.vcf"), normalize_ref_bugs=True)
-        ours = read_records(os.path.join(tmpdir, "ours.vcf"))
-        ours_set = set(ours)
-        missing = [x for x in ref if x not in ours_set]
-        extras = [x for x in ours if x not in set(ref)
-                  and not is_intercontig_bnd(x)]
-        if missing or extras:
-            detail = "\n".join("MISSING " + m for m in missing[:5])
-            detail += "\n" + "\n".join("EXTRA " + e for e in extras[:5])
-            return (f"seed {seed}: MISMATCH flags={flags} "
-                    f"ref={len(ref)} ours={len(ours)} "
-                    f"missing={len(missing)} extras={len(extras)}\n{detail}")
-        print(f"seed {seed}: OK ({len(ref)} records, flags={flags})", flush=True)
-        return None
+        return _diff(tmpdir, flags, "call", seed)
+
+
+def fuzz_seed_combine(seed):
+    """Multi-sample fuzz: two independently simulated samples -> SNFs
+    (written by ours) -> combine by BOTH tools, diffed byte-for-byte."""
+    rnd = random.Random(seed * 31 + 7)
+    with tempfile.TemporaryDirectory() as tmpdir:
+        snfs = []
+        for i in range(rnd.choice([2, 3])):
+            sampledir = os.path.join(tmpdir, f"s{i}")
+            os.makedirs(sampledir)
+            bam, _ = gen_dataset(sampledir, seed + 100_000 * (i + 1))
+            snf = os.path.join(tmpdir, f"s{i}.snf")
+            o = run([sys.executable, "-m", "sniffles_tpu.cli", "--input", bam,
+                     "--snf", snf, "--sample-id", f"s{i}", "--threads", "0"], tmpdir)
+            if o.returncode != 0:
+                return f"seed {seed}: SNF BUILD FAILED\n{o.stderr[-2000:]}"
+            snfs.append(snf)
+        flags = []
+        if rnd.random() < 0.3:
+            flags += ["--combine-output-filtered"]
+        if rnd.random() < 0.3:
+            flags += ["--combine-pctseq", "0"]
+        args = ["--input", *snfs, "--threads", "0"] + flags
+        r = run([sys.executable, os.path.join(REPO, "tools", "run_reference.py")]
+                + args + ["--vcf", "ref.vcf"], tmpdir)
+        if r.returncode != 0:
+            return f"seed {seed}: REFERENCE COMBINE FAILED ({flags})\n{r.stderr[-2000:]}"
+        o = run([sys.executable, "-m", "sniffles_tpu.cli"]
+                + args + ["--vcf", "ours.vcf"], tmpdir)
+        if o.returncode != 0:
+            return f"seed {seed}: OURS COMBINE FAILED ({flags})\n{o.stderr[-2000:]}"
+        return _diff(tmpdir, flags, "combine", seed)
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    start = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    argv = [a for a in sys.argv[1:] if a != "--combine"]
+    combine = "--combine" in sys.argv
+    n = int(argv[0]) if argv else 10
+    start = int(argv[1]) if len(argv) > 1 else 1000
     failures = []
     for seed in range(start, start + n):
-        msg = fuzz_seed(seed)
+        msg = (fuzz_seed_combine if combine else fuzz_seed)(seed)
         if msg:
             print(msg, flush=True)
             failures.append(seed)
