@@ -401,8 +401,34 @@ void bamcore_decode_seq(const uint8_t* packed, int64_t l_seq,
 // ops/edit_distance.py (which replaces edlib for the INS merge gates,
 // reference: sv.py:287, snfp.py:103); ~100x faster for kb-scale
 // sequences since Python big-int ops are O(words) interpreted.
+int64_t bamcore_edit_distance_k(const uint8_t* a, int64_t m,
+                                const uint8_t* b, int64_t n, int64_t k);
+
 int64_t bamcore_edit_distance(const uint8_t* a, int64_t m,
                               const uint8_t* b, int64_t n) {
+    return bamcore_edit_distance_k(a, m, b, n, -1);
+}
+
+// Bounded variant: returns the exact distance when it is <= k, and any
+// value > k (k+1) when it exceeds k; k < 0 computes the full distance.
+// Two exact shortcuts on top of the Myers scan:
+//   * common prefix/suffix trimming (unit edit costs: the distance of
+//     the trimmed middles equals the full distance), which collapses
+//     the near-identical pairs that dominate population INS merge gates
+//     (reference: sv.py:287, snfp.py:103) to O(d^2)-ish work;
+//   * per-column abort: the bottom-row score can decrease by at most 1
+//     per remaining column, so score - (n - j) > k proves the final
+//     distance exceeds k (common for cross-allele pairs, which sit far
+//     above the identity threshold).
+int64_t bamcore_edit_distance_k(const uint8_t* a, int64_t m,
+                                const uint8_t* b, int64_t n, int64_t k) {
+    // trim common prefix / suffix
+    while (m > 0 && n > 0 && a[0] == b[0]) { a++; b++; m--; n--; }
+    while (m > 0 && n > 0 && a[m - 1] == b[n - 1]) { m--; n--; }
+    if (k >= 0) {
+        const int64_t lb = (m > n) ? (m - n) : (n - m);
+        if (lb > k) return k + 1;
+    }
     if (m == 0) return n;
     if (n == 0) return m;
     const int64_t kw = (m + 63) / 64;
@@ -461,6 +487,7 @@ int64_t bamcore_edit_distance(const uint8_t* a, int64_t m,
             if (w == kw - 1) pvn &= mask_last;
             pv[w] = pvn;
         }
+        if (k >= 0 && score - (n - 1 - j) > k) return k + 1;
     }
     return score;
 }

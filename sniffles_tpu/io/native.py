@@ -95,6 +95,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib.bamcore_edit_distance.argtypes = [
                     ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
                     ctypes.c_int64]
+                try:  # separate: stale .so without the bounded variant
+                    lib.bamcore_edit_distance_k.restype = ctypes.c_int64
+                    lib.bamcore_edit_distance_k.argtypes = [
+                        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                        ctypes.c_int64, ctypes.c_int64]
+                except AttributeError:
+                    pass
                 lib.bamcore_rans_compress.restype = ctypes.c_int64
                 lib.bamcore_rans_compress.argtypes = [
                     ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,

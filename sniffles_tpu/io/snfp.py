@@ -83,7 +83,9 @@ class PopulationVariant:
             return None
 
         if self.svtype == 'INS' and (limit := config.combine_pctseq):
-            distance = edit_distance(self.alt, svcall.alt)
+            # bounded form: the gate only needs d vs svlen*(1-limit)
+            k = int(math.ceil(self.svlen * (1.0 - limit)))
+            distance = edit_distance(self.alt, svcall.alt, k=k)
             if (self.svlen - distance) / self.svlen <= limit:
                 return None
 

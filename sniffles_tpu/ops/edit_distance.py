@@ -18,15 +18,34 @@ from __future__ import annotations
 import numpy as np
 
 
-def edit_distance(a: str, b: str) -> int:
+def edit_distance(a: str, b: str, k: int = -1) -> int:
     """Global (NW) Levenshtein distance via Myers' bit-parallel scan.
+
+    With k >= 0 the result is exact when <= k, and k+1 when the true
+    distance exceeds k (the bounded form the identity gates need —
+    `edlib.align(..., k=...)` semantics). Common prefix/suffix trimming
+    and a per-column abort (`score - remaining_cols > k` proves
+    exceedance) make near-identical and far-apart pairs cheap; both are
+    exact under unit edit costs.
 
     Dispatches to the uint64-blocked C implementation in native/bamcore.cc
     when available (same algorithm, ~100x faster than Python big ints for
     kb-scale INS sequences); this pure-Python version is the fallback and
     the exactness reference."""
+    # trim common prefix / suffix (exact under unit costs)
+    lo = 0
+    hi_a, hi_b = len(a), len(b)
+    while lo < hi_a and lo < hi_b and a[lo] == b[lo]:
+        lo += 1
+    while hi_a > lo and hi_b > lo and a[hi_a - 1] == b[hi_b - 1]:
+        hi_a -= 1
+        hi_b -= 1
+    a = a[lo:hi_a]
+    b = b[lo:hi_b]
     m = len(a)
     n = len(b)
+    if k >= 0 and abs(m - n) > k:
+        return k + 1
     if m == 0:
         return n
     if n == 0:
@@ -39,8 +58,11 @@ def edit_distance(a: str, b: str) -> int:
     if ab is not None:
         from sniffles_tpu.io import native
         lib = native.get_lib()
+        if lib is not None and hasattr(lib, "bamcore_edit_distance_k"):
+            return int(lib.bamcore_edit_distance_k(ab, m, bb, n, k))
         if lib is not None and hasattr(lib, "bamcore_edit_distance"):
-            return int(lib.bamcore_edit_distance(ab, m, bb, n))
+            d = int(lib.bamcore_edit_distance(ab, m, bb, n))
+            return d if k < 0 or d <= k else k + 1
     # Build match bitmasks for the pattern
     peq: dict[str, int] = {}
     for i, c in enumerate(a):
@@ -65,6 +87,9 @@ def edit_distance(a: str, b: str) -> int:
         mv_new = ph & xv
         pv = ((mh << 1) | (~(xv | ph) & mask)) & mask
         mv = mv_new
+        n -= 1
+        if k >= 0 and score - n > k:
+            return k + 1
     return score
 
 

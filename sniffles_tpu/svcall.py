@@ -270,19 +270,34 @@ class SVGroup:
         if not limit:
             return True
         key = (self.candidates[0].alt, candidate.alt)
+        # the gate passes iff distance < len_mean * (1 - limit): a value
+        # bounded at k = ceil(len_mean * (1 - limit)) decides it exactly
+        # (d <= k is exact; d > k >= threshold always fails)
+        k = int(math.ceil(self.len_mean * (1.0 - limit)))
         if key[0] == key[1]:
             distance = 0
         elif ed_cache is not None and key in ed_cache:
-            distance = ed_cache[key]
+            cached = ed_cache[key]
+            if isinstance(cached, tuple):  # ("gt", k_used): d > k_used
+                if k <= cached[1]:
+                    return False
+                distance = edit_distance(*key, k=k)
+                ed_cache[key] = distance if distance <= k else ("gt", k)
+                if distance > k:
+                    return False
+            else:
+                distance = cached
         else:
             # distance >= |len(a) - len(b)|: when even that lower bound
             # fails the identity gate, the DP outcome is already decided
             length_lb = abs(len(key[0]) - len(key[1]))
             if (self.len_mean - length_lb) / self.len_mean <= limit:
                 return False
-            distance = edit_distance(*key)
+            distance = edit_distance(*key, k=k)
             if ed_cache is not None:
-                ed_cache[key] = distance
+                ed_cache[key] = distance if distance <= k else ("gt", k)
+            if distance > k:
+                return False
         return ((self.len_mean - distance) / self.len_mean) > limit
 
     def add_candidate(self, candidate: SVCall):

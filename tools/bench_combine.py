@@ -25,8 +25,10 @@ sys.path.insert(0, REPO)
 
 
 def plant_population(rng, ref_len):
-    """Population SV sites (pos/type/len fixed across samples)."""
-    from sniffles_tpu.sim import PlantedSV
+    """Population SV sites (pos/type/len AND the inserted sequence fixed
+    across samples — carriers of one allele share its sequence, as in a
+    real cohort; only genotypes vary per sample)."""
+    from sniffles_tpu.sim import PlantedSV, random_seq
     sites = []
     pos = 20_000
     i = 0
@@ -35,7 +37,8 @@ def plant_population(rng, ref_len):
         svlen = int(rng.choice((60, 120, 300, 800, 2500)))
         if kind in ("DUP", "INV"):
             svlen = max(svlen, 600)
-        sites.append(PlantedSV(pos=pos, svtype=kind, svlen=svlen))
+        seq = random_seq(rng, svlen) if kind == "INS" else ""
+        sites.append(PlantedSV(pos=pos, svtype=kind, svlen=svlen, seq=seq))
         pos += int(rng.integers(30_000, 52_000))
         i += 1
     return sites
@@ -62,7 +65,8 @@ def build_sample(args_tuple):
         vaf = 1.0 if draw < 0.6 else 0.55
         if s.svtype in ("DUP", "INV"):
             vaf = 1.0
-        svs.append(PlantedSV(pos=s.pos, svtype=s.svtype, svlen=s.svlen, vaf=vaf))
+        svs.append(PlantedSV(pos=s.pos, svtype=s.svtype, svlen=s.svlen,
+                             seq=s.seq, vaf=vaf))
     sampledir = os.path.join(dirpath, name)
     os.makedirs(sampledir, exist_ok=True)
     bam, _fa = write_dataset(sampledir, ref_len=ref_len, svs=svs, depth=depth,
