@@ -279,6 +279,9 @@ class BamIndex:
         except OSError:
             key = None
         if key is not None and key in cls._CACHE:
+            # true LRU: refresh recency on hit, else cyclic access over
+            # more than 16 inputs degrades to 0% hit rate
+            cls._CACHE[key] = cls._CACHE.pop(key)
             return cls._CACHE[key]
         idx = cls._load_uncached(path)
         if key is not None:

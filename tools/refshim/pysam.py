@@ -41,21 +41,31 @@ from sniffles_tpu.io import tabix as _tabix      # noqa: E402
 AlignedSegment = _bam.BamRead
 
 
+def _parse_region(region):
+    """pysam region strings are 1-based inclusive ("chr1:100-200" means
+    0-based [99, 200)); returns (contig, start0, end) with None spans
+    for bare-contig or open-ended forms. Commas are thousands separators."""
+    c, _, span = region.partition(":")
+    if not span:
+        return c, None, None
+    s, _, e = span.replace(",", "").partition("-")
+    return c, int(s) - 1, (int(e) if e else None)
+
+
 def AlignmentFile(path, mode="rb", **kwargs):
     """Factory wrapper translating pysam's 1-based-inclusive region
-    strings (fetch(region="chr1:100-200") means 0-based [99, 200)) into
-    the 0-based half-open coordinates the underlying reader uses."""
+    strings into the 0-based half-open coordinates the underlying
+    reader uses."""
     handle = _bam.AlignmentFile(path, mode, **kwargs)
     inner_fetch = handle.fetch
 
     def fetch(contig=None, start=None, stop=None, end=None,
               until_eof=False, region=None):
         if region is not None:
-            c, _, span = region.partition(":")
-            if span:
-                s, _, e = span.replace(",", "").partition("-")
-                return inner_fetch(c, int(s) - 1, int(e) if e else None)
-            return inner_fetch(c)
+            c, s, e = _parse_region(region)
+            if s is None:
+                return inner_fetch(c)
+            return inner_fetch(c, s, e)
         return inner_fetch(contig, start, stop, end=end, until_eof=until_eof)
 
     handle.fetch = fetch
@@ -63,7 +73,10 @@ def AlignmentFile(path, mode="rb", **kwargs):
 
 
 class FastaFile(_fasta.FastaFile):
-    pass
+    def fetch(self, reference=None, start=None, end=None, region=None):
+        if region is not None:
+            reference, start, end = _parse_region(region)
+        return super().fetch(reference, start, end)
 
 
 def faidx(path: str) -> str:
