@@ -193,3 +193,28 @@ def test_combine_bnd_length_screen_matches_reference(tmp_path):
                    "--dev-combine-keep-bnd", "--threads", "0"], tmp_path)
     assert res.returncode == 0, res.stderr
     assert len(read_calls(tmp_path / "mk.vcf")) == 4  # opt-out keeps them
+
+
+def test_force_calling_bnd_same_strand_difference(tmp_path):
+    """Force-calling a VCF containing same-strand inter-contig BNDs:
+    the reference cannot re-extract same-strand breakend leads
+    (leadprov.py:83-84 bails) so it regenotypes its own calls 0/0;
+    this framework keeps those leads (documented difference #2) and
+    genotypes them from the supporting reads. Opposite-strand BNDs are
+    byte-identical between both tools (covered by the differential
+    suite); this pins the intended divergence."""
+    bam = "/root/reference/src/tests/data/hg008.bam"
+    if not os.path.exists(bam):
+        pytest.skip("reference fixtures not mounted")
+    res = run_cli(["--input", bam, "--vcf", "calls.vcf", "--threads", "0"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    res = run_cli(["--input", bam, "--genotype-vcf", "calls.vcf",
+                   "--vcf", "gt.vcf", "--threads", "0"], tmp_path)
+    assert res.returncode == 0, res.stderr
+    gts = {c[1]: c[9].split(":")[0] for c in read_calls(tmp_path / "gt.vcf")}
+    # same-strand pair (red cases): real genotypes, not 0/0
+    assert gts["28481424"] == "1/1"
+    assert gts["95812869"] == "1/1"
+    # opposite-strand pair unchanged
+    assert gts["23272628"] == "1/1"
+    assert gts["21493610"] == "1/1"
