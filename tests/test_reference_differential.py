@@ -199,6 +199,10 @@ def sweep_dataset(tmp_path_factory):
     ["--no-qc"],
     ["--output-rnames"],
     ["--qc-coverage", "5", "--qc-stdev-abs-max", "100"],
+    ["--minsupport", "auto"],
+    ["--qc-nm", "--qc-nm-mult", "1.1"],
+    ["--detect-large-ins", "False"],
+    ["--cluster-binsize", "50"],
 ], ids=lambda f: " ".join(f))
 def test_differential_flag_sweep(sweep_dataset, tmp_path, flags):
     """Flag-surface differential: each combination must produce the same
