@@ -86,7 +86,7 @@ def _diff(tmpdir, flags, label, seed):
     return None
 
 
-def fuzz_seed(seed):
+def fuzz_seed(seed, tpu=False):
     with tempfile.TemporaryDirectory() as tmpdir:
         bam, flags = gen_dataset(tmpdir, seed)
         args = ["--input", bam, "--threads", "0"] + flags
@@ -94,11 +94,12 @@ def fuzz_seed(seed):
                 + args + ["--vcf", "ref.vcf"], tmpdir)
         if r.returncode != 0:
             return f"seed {seed}: REFERENCE FAILED ({flags})\n{r.stderr[-2000:]}"
+        ours_args = args + (["--tpu-call"] if tpu else [])
         o = run([sys.executable, "-m", "sniffles_tpu.cli"]
-                + args + ["--vcf", "ours.vcf"], tmpdir)
+                + ours_args + ["--vcf", "ours.vcf"], tmpdir)
         if o.returncode != 0:
             return f"seed {seed}: OURS FAILED ({flags})\n{o.stderr[-2000:]}"
-        return _diff(tmpdir, flags, "call", seed)
+        return _diff(tmpdir, flags, "tpu-call" if tpu else "call", seed)
 
 
 def fuzz_seed_combine(seed):
@@ -135,13 +136,17 @@ def fuzz_seed_combine(seed):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--combine"]
+    argv = [a for a in sys.argv[1:] if a not in ("--combine", "--tpu")]
     combine = "--combine" in sys.argv
+    tpu = "--tpu" in sys.argv  # ours runs with --tpu-call (device clustering)
     n = int(argv[0]) if argv else 10
     start = int(argv[1]) if len(argv) > 1 else 1000
     failures = []
     for seed in range(start, start + n):
-        msg = (fuzz_seed_combine if combine else fuzz_seed)(seed)
+        if combine:
+            msg = fuzz_seed_combine(seed)
+        else:
+            msg = fuzz_seed(seed, tpu=tpu)
         if msg:
             print(msg, flush=True)
             failures.append(seed)
