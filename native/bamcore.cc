@@ -136,6 +136,43 @@ int bamcore_bgzf_inflate(const uint8_t* raw, int64_t raw_len,
     return 0;
 }
 
+// Walk BGZF block headers without decompressing: fills per-block
+// (coffset, bsize, isize) arrays; returns the block count, or -1 on a
+// malformed header. Mirrors io/native.py walk_blocks (BSIZE from the BC
+// subfield, ISIZE from the trailer) for the hot region-scan path.
+int64_t bamcore_bgzf_walk(const uint8_t* raw, int64_t raw_len,
+                          int64_t* offs, int32_t* bsizes, int32_t* isizes,
+                          int64_t cap) {
+    int64_t off = 0, n = 0;
+    while (off + 18 <= raw_len && n < cap) {
+        if (raw[off] != 0x1f || raw[off + 1] != 0x8b) return -1;
+        uint16_t xlen;
+        std::memcpy(&xlen, raw + off + 10, 2);
+        int64_t ext = off + 12, ext_end = ext + xlen;
+        int32_t bsize = -1;
+        while (ext + 4 <= ext_end) {
+            uint16_t slen;
+            std::memcpy(&slen, raw + ext + 2, 2);
+            if (raw[ext] == 66 && raw[ext + 1] == 67) {
+                uint16_t bs;
+                std::memcpy(&bs, raw + ext + 4, 2);
+                bsize = (int32_t)bs + 1;
+                break;
+            }
+            ext += 4 + slen;
+        }
+        if (bsize < 0 || off + bsize > raw_len) break;
+        uint32_t isize;
+        std::memcpy(&isize, raw + off + bsize - 4, 4);
+        offs[n] = off;
+        bsizes[n] = bsize;
+        isizes[n] = (int32_t)isize;
+        n++;
+        off += bsize;
+    }
+    return n;
+}
+
 // Multithreaded BGZF inflate: blocks are independent deflate streams, so
 // worker threads pull blocks from a shared counter and write into
 // precomputed output offsets (from the ISIZE header walk done in Python).

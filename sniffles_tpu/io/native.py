@@ -77,6 +77,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.bamcore_bgzf_inflate_mt.argtypes = [
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
+            try:  # stale .so builds may predate this symbol
+                lib.bamcore_bgzf_walk.restype = ctypes.c_int64
+                lib.bamcore_bgzf_walk.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            except AttributeError:
+                pass
             lib.bamcore_scan_records.restype = ctypes.c_int64
             lib.bamcore_scan_records.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -207,20 +214,51 @@ def bgzf_inflate_into(raw, start: int, end: int, total_isize: int,
 
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 8)
-    # drop empty blocks (the BGZF EOF marker has ISIZE 0 and would land
-    # exactly at out_cap)
-    blocks = [b for b in walk_blocks(chunk) if b[2] > 0]
-    if n_threads > 1 and len(blocks) >= 4 and total_isize > (1 << 22):
-        in_off = np.array([b[0] for b in blocks], dtype=np.int64)
-        in_len = np.array([b[1] for b in blocks], dtype=np.int32)
-        out_off = np.zeros(len(blocks), dtype=np.int64)
-        np.cumsum([b[2] for b in blocks[:-1]], out=out_off[1:])
-        ret = lib.bamcore_bgzf_inflate_mt(chunk, _ptr(in_off), _ptr(in_len),
-                                          _ptr(out_off), len(blocks), _ptr(out),
+    # enumerate blocks natively when available (one C pass instead of a
+    # per-header struct.unpack walk), dropping empty blocks (the BGZF
+    # EOF marker has ISIZE 0 and would land exactly at out_cap)
+    blocks = None
+    if hasattr(lib, "bamcore_bgzf_walk"):
+        # thread-local reusable arrays; typical BGZF blocks are ~4-64 KB,
+        # so start from a realistic estimate and regrow on truncation
+        # (the C walker stops at cap without consuming the rest)
+        cap = max(len(chunk) // 2048 + 16, 64)
+        while True:
+            bufs = getattr(_INFLATE_TLS, "walk", None)
+            if bufs is None or bufs[0].shape[0] < cap:
+                bufs = (np.empty(cap, dtype=np.int64),
+                        np.empty(cap, dtype=np.int32),
+                        np.empty(cap, dtype=np.int32))
+                _INFLATE_TLS.walk = bufs
+            offs_b, bsz_b, isz_b = bufs
+            cap = offs_b.shape[0]
+            nb = lib.bamcore_bgzf_walk(chunk, len(chunk), _ptr(offs_b),
+                                       _ptr(bsz_b), _ptr(isz_b), cap)
+            if nb < 0:
+                break  # malformed header: python walker raises the error
+            if nb == cap and int(offs_b[nb - 1]) + int(bsz_b[nb - 1]) < len(chunk):
+                cap = cap * 4
+                _INFLATE_TLS.walk = None
+                continue
+            keep = isz_b[:nb] > 0
+            blocks = (offs_b[:nb][keep], bsz_b[:nb][keep], isz_b[:nb][keep])
+            break
+    if blocks is None:
+        walked = [b for b in walk_blocks(chunk) if b[2] > 0]
+        blocks = (np.array([b[0] for b in walked], dtype=np.int64),
+                  np.array([b[1] for b in walked], dtype=np.int32),
+                  np.array([b[2] for b in walked], dtype=np.int32))
+    offs, bsz, isz = blocks
+    n_blocks = len(offs)
+    if n_threads > 1 and n_blocks >= 4 and total_isize > (1 << 22):
+        out_off = np.zeros(n_blocks, dtype=np.int64)
+        np.cumsum(isz[:-1], dtype=np.int64, out=out_off[1:])
+        ret = lib.bamcore_bgzf_inflate_mt(chunk, _ptr(offs), _ptr(bsz),
+                                          _ptr(out_off), n_blocks, _ptr(out),
                                           out.shape[0], n_threads)
         if ret != 0:
             raise ValueError(f"bamcore_bgzf_inflate_mt failed: {ret}")
-        produced = int(out_off[-1]) + blocks[-1][2]
+        produced = int(out_off[-1]) + int(isz[-1])
         return out[:produced]
 
     out_len = ctypes.c_int64(0)
