@@ -102,6 +102,35 @@ def fuzz_seed(seed, tpu=False):
         return _diff(tmpdir, flags, "tpu-call" if tpu else "call", seed)
 
 
+def fuzz_seed_genotype(seed):
+    """Force-calling fuzz: call a dataset with the reference, then
+    re-genotype its VCF with BOTH tools on the same BAM and diff the
+    re-emitted records (GenotypeTask candidate matching,
+    reference: parallel.py:309-366)."""
+    with tempfile.TemporaryDirectory() as tmpdir:
+        bam, flags = gen_dataset(tmpdir, seed)
+        # base VCF from OUR caller: the reference's write_call corrupts
+        # symbolic ALTs under --reference (<DUP> -> <NUP>, IUPAC cleanup
+        # bug normalized elsewhere); both tools re-emit input lines
+        # verbatim in genotype mode, so the input must be well-formed
+        callargs = ["--input", bam, "--threads", "0"] + flags
+        r = run([sys.executable, "-m", "sniffles_tpu.cli"]
+                + callargs + ["--vcf", "base.vcf"], tmpdir)
+        if r.returncode != 0:
+            return f"seed {seed}: BASE CALL FAILED ({flags})\n{r.stderr[-2000:]}"
+        gtargs = ["--input", bam, "--genotype-vcf", "base.vcf",
+                  "--threads", "0"] + flags
+        r = run([sys.executable, os.path.join(REPO, "tools", "run_reference.py")]
+                + gtargs + ["--vcf", "ref.vcf"], tmpdir)
+        if r.returncode != 0:
+            return f"seed {seed}: REFERENCE GT FAILED ({flags})\n{r.stderr[-2000:]}"
+        o = run([sys.executable, "-m", "sniffles_tpu.cli"]
+                + gtargs + ["--vcf", "ours.vcf"], tmpdir)
+        if o.returncode != 0:
+            return f"seed {seed}: OURS GT FAILED ({flags})\n{o.stderr[-2000:]}"
+        return _diff(tmpdir, flags, "genotype", seed)
+
+
 def fuzz_seed_combine(seed):
     """Multi-sample fuzz: two independently simulated samples -> SNFs
     (written by ours) -> combine by BOTH tools, diffed byte-for-byte."""
@@ -136,8 +165,9 @@ def fuzz_seed_combine(seed):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a not in ("--combine", "--tpu")]
+    argv = [a for a in sys.argv[1:] if a not in ("--combine", "--tpu", "--genotype")]
     combine = "--combine" in sys.argv
+    genotype = "--genotype" in sys.argv
     tpu = "--tpu" in sys.argv  # ours runs with --tpu-call (device clustering)
     n = int(argv[0]) if argv else 10
     start = int(argv[1]) if len(argv) > 1 else 1000
@@ -145,6 +175,8 @@ def main():
     for seed in range(start, start + n):
         if combine:
             msg = fuzz_seed_combine(seed)
+        elif genotype:
+            msg = fuzz_seed_genotype(seed)
         else:
             msg = fuzz_seed(seed, tpu=tpu)
         if msg:
