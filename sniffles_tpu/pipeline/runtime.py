@@ -33,6 +33,8 @@ class SnifflesWorker:
     id: int
     externals: list = None
     recycle: bool = False
+    task2 = None
+    _recycle_flag: bool = False
     running = True
     pid: int = None
     _shutdown: threading.Event
@@ -50,6 +52,7 @@ class SnifflesWorker:
         self.config = config
         self.tasks = tasks
         self.task = None
+        self.task2 = None   # lookahead slot (decode-ahead; LOOKAHEAD_MODES)
         self.finished_tasks = []
         self.recycle = recycle_hint
         # Peer pool visibility: an idle worker only shuts down when no peer
@@ -72,21 +75,36 @@ class SnifflesWorker:
         self.process.start()
         self._heartbeat = time.monotonic()
 
+    def _recycle_wanted(self) -> bool:
+        return bool(self.recycle(self.id, self.process.pid) if callable(self.recycle)
+                    else self.recycle)
+
+    def _do_recycle(self):
+        log.info(f'Recycling worker {self.id}')
+        self.pipe_main.send(ShutdownTask())
+        self.process.join(2)
+        self.process = multiprocessing.Process(target=self.run_worker, daemon=True)
+        self.process.start()
+        self._heartbeat = time.monotonic()
+
     def maybe_recycle(self):
         """Recycle this worker if requested (reference: parallel.py:633-650)."""
-        recycle = self.recycle(self.id, self.process.pid) if callable(self.recycle) else self.recycle
+        if self._recycle_flag or self._recycle_wanted():
+            self._recycle_flag = False
+            self._do_recycle()
 
-        if recycle:
-            log.info(f'Recycling worker {self.id}')
-            self.pipe_main.send(ShutdownTask())
-            self.process.join(2)
-            self.process = multiprocessing.Process(target=self.run_worker, daemon=True)
-            self.process.start()
-            self._heartbeat = time.monotonic()
+    # Modes in which the parent keeps a second task in flight per worker
+    # so the worker can overlap the next task's BAM decode with the
+    # current task's compute (same decode-ahead as the inline
+    # SnifflesParentWorker; the reference runtime has no such overlap).
+    LOOKAHEAD_MODES = ("call_sample", "genotype_vcf")
 
     def run_parent(self) -> bool:
         """Parent-side poll step (reference: parallel.py:652-717)."""
         try:
+            if self.task is None and self.task2 is not None:
+                self.task, self.task2 = self.task2, None
+
             if self.task is None:
                 if len(self.tasks) > 0:
                     self.maybe_recycle()
@@ -103,6 +121,16 @@ class SnifflesWorker:
                         self.pipe_main.send(ShutdownTask())
                         self.running = False
             else:
+                if (self.task2 is None and len(self.tasks) > 0
+                        and not self._recycle_flag
+                        and getattr(self.config, 'mode', None) in self.LOOKAHEAD_MODES):
+                    try:
+                        self.task2 = self.tasks.popleft()
+                    except IndexError:
+                        pass
+                    else:
+                        self.pipe_main.send(self.task2)
+
                 if self.pipe_main.poll(0.01):
                     result: Result = self.pipe_main.recv()
 
@@ -111,7 +139,13 @@ class SnifflesWorker:
 
                     self.task.add_result(result)
                     self.finished_tasks.append(self.task)
-                    self.task = None
+                    self.task, self.task2 = self.task2, None
+                    # evaluate the recycle hint at task boundaries (the
+                    # reference cadence); with lookahead the worker never
+                    # goes idle between tasks, so a positive hint stops the
+                    # task2 refill and recycles once the worker drains
+                    if len(self.tasks) > 0 and not self._recycle_flag:
+                        self._recycle_flag = self._recycle_wanted()
 
                 if self.heartbeat_main.poll():
                     self.heartbeat_main.recv()
@@ -126,6 +160,8 @@ class SnifflesWorker:
                     if self.process.exitcode is not None:
                         log.warning(f'Worker {self.id}|{self.pid} found dead '
                                     f'(code {self.process.exitcode})!')
+                        if self.task2:
+                            self.tasks.appendleft(self.task2)
                         if self.task:
                             self.tasks.appendleft(self.task)
                         self.running = False
@@ -148,15 +184,62 @@ class SnifflesWorker:
             self.process.join(2)
 
     def run_worker(self):
-        """Worker-process main loop (reference: parallel.py:728-762)."""
+        """Worker-process main loop (reference: parallel.py:728-762).
+
+        Unlike the reference (one task in flight, strict recv/execute/send),
+        a receiver thread drains the task pipe into a local queue and starts
+        a decode-ahead prefetch of the NEXT task's BAM scan while the main
+        thread computes the current one (the parent keeps two tasks in
+        flight per worker in LOOKAHEAD_MODES). Results are still produced
+        strictly in task-send order, so the parent's FIFO result matching
+        is unchanged."""
+        import concurrent.futures
+
         self.pid = os.getpid()
         self._shutdown = threading.Event()
 
         t = threading.Thread(target=self.run_worker_heartbeats, daemon=True)
         t.start()
 
+        pending: deque = deque()
+        pending_cv = threading.Condition()
+        prefetched: dict = {}
+        prefetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix=f'w{self.id}-prefetch')
+
+        def recv_loop():
+            try:
+                while not self._shutdown.is_set():
+                    msg = self.pipe_worker.recv()
+                    if (not isinstance(msg, ShutdownTask)
+                            and getattr(msg, 'lead_provider', 1) is None
+                            and hasattr(msg, 'build_leadtab')):
+                        prefetched[id(msg)] = prefetch_pool.submit(msg.build_leadtab)
+                    with pending_cv:
+                        pending.append(msg)
+                        pending_cv.notify()
+            except (EOFError, OSError):
+                with pending_cv:
+                    pending.append(None)
+                    pending_cv.notify()
+
+        rt = threading.Thread(target=recv_loop, daemon=True)
+        rt.start()
+
         while self.running:
-            task = self.pipe_worker.recv()
+            with pending_cv:
+                while not pending:
+                    pending_cv.wait()
+                task = pending.popleft()
+            if task is None:  # pipe closed by parent
+                break
+
+            fut = prefetched.pop(id(task), None)
+            if fut is not None:
+                try:
+                    fut.result()
+                except Exception:
+                    log.exception('Decode-ahead prefetch failed; task will decode inline')
 
             try:
                 result = task.execute(self)
@@ -173,6 +256,7 @@ class SnifflesWorker:
             del task
             gc.collect()
 
+        prefetch_pool.shutdown(wait=False, cancel_futures=True)
         t.join(1.0)
 
     def run_worker_heartbeats(self):
