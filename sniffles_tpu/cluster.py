@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from typing import Optional, Any, Generator, Iterator, TYPE_CHECKING
 
 from sniffles_tpu import svcall as sv
+from sniffles_tpu import util
 
 if TYPE_CHECKING:
     from sniffles_tpu import leads as leadprov
@@ -56,7 +57,7 @@ class Cluster:
         step = int(len(self.leads) / n)
         if n > 1:
             self.mean_svlen = sum(self.leads[i].svlen for i in range(0, len(self.leads), step)) / float(n)
-            self.stdev_start = statistics.stdev(self.leads[i].ref_start for i in range(0, len(self.leads), step))
+            self.stdev_start = util.stdev([self.leads[i].ref_start for i in range(0, len(self.leads), step)])
         else:
             self.mean_svlen = self.leads[0].svlen
             self.stdev_start = 0

@@ -21,11 +21,20 @@ class SnifflesTPUExit(Exception):
 
 
 def stdev(nums) -> float:
-    """Sample standard deviation; 0 for <2 elements (reference: util.py:25-27)."""
-    a = np.asarray(list(nums), dtype=np.float64)
-    if a.size < 2:
+    """Sample standard deviation; 0 for <2 elements (reference: util.py:25-27).
+
+    Two-pass math.fsum formulation: matches statistics.stdev/numpy
+    std(ddof=1) to ~1 ulp while avoiding the exact-rational arithmetic of
+    statistics (ms-scale per call) and numpy's per-call dispatch overhead
+    (~90us) — this runs per cluster in the calling hot path.
+    """
+    a = nums if isinstance(nums, list) else list(nums)
+    n = len(a)
+    if n < 2:
         return 0
-    return float(a.std(ddof=1))
+    mean = math.fsum(a) / n
+    ss = math.fsum((x - mean) * (x - mean) for x in a)
+    return math.sqrt(ss / (n - 1))
 
 
 def median(nums) -> int:
