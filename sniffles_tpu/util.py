@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 import sys
 import time
+from collections import Counter
 from typing import Iterable
 
 import numpy as np
@@ -62,13 +63,8 @@ def median_modes(nums):
     order-independent — this enables the batched device formulation in
     ops/stats.py).
     """
-    counts: dict = {}
-    max_count = 0
-    for n in nums:
-        c = counts.get(n, 0) + 1
-        counts[n] = c
-        if c > max_count:
-            max_count = c
+    counts = Counter(nums)
+    max_count = max(counts.values(), default=0)
     return median_noavg(k for k, c in counts.items() if max_count - c < 3)
 
 
@@ -108,11 +104,13 @@ def trim(nums, pct=25):
 
 
 def most_common(nums):
-    """[(count, value)] sorted descending (reference: util.py:91-98)."""
-    counts: dict = {}
-    for n in nums:
-        counts[n] = counts.get(n, 0) + 1
-    return sorted(((c, n) for n, c in counts.items()), reverse=True)
+    """[(count, value)] sorted descending (reference: util.py:91-98).
+
+    Counter's C counting loop; the full sort afterward makes the result
+    independent of counting order, so this is exactly the reference dict
+    formulation, faster.
+    """
+    return sorted(((c, n) for n, c in Counter(nums).items()), reverse=True)
 
 
 def most_common_top(nums):
