@@ -41,6 +41,37 @@ def test_most_common_top():
     assert util.most_common_top(["b", "a", "b"]) == "b"
 
 
+def test_stats_randomized_equivalence():
+    """The fsum/Counter fast paths must match the reference formulations
+    (statistics.stdev exact-rational; dict-loop counting) on realistic
+    genomic magnitudes — these feed merge criteria, PRECISE, and the
+    STDEV_POS/LEN INFO fields (reference: util.py:25-27,49-58,91-103)."""
+    import random
+
+    def most_common_dict(nums):
+        counts = {}
+        for n in nums:
+            counts[n] = counts.get(n, 0) + 1
+        return sorted(((c, n) for n, c in counts.items()), reverse=True)
+
+    def median_modes_dict(nums):
+        counts = {}
+        for n in nums:
+            counts[n] = counts.get(n, 0) + 1
+        max_count = max(counts.values())
+        return util.median_noavg(k for k, c in counts.items() if max_count - c < 3)
+
+    rng = random.Random(20260820)
+    for _ in range(3000):
+        n = rng.randint(2, 60)
+        base = rng.randint(0, 250_000_000)
+        xs = [base + rng.randint(-3000, 3000) for _ in range(n)]
+        assert abs(util.stdev(xs) - statistics.stdev(xs)) < 1e-6
+        small = [rng.randint(-80, 80) for _ in range(n)]
+        assert util.most_common(small) == most_common_dict(small)
+        assert util.median_modes(small) == median_modes_dict(small)
+
+
 def test_should_process_contig():
     class Cfg:
         contig = None
