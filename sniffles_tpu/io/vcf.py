@@ -1,17 +1,16 @@
-"""
-VCF 4.2 reading and writing.
+"""VCF 4.2 serialization and force-calling parser.
 
-Byte-level output semantics follow the reference writer (reference:
-vcf.py:25-481): header vocabulary, genotype column formatting, INS
-anchor-base prefixing, DEL reference-sequence resolution, IUPAC
-cleanup, qual clamping, and the force-calling reader/rewriter.
-Reference FASTA access uses the built-in io/fasta.py instead of pysam.
+The writer is organized as a declarative header vocabulary (tables below)
+plus a staged record emitter: genotype columns -> INFO assembly -> allele
+materialization (DEL sequence resolution, anchor-base prefixing, IUPAC
+cleanup) -> line write.  Byte-level output matches the reference writer
+(reference: vcf.py:25-481).  Reference FASTA access goes through the
+built-in io/fasta.py rather than pysam.
 """
 from __future__ import annotations
 
 import logging
 import os
-from collections import Counter
 
 from sniffles_tpu import svcall as sv
 from sniffles_tpu import util
@@ -20,92 +19,212 @@ from sniffles_tpu.util import ambiguity_cleanup_table
 log = logging.getLogger(__name__)
 
 
+# --------------------------------------------------------------------------
+# Header vocabulary.  Emitted verbatim, in table order, one ##-line each
+# (reference: vcf.py:121-207).  Entries guarded by a config attribute carry
+# it as the third tuple element.
+
+_ALT_LINES = (
+    'ALT=<ID=INS,Description="Insertion">',
+    'ALT=<ID=DEL,Description="Deletion">',
+    'ALT=<ID=DUP,Description="Duplication">',
+    'ALT=<ID=INV,Description="Inversion">',
+    'ALT=<ID=BND,Description="Breakend; Translocation">',
+)
+
+_FORMAT_FIELDS = (
+    ("GT", "String", "Genotype"),
+    ("GQ", "Integer", "Genotype quality"),
+    ("DR", "Integer", "Number of reference reads"),
+    ("DV", "Integer", "Number of variant reads"),
+    ("PS", "Integer", "Phase-block, zero if none or not phased"),
+    ("ID", "String", "Individual sample SV ID for multi-sample output"),
+)
+
+_FILTER_DESCRIPTIONS = (
+    ("PASS", "All filters passed"),
+    ("GT", "Genotype filter"),
+    ("SUPPORT_MIN", "Minimum read support filter"),
+    ("STDEV_POS", "SV Breakpoint standard deviation filter"),
+    ("STDEV_LEN", "SV length standard deviation filter"),
+    ("COV_MIN", "Minimum coverage filter"),
+    ("COV_MIN_GT", "Minimum coverage filter (missing genotype)"),
+    ("COV_CHANGE_DEL", "Coverage change filter for DEL"),
+    ("COV_CHANGE_DUP", "Coverage change filter for DUP"),
+    ("COV_CHANGE_INS", "Coverage change filter for INS"),
+    ("COV_CHANGE_FRAC_US", "Coverage fractional change filter: upstream-start"),
+    ("COV_CHANGE_FRAC_SC", "Coverage fractional change filter: start-center"),
+    ("COV_CHANGE_FRAC_CE", "Coverage fractional change filter: center-end"),
+    ("COV_CHANGE_FRAC_ED", "Coverage fractional change filter: end-downstream"),
+    ("COV_VAR", "Coverage variance exceeded"),
+    ("MOSAIC_VAF", "Mosaic variant allele fraction filter"),
+    ("NOT_MOSAIC_VAF", "Variant allele fraction filter for non-mosaic"),
+    ("ALN_NM", "Length adjusted mismatch filter"),
+    ("STRAND_BND", "Strand support filter for BNDs"),
+    ("STRAND", "Strand support filter for germline SVs"),
+    ("STRAND_MOSAIC", "Strand support filter for mosaic SVs"),
+    ("SVLEN_MIN", "SV length filter"),
+    ("SVLEN_MIN_MOSAIC", "SV length filter for mosaic SVs (min)"),
+    ("SVLEN_MAX_MOSAIC", "SV length filter for mosaic SVs (max)"),
+    ("SINGLE_BREAK", "A single break point was detected but not classified as an SV."),
+    ("INLINE_SA", "INLINE/CIGAR-based SV is mostly supported by SA reads"),
+    ("MOSAIC_SV_CLOSE_EDGE", "For mosaic SVs, the location is close to the end of the read (either end)"),
+    ("GT_FAILED", "Unable to genotype this call."),
+)
+
+# (id, Number, Type, Description, config gate or None)
+_INFO_FIELDS = (
+    ("PRECISE", "0", "Flag", "Structural variation with precise breakpoints", None),
+    ("IMPRECISE", "0", "Flag", "Structural variation with imprecise breakpoints", None),
+    ("MOSAIC", "0", "Flag", "Structural variation classified as putative mosaic", None),
+    ("SVLEN", "1", "Integer", "Length of structural variation", None),
+    ("SVLENGTHS", ".", "Integer", "Lengths of structural variation (all)", "dev_emit_sv_lengths"),
+    ("SVTYPE", "1", "String", "Type of structural variation", None),
+    ("CHR2", "1", "String", "Mate chromsome for BND SVs", None),
+    ("SUPPORT", "1", "Integer", "Number of reads supporting the structural variation", None),
+    ("SUPPORT_INLINE", "1", "Integer", "Number of reads supporting an INS/DEL SV (non-split events only)", None),
+    ("SUPPORT_SA", "1", "Integer", "Number of reads supporting a DEL SV through supplementary alignments (split events)", None),
+    ("SUPPORT_LONG", "1", "Integer", "Number of soft-clipped reads putatively supporting the long insertion SV", None),
+    ("END", "1", "Integer", "End position of structural variation", None),
+    ("STDEV_POS", "1", "Float", "Standard deviation of structural variation start position", None),
+    ("STDEV_LEN", "1", "Float", "Standard deviation of structural variation length", None),
+    ("COVERAGE", ".", "Float", "Coverages near upstream, start, center, end, downstream of structural variation", None),
+    ("STRAND", "1", "String", "Strands of supporting reads for structural variant", None),
+    ("AC", ".", "Integer", "Allele count, summed up over all samples", None),
+    ("SUPP_VEC", "1", "String", "List of read support for all samples", None),
+    ("CONSENSUS_SUPPORT", "1", "Integer", "Number of reads that support the generated insertion (INS) consensus sequence", None),
+    ("RNAMES", ".", "String", "Names of supporting reads (if enabled with --output-rnames)", None),
+    ("VAF", "1", "Float", "Variant Allele Fraction", None),
+    ("COVERAGE_VAR", "1", "Float", "Variance of coverage across large events", None),
+    ("NM", ".", "Float", "Mean number of query alignment length adjusted mismatches of supporting reads", None),
+    ("PHASE", ".", "String", "Phasing information derived from supporting reads, represented as list of: "
+                             "HAPLOTYPE,PHASESET,HAPLOTYPE_SUPPORT,PHASESET_SUPPORT,HAPLOTYPE_FILTER,PHASESET_FILTER", None),
+    ("LASM", "0", "Flag", "Local assembly used to detect the structural variant", None),
+    ("POPULATION_AF", "1", "Float", "Population Allele Frequency", "combine_population"),
+    ("POPULATION_SIZE", "1", "Integer", "Size of genotyped population for this variant", "combine_population"),
+)
+
+_GT_REPAIR_LINES = {
+    "GT": '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+    "GQ": '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">',
+    "DR": '##FORMAT=<ID=DR,Number=1,Type=Integer,Description="Number of reference reads">',
+    "DV": '##FORMAT=<ID=DV,Number=1,Type=Integer,Description="Number of variant reads">',
+}
+
+
 def format_info(k, v):
-    """(reference: vcf.py:25-35)"""
+    """One INFO token: floats to 3 decimals, lists comma-joined, true flags
+    bare, None as '.' (reference: vcf.py:25-35)."""
     if isinstance(v, float):
         return f"{k}={v:.3f}"
-    elif isinstance(v, list):
-        return f"{k}={','.join(v)}"
-    elif v is None:
-        v = '.'
-
-    if isinstance(v, bool) and v:
-        return f"{k}"
-    return f"{k}={v}"
+    if isinstance(v, list):
+        return k + "=" + ",".join(v)
+    if v is True:
+        return k
+    return f"{k}={'.' if v is None else v}"
 
 
 def unpack_phase(phase, svid="") -> tuple:
-    """(reference: vcf.py:38-48)"""
+    """Split a phase annotation into (haplotype, phase-set), tolerating
+    bare scalars and None (reference: vcf.py:38-48)."""
     try:
-        hp_i, ps = phase
+        hap, block = phase
     except TypeError:
-        if phase is None:
-            hp_i, ps = None, "."
-        else:
+        if phase is not None:
             log.debug(f"Single not 'None'-valued phase: {phase}|{svid}")
-            hp_i, ps = phase, "."
-    ps = ps if (ps is not None and ps != "NULL") else "."
-    return hp_i, ps
+        hap, block = phase, "."
+    if block is None or block == "NULL":
+        block = "."
+    return hap, block
 
 
 def format_genotype(gt, is_phased):
-    """Format one genotype column (reference: vcf.py:51-79)."""
-    gt_multi_sample_fields = 6
-    if len(gt) == gt_multi_sample_fields:
-        a, b, qual, dr, dv, phase = gt
-        hp, ps = unpack_phase(phase)
-        if hp is not None and (a, b) in [(0, 1), (1, 1)] and is_phased:
-            gt_sep = "|"
-            if hp == "1":
-                a, b = b, a
-        else:
-            gt_sep = "/"
-        return f"{a}{gt_sep}{b}:{qual}:{dr}:{dv}:{ps}" if is_phased else f"{a}{gt_sep}{b}:{qual}:{dr}:{dv}"
+    """One genotype column.  6-tuple = single-sample, 7-tuple carries a
+    trailing per-sample SV id (combine mode); the PS field appears only in
+    phased output (reference: vcf.py:51-79)."""
+    a, b, quality, ref_reads, var_reads, phase = gt[:6]
+    has_svid = len(gt) > 6
+    hap, block = unpack_phase(phase, gt[6] if has_svid else "")
+    if is_phased and hap is not None and (a, b) in ((0, 1), (1, 1)):
+        if hap == "1":
+            a, b = b, a
+        allele_str = f"{a}|{b}"
     else:
-        a, b, qual, dr, dv, phase, svid = gt
-        hp, ps = unpack_phase(phase, svid)
-        if hp is not None and (a, b) in [(0, 1), (1, 1)] and is_phased:
-            gt_sep = "|"
-            if hp == "1":
-                a, b = b, a
-        else:
-            gt_sep = "/"
-        return (f"{a}{gt_sep}{b}:{qual}:{dr}:{dv}:{ps}:{svid}" if is_phased
-                else f"{a}{gt_sep}{b}:{qual}:{dr}:{dv}:{svid}")
+        allele_str = f"{a}/{b}"
+    column = [allele_str, quality, ref_reads, var_reads]
+    if is_phased:
+        column.append(block)
+    if has_svid:
+        column.append(gt[6])
+    return ":".join(str(c) for c in column)
 
 
 class VCF:
-    """(reference: vcf.py:82-481)"""
+    """VCF writer/reader bound to one output or input handle
+    (reference: vcf.py:82-481)."""
 
     def __init__(self, config, handle):
         self.config = config
         self.handle = handle
         self.call_count = 0
-        self.info_order = ["SVTYPE", "SVLEN", "END", "SUPPORT", "RNAMES", "COVERAGE", "STRAND"]
-        if config.qc_nm_measure:
-            self.info_order.append("NM")
-
-        if config.dev_emit_sv_lengths:
-            self.info_order.append("SVLENGTHS")
-
-        self.default_genotype = config.genotype_none
-
-        self.genotype_format = config.genotype_format
-        if config.phase:
-            self.genotype_format += ":PS"
-        if config.mode == "combine":
-            self.genotype_format += ":ID"
-            self.default_genotype += tuple(["NULL"])
-
         self.reference_handle = None
         self.header_str = ""
+
+        # Per-record INFO emission order; gated fields mirror the header gates.
+        order = ["SVTYPE", "SVLEN", "END", "SUPPORT", "RNAMES", "COVERAGE", "STRAND"]
+        for field, wanted in (("NM", config.qc_nm_measure),
+                              ("SVLENGTHS", config.dev_emit_sv_lengths)):
+            if wanted:
+                order.append(field)
+        self.info_order = order
+
+        fmt, placeholder = config.genotype_format, config.genotype_none
+        if config.phase:
+            fmt += ":PS"
+        if config.mode == "combine":
+            fmt, placeholder = fmt + ":ID", placeholder + ("NULL",)
+        self.genotype_format, self.default_genotype = fmt, placeholder
+
+    # -- header ------------------------------------------------------------
+
+    def write_raw(self, text, endl="\n"):
+        self.handle.write(text + endl)
+
+    def write_header_line(self, text):
+        self.write_raw(f"##{text}")
+
+    def _gate_open(self, gate) -> bool:
+        return gate is None or bool(getattr(self.config, gate, False))
+
+    def write_header(self, contigs_lengths):
+        cfg = self.config
+        preamble = [
+            "fileformat=VCFv4.2",
+            f"source={cfg.version}_{cfg.build}",
+            f'command="{cfg.command}"',
+            f'fileDate="{cfg.start_date}"',
+        ]
+        preamble += [f"contig=<ID={name},length={length}>" for name, length in contigs_lengths]
+        preamble += list(_ALT_LINES)
+        preamble += [f'FORMAT=<ID={fid},Number=1,Type={ftype},Description="{desc}">'
+                     for fid, ftype, desc in _FORMAT_FIELDS]
+        preamble += [f'FILTER=<ID={fid},Description="{desc}">'
+                     for fid, desc in _FILTER_DESCRIPTIONS]
+        preamble += [f'INFO=<ID={iid},Number={num},Type={typ},Description="{desc}">'
+                     for iid, num, typ, desc, gate in _INFO_FIELDS
+                     if self._gate_open(gate)]
+        for line in preamble:
+            self.write_header_line(line)
+        sample_names = "\t".join(name for _, name in cfg.sample_ids_vcf)
+        self.write_raw(f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{sample_names}")
 
     def open_reference(self, generate_index: bool = True):
         if self.config.reference is None:
             return
         from sniffles_tpu.io.fasta import FastaFile, build_fai
-        if (not os.path.exists(self.config.reference + ".fai")
-                and not os.path.exists(self.config.reference + ".gzi") and generate_index):
+        have_index = (os.path.exists(self.config.reference + ".fai")
+                      or os.path.exists(self.config.reference + ".gzi"))
+        if not have_index and generate_index:
             log.warning(f"Fasta index for {self.config.reference} not found. Generating "
                         f"(this may take a while)")
             build_fai(self.config.reference)
@@ -114,343 +233,254 @@ class VCF:
         except Exception:
             log.error(f'Unable to open reference file {self.config.reference}')
 
-    def write_header(self, contigs_lengths):
-        """(reference: vcf.py:121-207)"""
-        self.write_header_line("fileformat=VCFv4.2")
-        self.write_header_line(f"source={self.config.version}_{self.config.build}")
-        self.write_header_line('command="' + self.config.command + '"')
-        self.write_header_line('fileDate="' + self.config.start_date + '"')
-        for contig, contig_len in contigs_lengths:
-            self.write_header_line(f"contig=<ID={contig},length={contig_len}>")
+    # -- record emission ---------------------------------------------------
 
-        self.write_header_line('ALT=<ID=INS,Description="Insertion">')
-        self.write_header_line('ALT=<ID=DEL,Description="Deletion">')
-        self.write_header_line('ALT=<ID=DUP,Description="Duplication">')
-        self.write_header_line('ALT=<ID=INV,Description="Inversion">')
-        self.write_header_line('ALT=<ID=BND,Description="Breakend; Translocation">')
-
-        self.write_header_line('FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
-        self.write_header_line('FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">')
-        self.write_header_line('FORMAT=<ID=DR,Number=1,Type=Integer,Description="Number of reference reads">')
-        self.write_header_line('FORMAT=<ID=DV,Number=1,Type=Integer,Description="Number of variant reads">')
-        self.write_header_line('FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase-block, zero if none or not phased">')
-        self.write_header_line('FORMAT=<ID=ID,Number=1,Type=String,Description="Individual sample SV ID for multi-sample output">')
-
-        self.write_header_line('FILTER=<ID=PASS,Description="All filters passed">')
-        self.write_header_line('FILTER=<ID=GT,Description="Genotype filter">')
-        self.write_header_line('FILTER=<ID=SUPPORT_MIN,Description="Minimum read support filter">')
-        self.write_header_line('FILTER=<ID=STDEV_POS,Description="SV Breakpoint standard deviation filter">')
-        self.write_header_line('FILTER=<ID=STDEV_LEN,Description="SV length standard deviation filter">')
-        self.write_header_line('FILTER=<ID=COV_MIN,Description="Minimum coverage filter">')
-        self.write_header_line('FILTER=<ID=COV_MIN_GT,Description="Minimum coverage filter (missing genotype)">')
-        self.write_header_line('FILTER=<ID=COV_CHANGE_DEL,Description="Coverage change filter for DEL">')
-        self.write_header_line('FILTER=<ID=COV_CHANGE_DUP,Description="Coverage change filter for DUP">')
-        self.write_header_line('FILTER=<ID=COV_CHANGE_INS,Description="Coverage change filter for INS">')
-        self.write_header_line('FILTER=<ID=COV_CHANGE_FRAC_US,Description="Coverage fractional change filter: upstream-start">')
-        self.write_header_line('FILTER=<ID=COV_CHANGE_FRAC_SC,Description="Coverage fractional change filter: start-center">')
-        self.write_header_line('FILTER=<ID=COV_CHANGE_FRAC_CE,Description="Coverage fractional change filter: center-end">')
-        self.write_header_line('FILTER=<ID=COV_CHANGE_FRAC_ED,Description="Coverage fractional change filter: end-downstream">')
-        self.write_header_line('FILTER=<ID=COV_VAR,Description="Coverage variance exceeded">')
-        self.write_header_line('FILTER=<ID=MOSAIC_VAF,Description="Mosaic variant allele fraction filter">')
-        self.write_header_line('FILTER=<ID=NOT_MOSAIC_VAF,Description="Variant allele fraction filter for non-mosaic">')
-        self.write_header_line('FILTER=<ID=ALN_NM,Description="Length adjusted mismatch filter">')
-        self.write_header_line('FILTER=<ID=STRAND_BND,Description="Strand support filter for BNDs">')
-        self.write_header_line('FILTER=<ID=STRAND,Description="Strand support filter for germline SVs">')
-        self.write_header_line('FILTER=<ID=STRAND_MOSAIC,Description="Strand support filter for mosaic SVs">')
-        self.write_header_line('FILTER=<ID=SVLEN_MIN,Description="SV length filter">')
-        self.write_header_line('FILTER=<ID=SVLEN_MIN_MOSAIC,Description="SV length filter for mosaic SVs (min)">')
-        self.write_header_line('FILTER=<ID=SVLEN_MAX_MOSAIC,Description="SV length filter for mosaic SVs (max)">')
-        self.write_header_line('FILTER=<ID=SINGLE_BREAK,Description="A single break point was detected but not classified as an SV.">')
-        self.write_header_line('FILTER=<ID=INLINE_SA,Description="INLINE/CIGAR-based SV is mostly supported by SA reads">')
-        self.write_header_line('FILTER=<ID=MOSAIC_SV_CLOSE_EDGE,Description="For mosaic SVs, the location is close to the end of the read (either end)">')
-        self.write_header_line('FILTER=<ID=GT_FAILED,Description="Unable to genotype this call.">')
-
-        self.write_header_line('INFO=<ID=PRECISE,Number=0,Type=Flag,Description="Structural variation with precise breakpoints">')
-        self.write_header_line('INFO=<ID=IMPRECISE,Number=0,Type=Flag,Description="Structural variation with imprecise breakpoints">')
-        self.write_header_line('INFO=<ID=MOSAIC,Number=0,Type=Flag,Description="Structural variation classified as putative mosaic">')
-        self.write_header_line('INFO=<ID=SVLEN,Number=1,Type=Integer,Description="Length of structural variation">')
-        if self.config.dev_emit_sv_lengths:
-            self.write_header_line('INFO=<ID=SVLENGTHS,Number=.,Type=Integer,Description="Lengths of structural variation (all)">')
-        self.write_header_line('INFO=<ID=SVTYPE,Number=1,Type=String,Description="Type of structural variation">')
-        self.write_header_line('INFO=<ID=CHR2,Number=1,Type=String,Description="Mate chromsome for BND SVs">')
-        self.write_header_line('INFO=<ID=SUPPORT,Number=1,Type=Integer,Description="Number of reads supporting the structural variation">')
-        self.write_header_line('INFO=<ID=SUPPORT_INLINE,Number=1,Type=Integer,Description="Number of reads supporting an INS/DEL SV (non-split events only)">')
-        self.write_header_line('INFO=<ID=SUPPORT_SA,Number=1,Type=Integer,Description="Number of reads supporting a DEL SV through supplementary alignments (split events)">')
-        self.write_header_line('INFO=<ID=SUPPORT_LONG,Number=1,Type=Integer,Description="Number of soft-clipped reads putatively supporting the long insertion SV">')
-        self.write_header_line('INFO=<ID=END,Number=1,Type=Integer,Description="End position of structural variation">')
-        self.write_header_line('INFO=<ID=STDEV_POS,Number=1,Type=Float,Description="Standard deviation of structural variation start position">')
-        self.write_header_line('INFO=<ID=STDEV_LEN,Number=1,Type=Float,Description="Standard deviation of structural variation length">')
-        self.write_header_line('INFO=<ID=COVERAGE,Number=.,Type=Float,Description="Coverages near upstream, start, center, end, downstream of structural variation">')
-        self.write_header_line('INFO=<ID=STRAND,Number=1,Type=String,Description="Strands of supporting reads for structural variant">')
-        self.write_header_line('INFO=<ID=AC,Number=.,Type=Integer,Description="Allele count, summed up over all samples">')
-        self.write_header_line('INFO=<ID=SUPP_VEC,Number=1,Type=String,Description="List of read support for all samples">')
-        self.write_header_line('INFO=<ID=CONSENSUS_SUPPORT,Number=1,Type=Integer,Description="Number of reads that support the generated insertion (INS) consensus sequence">')
-        self.write_header_line('INFO=<ID=RNAMES,Number=.,Type=String,Description="Names of supporting reads (if enabled with --output-rnames)">')
-        self.write_header_line('INFO=<ID=VAF,Number=1,Type=Float,Description="Variant Allele Fraction">')
-        self.write_header_line('INFO=<ID=COVERAGE_VAR,Number=1,Type=Float,Description="Variance of coverage across large events">')
-        self.write_header_line('INFO=<ID=NM,Number=.,Type=Float,Description="Mean number of query alignment length adjusted mismatches of supporting reads">')
-        self.write_header_line('INFO=<ID=PHASE,Number=.,Type=String,Description="Phasing information derived from supporting reads, represented as list of: HAPLOTYPE,PHASESET,HAPLOTYPE_SUPPORT,PHASESET_SUPPORT,HAPLOTYPE_FILTER,PHASESET_FILTER">')
-        self.write_header_line('INFO=<ID=LASM,Number=0,Type=Flag,Description="Local assembly used to detect the structural variant">')
-
-        if self.config.combine_population:
-            self.write_header_line('INFO=<ID=POPULATION_AF,Number=1,Type=Float,Description="Population Allele Frequency">')
-            self.write_header_line('INFO=<ID=POPULATION_SIZE,Number=1,Type=Integer,Description="Size of genotyped population for this variant">')
-
-        samples_header = "\t".join(sample_id for _, sample_id in self.config.sample_ids_vcf)
-        self.write_raw(f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{samples_header}")
-
-    def write_raw(self, text, endl="\n"):
-        self.handle.write(text)
-        self.handle.write(endl)
-
-    def write_header_line(self, text):
-        self.write_raw("##" + text)
-
-    def write_call(self, call: sv.SVCall) -> int:
-        """(reference: vcf.py:216-350)"""
-        if call.is_single_break:
-            return 0
-
-        end = call.end
-        pos = call.pos if call.pos > 0 else 1
-
-        if call.precise and call.svtype == 'DEL':
-            end = pos + abs(call.svlen)
-
-        # Genotype columns
-        ac = 0
-        supvec = []
-        sample_genotypes = []
-        for internal_id, _ in self.config.sample_ids_vcf:
-            if internal_id in call.genotypes and call.genotypes[internal_id] is not None:
-                gt_curr = call.genotypes[internal_id]
-                sample_genotypes.append(format_genotype(gt_curr, self.config.phase))
-                if gt_curr[0] != "." and gt_curr[4] > 0:
-                    ac += sum(call.genotypes[internal_id][:2])
-                    supp = "1"
-                else:
-                    supp = "0"
+    def _genotype_columns(self, call):
+        """Render one column per output sample; returns (columns, allele
+        count, support vector string) (reference: vcf.py:230-243)."""
+        columns = []
+        alleles = 0
+        bits = []
+        for sample_key, _ in self.config.sample_ids_vcf:
+            gt = call.genotypes.get(sample_key) if call.genotypes else None
+            if gt is None:
+                columns.append(format_genotype(self.default_genotype, self.config.phase))
+                bits.append("0")
+                continue
+            columns.append(format_genotype(gt, self.config.phase))
+            if gt[0] != "." and gt[4] > 0:
+                alleles += gt[0] + gt[1]
+                bits.append("1")
             else:
-                sample_genotypes.append(format_genotype(self.default_genotype, self.config.phase))
-                supp = "0"
-            supvec.append(supp)
+                bits.append("0")
+        return columns, alleles, "".join(bits)
 
-        if len(self.config.sample_ids_vcf) > 1:
-            call.set_info("AC", ac)
-            call.set_info("SUPP_VEC", svec := "".join(supvec))
-
-            if int(svec) == 0:
-                log.debug(f'Dropped {call} due to all zero support vector.')
-                return 0
-
-            if ac == 0:
-                call.filter = "GT"
-
-        if "INS" == call.svtype:
-            if call.svlen != len(call.alt) and not self.config.symbolic and "<INS>" != call.alt:
-                call.svlen = len(call.alt)
-            if call.svlen < self.config.minsvlen:
-                return 0
-
-        infos = {
+    def _assemble_info(self, call, end):
+        """Build the ordered INFO string: precision flag, optional MOSAIC,
+        the fixed-order core fields, then remaining info keys sorted
+        (reference: vcf.py:266-302)."""
+        cfg = self.config
+        strand_tag = ("+" if call.fwd > 0 else "") + ("-" if call.rev > 0 else "")
+        span = (f"{call.coverage_upstream},{call.coverage_start},{call.coverage_center},"
+                f"{call.coverage_end},{call.coverage_downstream}")
+        core = {
             "SVTYPE": call.svtype,
             "SVLEN": call.svlen,
-            "SVLENGTHS": ",".join(map(str, call.svlens)) if call.svlens else None,
+            "SVLENGTHS": ",".join(str(n) for n in call.svlens) if call.svlens else None,
             "END": end,
             "SUPPORT": call.support,
-            "RNAMES": call.rnames if self.config.output_rnames else None,
-            "COVERAGE": f"{call.coverage_upstream},{call.coverage_start},{call.coverage_center},"
-                        f"{call.coverage_end},{call.coverage_downstream}",
-            "STRAND": ("+" if call.fwd > 0 else "") + ("-" if call.rev > 0 else ""),
-            "NM": call.nm
+            "RNAMES": call.rnames if cfg.output_rnames else None,
+            "COVERAGE": span,
+            "STRAND": strand_tag,
+            "NM": call.nm,
         }
-
         if call.svtype == "BND":
-            infos["SVLEN"] = None
-            infos["SVLENGTHS"] = None
-            infos["END"] = None
+            core["SVLEN"] = core["SVLENGTHS"] = core["END"] = None
 
-        infos_ordered = ["PRECISE" if call.precise else "IMPRECISE"]
-        af = call.get_info("VAF")
-        af = af if af is not None else 0
-        sv_is_mosaic = af <= self.config.mosaic_af_max
-        if sv_is_mosaic and self.config.mosaic:
-            infos_ordered.append("MOSAIC")
-        infos_ordered.extend(format_info(k, infos[k]) for k in self.info_order if infos[k] is not None)
-        info_str = ";".join(infos_ordered)
+        tokens = ["PRECISE" if call.precise else "IMPRECISE"]
+        vaf = call.get_info("VAF") or 0
+        if cfg.mosaic and vaf <= cfg.mosaic_af_max:
+            tokens.append("MOSAIC")
+        tokens += [format_info(key, core[key]) for key in self.info_order
+                   if core[key] is not None]
+        tokens += [format_info(key, call.info[key]) for key in sorted(call.info)
+                   if call.info[key] is not None]
+        return ";".join(tokens)
 
-        for k in sorted(call.info):
-            if call.info[k] is None:
-                continue
-            info_str += ";" + format_info(k, call.info[k])
+    def _materialize_del_sequence(self, call, pos) -> bool:
+        """Try to replace a symbolic DEL with its literal reference bases.
+        Returns False when the call must be suppressed because the deleted
+        span is mostly N (reference: vcf.py:304-321)."""
+        try:
+            # The base before the event anchors the REF allele per VCF 4.2.
+            call.ref = self.reference_handle.fetch(call.contig, call.pos - 1, call.pos - call.svlen)
+            call.alt = call.ref[0]
+        except (KeyError, ValueError):
+            call.ref = "N"
+            call.alt = f"<{call.svtype}>"
+            return True
+        n_count = call.ref.count('N')
+        if n_count and n_count / len(call.ref) > self.config.max_unknown_pct:
+            log.debug(f'Not emitting {call.id} in {call.contig}:{call.pos} (length '
+                      f'{call.svlen}) due to {n_count / len(call.ref) * 100:.2f}% N bases in reference.')
+            return False
+        return True
 
-        # Resolve DEL sequence
-        if (not self.config.symbolic and call.svtype == "DEL" and self.reference_handle is not None
-                and abs(call.svlen) <= self.config.max_del_seq_len):
-            try:
-                # VCF requires inclusion of the last reference base before the SV
-                call.ref = self.reference_handle.fetch(call.contig, call.pos - 1, call.pos - call.svlen)
-                call.alt = call.ref[0]
-            except KeyError:
-                call.ref = "N"
-                call.alt = f"<{call.svtype}>"
-            except ValueError:
-                call.ref = "N"
-                call.alt = f"<{call.svtype}>"
-            else:
-                if 'N' in call.ref and (pct_n := Counter(call.ref)['N'] / len(call.ref)) > self.config.max_unknown_pct:
-                    log.debug(f'Not emitting {call.id} in {call.contig}:{call.pos} (length '
-                              f'{call.svlen}) due to {pct_n * 100:.2f}% N bases in reference.')
-                    return 0
+    def _materialize_alleles(self, call, pos) -> bool:
+        """Final REF/ALT resolution: literal DEL sequences, symbolic-mode
+        collapse, anchor-base prefixing for INS/BND, IUPAC cleanup.
+        Returns False if the record should be dropped
+        (reference: vcf.py:304-342)."""
+        cfg = self.config
+        if (call.svtype == "DEL" and not cfg.symbolic and self.reference_handle is not None
+                and abs(call.svlen) <= cfg.max_del_seq_len):
+            if not self._materialize_del_sequence(call, pos):
+                return False
 
-        if self.config.symbolic:
+        if cfg.symbolic:
             call.ref = "N"
             if call.svtype != "BND":
                 call.alt = f"<{call.svtype}>"
-        else:
-            if self.reference_handle is not None and call.ref == 'N':
-                try:
-                    call.ref = self.reference_handle.fetch(call.contig, start := max(0, call.pos - 1), start + 1)
-                except (KeyError, ValueError):
-                    ...
-                else:
-                    if call.svtype == "INS" and call.alt != '<INS>':
-                        call.alt = call.ref + call.alt
-                    elif call.svtype == 'BND' and call.alt != '<BND>':
-                        call.alt = (call.ref + call.alt[1:]) if call.alt.startswith('N') else call.alt[:-1] + call.ref
+            return True
 
-                call.ref = call.ref.translate(ambiguity_cleanup_table)
-                # Symbolic alts (e.g. <INS>) are exempt from IUPAC cleanup:
-                # translating them would corrupt the symbol ('S' -> 'N'),
-                # contradicting the reference's own regression test for
-                # issue #501 (src/tests/test_vcf.py:198-221).
-                if not call.alt.startswith('<'):
-                    call.alt = call.alt.translate(ambiguity_cleanup_table)
+        if self.reference_handle is not None and call.ref == 'N':
+            anchor_at = max(0, call.pos - 1)
+            try:
+                anchor = self.reference_handle.fetch(call.contig, anchor_at, anchor_at + 1)
+            except (KeyError, ValueError):
+                pass
+            else:
+                call.ref = anchor
+                if call.svtype == "INS" and call.alt != '<INS>':
+                    call.alt = anchor + call.alt
+                elif call.svtype == 'BND' and call.alt != '<BND>':
+                    # The anchor base replaces the placeholder N on whichever
+                    # side of the bracket notation this breakend anchors.
+                    call.alt = (anchor + call.alt[1:] if call.alt.startswith('N')
+                                else call.alt[:-1] + anchor)
+            call.ref = call.ref.translate(ambiguity_cleanup_table)
+            # Symbolic alts (e.g. <INS>) are exempt: translating would corrupt
+            # the symbol ('S' -> 'N'), per the reference's own regression test
+            # for issue #501 (reference: src/tests/test_vcf.py:198-221).
+            if not call.alt.startswith('<'):
+                call.alt = call.alt.translate(ambiguity_cleanup_table)
+        return True
 
-        call.qual = max(0, min(60, call.qual)) if call.qual is not None else None
+    def write_call(self, call: sv.SVCall) -> int:
+        """Emit one record; returns the number of lines written (0 when the
+        call is suppressed) (reference: vcf.py:216-350)."""
+        if call.is_single_break:
+            return 0
 
-        self.write_raw("\t".join(str(v) for v in [call.contig, pos, self.config.id_prefix + call.id, call.ref,
-                                                  call.alt, call.qual if call.qual is not None else '.',
-                                                  call.filter, info_str, self.genotype_format] + sample_genotypes))
+        cfg = self.config
+        pos = call.pos if call.pos > 0 else 1
+        end = pos + abs(call.svlen) if (call.precise and call.svtype == 'DEL') else call.end
+
+        columns, allele_count, support_vector = self._genotype_columns(call)
+
+        if len(cfg.sample_ids_vcf) > 1:
+            call.set_info("AC", allele_count)
+            call.set_info("SUPP_VEC", support_vector)
+            if int(support_vector) == 0:
+                log.debug(f'Dropped {call} due to all zero support vector.')
+                return 0
+            if allele_count == 0:
+                call.filter = "GT"
+
+        if call.svtype == "INS":
+            if call.svlen != len(call.alt) and not cfg.symbolic and call.alt != "<INS>":
+                call.svlen = len(call.alt)
+            if call.svlen < cfg.minsvlen:
+                return 0
+
+        info_str = self._assemble_info(call, end)
+
+        if not self._materialize_alleles(call, pos):
+            return 0
+
+        if call.qual is not None:
+            call.qual = max(0, min(60, call.qual))
+
+        fields = [call.contig, pos, cfg.id_prefix + call.id, call.ref, call.alt,
+                  call.qual if call.qual is not None else '.', call.filter,
+                  info_str, self.genotype_format, *columns]
+        self.write_raw("\t".join(str(f) for f in fields))
         self.call_count += 1
         return 1
 
+    # -- force-calling reader ---------------------------------------------
+
+    def _record_from_line(self, line_strip, line_index):
+        """Parse one data line into an SVCall skeleton for re-genotyping
+        (reference: vcf.py:360-426)."""
+        chrom, pos1, _, ref, alt, qual, flt, info_text = line_strip.split("\t")[:8]
+        info = {}
+        for token in info_text.split(";"):
+            # Strict two-way split: malformed KEY=a=b tokens must error out
+            # through the fatal-error path exactly as the reference does.
+            if "=" in token:
+                key, value = token.split("=")
+            else:
+                key, value = token, True
+            info[key] = value
+
+        call = sv.SVCall(contig=chrom, pos=int(pos1) - 1, id=line_index, ref=ref, alt=alt,
+                         qual=int(qual) if qual != '.' else None, filter=flt, info=info,
+                         svtype=None, svlen=None, end=None, rnames=None, qc=True,
+                         postprocess=None, genotypes=None, precise=None, support=0,
+                         fwd=0, rev=0, nm=-1)
+
+        # Allele-length fallback classification, overridden by INFO keys.
+        if len(alt) > len(ref):
+            call.svtype, call.svlen, call.end = "INS", len(alt), call.pos
+        else:
+            call.svtype, call.svlen = "DEL", -len(ref)
+            call.end = call.pos + call.svlen
+
+        if "SVTYPE" in info:
+            call.svtype = "BND" if info["SVTYPE"] == "TRA" else info["SVTYPE"]
+        if "SVLEN" in info:
+            call.svlen = int(info["SVLEN"])
+        if "END" in info:
+            call.end = int(info["END"])
+
+        if call.svtype == "BND":
+            sides = alt.replace("]", "[").split("[")
+            if len(sides) <= 2:
+                raise ValueError("BND ALT not formatted according to VCF 4.2 specifications")
+            mate_contig, mate_pos = sides[1].split(":")
+            call.bnd_info = sv.SVCallBNDInfo(mate_contig=mate_contig,
+                                             mate_ref_start=int(mate_pos),
+                                             is_first=alt[0] == "N",
+                                             is_reverse="]" in alt)
+
+        call.raw_vcf_line = line_strip
+        call.raw_vcf_line_index = line_index
+        return call
+
     def read_svs_iter(self):
-        """Parse SVs for force calling (reference: vcf.py:352-428)."""
         self.header_str = ""
-        line_index = 0
-        for line in self.handle:
+        for line_index, line in enumerate(self.handle, start=1):
             try:
-                if isinstance(line, bytes):
-                    line = line.decode("utf-8")
-                line_index += 1
-                line_strip = line.strip()
-                if line_strip == "" or line_strip[0] == "#":
-                    if line_strip and line_strip[0] == "#":
-                        self.header_str += line_strip + "\n"
+                text = line.decode("utf-8") if isinstance(line, bytes) else line
+                text = text.strip()
+                if not text or text.startswith("#"):
+                    if text:
+                        self.header_str += text + "\n"
                     continue
-                CHROM, POS, _, REF, ALT, QUAL, FILTER, INFO = line.split("\t")[:8]
-                info_dict = {}
-                for info_item in INFO.split(";"):
-                    if "=" in info_item:
-                        key, value = info_item.split("=")
-                    else:
-                        key, value = info_item, True
-                    info_dict[key] = value
-                call = sv.SVCall(contig=CHROM,
-                                 pos=int(POS) - 1,
-                                 id=line_index,
-                                 ref=REF,
-                                 alt=ALT,
-                                 qual=int(QUAL) if QUAL != '.' else None,
-                                 filter=FILTER,
-                                 info=info_dict,
-                                 svtype=None,
-                                 svlen=None,
-                                 end=None,
-                                 rnames=None,
-                                 qc=True,
-                                 postprocess=None,
-                                 genotypes=None,
-                                 precise=None,
-                                 support=0,
-                                 fwd=0,
-                                 rev=0,
-                                 nm=-1)
-                if len(call.alt) > len(call.ref):
-                    call.svtype = "INS"
-                    call.svlen = len(call.alt)
-                    call.end = call.pos
-                else:
-                    call.svtype = "DEL"
-                    call.svlen = -len(call.ref)
-                    call.end = call.pos + call.svlen
-
-                if "SVTYPE" in info_dict:
-                    call.svtype = info_dict["SVTYPE"]
-                    if call.svtype == "TRA":
-                        call.svtype = "BND"
-
-                if "SVLEN" in info_dict:
-                    call.svlen = int(info_dict["SVLEN"])
-
-                if "END" in info_dict:
-                    call.end = int(info_dict["END"])
-
-                if call.svtype == "BND":
-                    bnd_parts = call.alt.replace("]", "[").split("[")
-                    if len(bnd_parts) > 2:
-                        mate_contig, mate_ref_start = bnd_parts[1].split(":")
-                        call.bnd_info = sv.SVCallBNDInfo(mate_contig=mate_contig,
-                                                         mate_ref_start=int(mate_ref_start),
-                                                         is_first=(call.alt[0] == "N"),
-                                                         is_reverse=("]" in call.alt))
-                    else:
-                        raise ValueError("BND ALT not formatted according to VCF 4.2 specifications")
-
-                call.raw_vcf_line = line_strip
-                call.raw_vcf_line_index = line_index
-                yield call
+                yield self._record_from_line(text, line_index)
             except Exception as e:
                 util.fatal_error(f"Error parsing input VCF: Line {line_index}: {e}")
 
+    # -- force-calling writer ---------------------------------------------
+
     def rewrite_genotype(self, svcall):
-        """(reference: vcf.py:430-447)"""
-        parts_no_gt = svcall.raw_vcf_line.split("\t")[:8]
-        gt_format = self.config.genotype_format
-        if svcall.genotype_match_sv is not None:
-            if len(svcall.genotype_match_sv.genotypes) > 0:
-                gt = svcall.genotype_match_sv.genotypes[0]
-            else:
-                gt = svcall.genotypes[0]
+        """Re-emit an input record with freshly computed genotype columns
+        (reference: vcf.py:430-447)."""
+        matched = svcall.genotype_match_sv
+        if matched is not None and len(matched.genotypes) > 0:
+            gt = matched.genotypes[0]
         else:
             gt = svcall.genotypes[0]
-        parts = parts_no_gt + [gt_format, format_genotype(gt, self.config.phase)]
-        self.write_raw("\t".join(parts))
+        head = svcall.raw_vcf_line.split("\t")[:8]
+        self.write_raw("\t".join(head + [self.config.genotype_format,
+                                         format_genotype(gt, self.config.phase)]))
 
     def rewrite_header_genotype(self, orig_header):
-        """(reference: vcf.py:449-478)"""
-        header_lines = orig_header.split("\n")
-        header_lines.insert(1, '##genotypeFileDate="' + self.config.start_date + '"')
-        header_lines.insert(1, '##genotypeCommand="' + self.config.command + '"')
-        header_lines.insert(1, f"##genotypeSource={self.config.version}_{self.config.build}")
-
-        has_gt_headers = {"GT": False, "GQ": False, "DR": False, "DV": False}
-        for header_line in header_lines:
-            for gt in has_gt_headers.keys():
-                if "##FORMAT=<ID=" + gt + "," in header_line:
-                    has_gt_headers[gt] = True
-
-        if not has_gt_headers["GT"]:
-            header_lines.insert(len(header_lines) - 2, '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
-        if not has_gt_headers["GQ"]:
-            header_lines.insert(len(header_lines) - 2, '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">')
-        if not has_gt_headers["DR"]:
-            header_lines.insert(len(header_lines) - 2, '##FORMAT=<ID=DR,Number=1,Type=Integer,Description="Number of reference reads">')
-        if not has_gt_headers["DV"]:
-            header_lines.insert(len(header_lines) - 2, '##FORMAT=<ID=DV,Number=1,Type=Integer,Description="Number of variant reads">')
-
-        self.write_raw("\n".join(header_lines), endl="")
+        """Pass through the input header, stamping provenance lines and
+        repairing missing genotype FORMAT declarations
+        (reference: vcf.py:449-478)."""
+        lines = orig_header.split("\n")
+        cfg = self.config
+        lines[1:1] = [f"##genotypeSource={cfg.version}_{cfg.build}",
+                      f'##genotypeCommand="{cfg.command}"',
+                      f'##genotypeFileDate="{cfg.start_date}"']
+        present = {tag for tag in _GT_REPAIR_LINES
+                   if any(f"##FORMAT=<ID={tag}," in hl for hl in lines)}
+        for tag, repair in _GT_REPAIR_LINES.items():
+            if tag not in present:
+                lines.insert(len(lines) - 2, repair)
+        self.write_raw("\n".join(lines), endl="")
 
     def close(self):
         self.handle.close()
