@@ -1,12 +1,12 @@
-"""
-Postprocessing: coverage annotation, QC cascade, support filters,
-consensus triggering, genotype dispatch and phasing.
+"""Post-calling stages: span coverage, QC screens, genotype dispatch, phasing.
 
-Exact host-side port of the reference behavior (reference:
-postprocessing.py:25-654) — the filter string of the first failing
-check is part of the output contract. The device pipeline evaluates
-the same cascade as a vectorized mask pipeline (ops/qc_batch.py),
-validated against this module.
+The QC cascade is expressed as a sequence of screens feeding a
+FilterLedger: in normal mode the first failing screen stamps the call's
+filter column and aborts (the tag of the first failure is part of the
+output contract); with --dev-filter every failing tag accumulates and is
+joined at the end.  Behavior matches the reference cascade
+(reference: postprocessing.py:25-654); the device path evaluates the
+same screens as vectorized masks in ops/qc_batch.py.
 """
 from __future__ import annotations
 
@@ -18,580 +18,512 @@ from sniffles_tpu.config import SnifflesConfig
 from sniffles_tpu.svcall import SVCall
 
 log = logging.getLogger('sniffles_tpu.postprocess')
+
 ACCEPTED_SVTYPES = ["INS", "DEL", "DUP", "INV", "BND"]
+
+# Fixed screen constants (reference: postprocessing.py:233,250-251,330,449-450).
+_SVLEN_WAIVER_SUPPORT = 10        # read support above which SVLEN_MIN is waived
+_FLANK_RATIO_CEIL = 0.7           # max down/up flank coverage ratio (long DEL/DUP)
+_FLANK_RATIO_FLOOR = 0.5          # min flank ratio before COV_CHANGE fires
+_INLINE_SA_MIN_READS = 5
+_MOSAIC_STDEV_LEN_RATIO = 0.1
+_MOSAIC_STDEV_POS_MAX = 5
+
+
+class FilterLedger:
+    """Outcome collector for one call's QC screens.
+
+    flag(tag) returns True when the cascade must stop immediately
+    (normal mode); in --dev-filter mode it accumulates and returns False.
+    (reference: postprocessing.py:200-207,383-385,534-541)
+    """
+
+    __slots__ = ("_call", "_collect", "_tags")
+
+    def __init__(self, call, config):
+        self._call = call
+        self._collect = bool(config.dev_filter)
+        self._tags = []
+        if self._collect and isinstance(call.filter, str):
+            self._tags = call.filter.split(";")
+
+    def flag(self, tag: str) -> bool:
+        if self._collect:
+            self._tags.append(tag)
+            return False
+        self._call.filter = tag
+        return True
+
+    def seal(self) -> None:
+        """qc_sv/support sealing: replace the filter with all joined tags."""
+        if self._collect:
+            self._call.filter = ";".join(self._tags)
+
+    def seal_trimmed(self) -> None:
+        """Post-annotate sealing: a leading PASS is dropped once failures exist."""
+        if not self._collect or not self._tags:
+            return
+        tags = self._tags
+        if len(tags) > 1 and tags[0] == "PASS":
+            tags = tags[1:]
+        self._call.filter = ";".join(tags)
+
+
+def _strand_diversity(svcall) -> int:
+    return len({lead.strand for lead in svcall.postprocess.cluster.leads})
+
+
+# --------------------------------------------------------------------------
+# Annotation
+
+
+def _choose_consensus_anchor(merged_leads, svcall):
+    """Index of the lead whose sequence best matches the called length and
+    position; ties go to the earliest lead (reference: postprocessing.py:37-49)."""
+    return min(range(len(merged_leads)),
+               key=lambda i: (abs(len(merged_leads[i].seq) - svcall.svlen)
+                              + abs(merged_leads[i].ref_start - svcall.pos) * 1.5))
 
 
 def annotate_sv(svcall: SVCall, config):
-    """(reference: postprocessing.py:25-66)"""
-    if config.phase:
-        phase = phase_sv(svcall, config)
-    else:
-        phase = (None, None)
-
+    """Phase, genotype, and (for sequence-bearing INS) fill in the alt
+    sequence, via consensus when enough reads carry one
+    (reference: postprocessing.py:25-66)."""
+    phase = phase_sv(svcall, config) if config.phase else (None, None)
     genotype_sv(svcall, config, phase)
 
-    if svcall.svtype == "INS" and not config.symbolic:
-        merged_leads = [lead for lead in svcall.postprocess.cluster.leads if lead.seq is not None]
+    if svcall.svtype != "INS" or config.symbolic:
+        return
+    seq_leads = [lead for lead in svcall.postprocess.cluster.leads if lead.seq is not None]
+    if not seq_leads:
+        return
 
-        if len(merged_leads):
-            best_lead = merged_leads[0]
-            best_index = 0
-            best_diff = abs(len(best_lead.seq) - svcall.svlen) + abs(best_lead.ref_start - svcall.pos) * 1.5
-            for i, ld in enumerate(merged_leads):
-                if i == 0:
-                    continue
-                curr_diff = abs(len(ld.seq) - svcall.svlen) + abs(ld.ref_start - svcall.pos) * 1.5
-                if curr_diff < best_diff:
-                    best_lead = ld
-                    best_index = i
-                    best_diff = curr_diff
+    anchor = seq_leads.pop(_choose_consensus_anchor(seq_leads, svcall))
+    if len(seq_leads) >= config.consensus_min_reads and not config.no_consensus:
+        hop = config.consensus_kmer_skip_base + int(
+            len(anchor.seq) * config.consensus_kmer_skip_seqlen_mult)
+        svcall.alt = consensus.novel_from_reads(
+            anchor, seq_leads, klen=config.consensus_kmer_len,
+            skip=hop, skip_repetitive=hop)
+    else:
+        svcall.alt = anchor.seq
 
-            merged_leads.pop(best_index)
 
-            if len(merged_leads) >= config.consensus_min_reads and not config.no_consensus:
-                kmer_len = config.consensus_kmer_len
-                skip = config.consensus_kmer_skip_base + int(
-                    len(best_lead.seq) * config.consensus_kmer_skip_seqlen_mult)
-                skip_repetitive = skip
-
-                svcall.alt = consensus.novel_from_reads(best_lead, merged_leads, klen=kmer_len,
-                                                        skip=skip, skip_repetitive=skip_repetitive)
-            else:
-                svcall.alt = best_lead.seq
+def _assign_depths(svcall, track, probes):
+    """Copy per-base depth values onto the call; probes outside the track
+    leave the attribute untouched (reference: postprocessing.py:80-128)."""
+    for attr, index in probes:
+        try:
+            setattr(svcall, attr, int(track[index]))
+        except IndexError:
+            pass
 
 
 def coverage(calls: list[SVCall], lead_provider) -> float:
-    """Annotate coverage at 5 anchor points per call; returns contig-average
-    coverage (reference: postprocessing.py:69-130)."""
-    cv = lead_provider.coverage
+    """Annotate the five span depths (upstream/start/center/end/downstream)
+    per call from the task's per-base coverage track; returns the track
+    average (reference: postprocessing.py:69-130)."""
+    track = lead_provider.coverage
     config = SnifflesConfig.GLOBAL
+    step = config.coverage_binsize
+    flank = step * config.coverage_updown_bins
 
     for svcall in calls:
+        kind = svcall.svtype
         start = svcall.pos
-        end = start
-        if svcall.svtype == "INS":
+        if kind == "INS":
             end = start + 1
-        elif svcall.svtype == "BND":
-            if svcall.bnd_info.is_first:
-                start -= 1
+        elif kind == "BND":
+            end = start
+            start -= 1 if svcall.bnd_info.is_first else 0
         else:
-            end = svcall.pos + abs(svcall.svlen)
+            end = start + abs(svcall.svlen)
 
         if svcall.svtype in ("INS", "BND"):
-            try:
-                svcall.coverage_start = int(cv[start - config.coverage_binsize])
-            except IndexError:
-                pass
-            try:
-                svcall.coverage_center = int(cv[start])
-            except IndexError:
-                pass
-            try:
-                svcall.coverage_end = int(cv[end + config.coverage_binsize])
-            except IndexError:
-                pass
+            inner = (("coverage_start", start - step),
+                     ("coverage_center", start),
+                     ("coverage_end", end + step))
         else:
-            try:
-                svcall.coverage_start = int(cv[start])
-            except IndexError:
-                pass
-            try:
-                svcall.coverage_center = int(cv[int((start + end) / 2)])
-            except IndexError:
-                pass
-            try:
-                svcall.coverage_end = int(cv[end - config.coverage_binsize])
-            except IndexError:
-                pass
-
-        try:
-            svcall.coverage_upstream = int(cv[start - config.coverage_binsize * config.coverage_updown_bins])
-        except IndexError:
-            pass
-        try:
-            svcall.coverage_downstream = int(cv[end + config.coverage_binsize * config.coverage_updown_bins])
-        except IndexError:
-            pass
+            inner = (("coverage_start", start),
+                     ("coverage_center", int((start + end) / 2)),
+                     ("coverage_end", end - step))
+        _assign_depths(svcall, track, inner)
+        _assign_depths(svcall, track, (("coverage_upstream", start - flank),
+                                       ("coverage_downstream", end + flank)))
 
     return lead_provider.coverage.mean()
 
 
-def qc_sv_support(svcall, coverage_global, config) -> bool:
-    """(reference: postprocessing.py:133-159)"""
-    dev_sv_filter: list = []
-    if config.dev_filter:
-        if isinstance(svcall.filter, str):
-            if ";" in svcall.filter:
-                dev_sv_filter = svcall.filter.split(";")
-            else:
-                dev_sv_filter = [svcall.filter]
-
-    if config.minsupport == "auto":
-        if not qc_support_auto(svcall, coverage_global, config):
-            if config.dev_filter:
-                dev_sv_filter.append("SUPPORT_MIN")
-            else:
-                svcall.filter = "SUPPORT_MIN"
-                return False
-    else:
-        if not qc_support_const(svcall, config):
-            if config.dev_filter:
-                dev_sv_filter.append("SUPPORT_MIN")
-            else:
-                svcall.filter = "SUPPORT_MIN"
-                return False
-
-    if config.dev_filter:
-        svcall.filter = ";".join(dev_sv_filter)
-    return True
+# --------------------------------------------------------------------------
+# Support screens
 
 
 def rescale_support(svcall, config) -> int:
-    """Long-INS support rescaling (reference: postprocessing.py:162-171)."""
+    """Long insertions are only partially traversed by reads, so raw read
+    support under-counts; scale it up with length
+    (reference: postprocessing.py:162-171)."""
     if svcall.svtype != "INS" or svcall.svlen < config.long_ins_length:
         return svcall.support
-    base = svcall.support
-    scale_factor = config.long_ins_rescale_mult * (float(svcall.svlen) / config.long_ins_length)
-    return round(base * (config.long_ins_rescale_base + scale_factor))
+    growth = config.long_ins_rescale_mult * (float(svcall.svlen) / config.long_ins_length)
+    return round(svcall.support * (config.long_ins_rescale_base + growth))
 
 
 def qc_support_auto(svcall, coverage_global, config):
-    """(reference: postprocessing.py:174-192)"""
+    """Support threshold from a regional/global coverage blend
+    (reference: postprocessing.py:174-192)."""
     support = rescale_support(svcall, config)
 
-    coverage_list = [c for c in [svcall.coverage_upstream, svcall.coverage_downstream] if c != 0]
-    if len(coverage_list) == 0:
-        coverage_list = [c for c in [svcall.coverage_start, svcall.coverage_center,
-                                     svcall.coverage_end] if c != 0]
-    if len(coverage_list) == 0:
-        coverage_regional = coverage_global
-    else:
-        coverage_regional = round(sum(coverage_list) / len(coverage_list))
-        if coverage_regional == 0:
-            coverage_regional = coverage_global
-    coverage_global_weight = (1.0 - config.minsupport_auto_regional_coverage_weight)
-    coverage_ = (coverage_regional * config.minsupport_auto_regional_coverage_weight +
-                 coverage_global * coverage_global_weight)
-    min_support = round(config.minsupport_auto_base + config.minsupport_auto_mult * coverage_)
-    return support >= min_support
+    nearby = [d for d in (svcall.coverage_upstream, svcall.coverage_downstream) if d != 0]
+    if not nearby:
+        nearby = [d for d in (svcall.coverage_start, svcall.coverage_center,
+                              svcall.coverage_end) if d != 0]
+    regional = round(sum(nearby) / len(nearby)) if nearby else 0
+    if regional == 0:
+        regional = coverage_global
+
+    w = config.minsupport_auto_regional_coverage_weight
+    blended = regional * w + coverage_global * (1.0 - w)
+    needed = round(config.minsupport_auto_base + config.minsupport_auto_mult * blended)
+    return support >= needed
 
 
 def qc_support_const(svcall, config):
     return svcall.support >= config.minsupport
 
 
+def qc_sv_support(svcall, coverage_global, config) -> bool:
+    """Minimum-support screen, auto or constant threshold
+    (reference: postprocessing.py:133-159)."""
+    ledger = FilterLedger(svcall, config)
+    if config.minsupport == "auto":
+        ok = qc_support_auto(svcall, coverage_global, config)
+    else:
+        ok = qc_support_const(svcall, config)
+    if not ok and ledger.flag("SUPPORT_MIN"):
+        return False
+    ledger.seal()
+    return True
+
+
+# --------------------------------------------------------------------------
+# Main QC cascade (pre-annotation)
+
+
+def _screen_stdev(svcall, config, ledger):
+    """Breakpoint/length scatter screens (reference: postprocessing.py:209-224)."""
+    stdev_pos = svcall.get_info("STDEV_POS")
+    if stdev_pos > config.qc_stdev_abs_max and ledger.flag("STDEV_POS"):
+        return False
+    if svcall.svtype not in ("BND", "SINGLE_LEFT", "SINGLE_RIGHT"):
+        # The reference evaluates this ratio twice (first pass stamps without
+        # returning); net effect is a single failure, reproduced here.
+        if stdev_pos / abs(svcall.svlen) > 2.0 and ledger.flag("STDEV_POS"):
+            return False
+
+    stdev_len = svcall.get_info("STDEV_LEN")
+    if stdev_len:
+        if (svcall.svtype != "BND" and stdev_len / abs(svcall.svlen) > 1.0
+                and ledger.flag("STDEV_LEN")):
+            return False
+        if stdev_len > config.qc_stdev_abs_max and ledger.flag("STDEV_LEN"):
+            return False
+    return True
+
+
+def _screen_long_del_coverage(svcall, config, ledger):
+    """Long deletions must show the expected central coverage drop
+    (reference: postprocessing.py:252-285)."""
+    up, mid, down = svcall.coverage_upstream, svcall.coverage_center, svcall.coverage_downstream
+    expect_drop = config.long_del_coverage / 2.0
+
+    if mid > (up + down) * expect_drop:
+        if up > mid > down and down / up < _FLANK_RATIO_CEIL and ledger.flag("COV_CHANGE_DEL"):
+            return False
+        if up < mid < down and up / down < _FLANK_RATIO_CEIL and ledger.flag("COV_CHANGE_DEL"):
+            return False
+    if up > down:
+        if (_FLANK_RATIO_FLOOR > down / up or mid > down) and ledger.flag("COV_CHANGE_DEL"):
+            return False
+    elif up < down:
+        if (_FLANK_RATIO_FLOOR > up / down or up < mid) and ledger.flag("COV_CHANGE_DEL"):
+            return False
+    return True
+
+
+def _screen_long_dup_coverage(svcall, config, ledger):
+    """Long duplications must show the expected central coverage gain
+    (reference: postprocessing.py:286-319)."""
+    up, mid, down = svcall.coverage_upstream, svcall.coverage_center, svcall.coverage_downstream
+    expect_gain = config.long_dup_coverage / 2.0
+
+    if mid < (up + down) * expect_gain:
+        if up > mid > down and down / up < _FLANK_RATIO_CEIL and ledger.flag("COV_CHANGE_DUP"):
+            return False
+        if up < mid < down and up / down < _FLANK_RATIO_CEIL and ledger.flag("COV_CHANGE_DUP"):
+            return False
+        if up > down:
+            if (_FLANK_RATIO_FLOOR > down / up or mid < down) and ledger.flag("COV_CHANGE_DUP"):
+                return False
+        elif up < down:
+            if (_FLANK_RATIO_FLOOR > up / down or up > mid) and ledger.flag("COV_CHANGE_DUP"):
+                return False
+    return True
+
+
+def _screen_coverage_steps(svcall, config, ledger):
+    """Adjacent span-point coverage jumps beyond the configured fraction
+    (reference: postprocessing.py:350-381)."""
+    frac = config.qc_coverage_max_change_frac
+    if frac == -1.0:
+        return True
+    points = [float(d) if d != 0 else 1.0
+              for d in (svcall.coverage_upstream, svcall.coverage_start,
+                        svcall.coverage_center, svcall.coverage_end,
+                        svcall.coverage_downstream)]
+    tags = ("COV_CHANGE_FRAC_US", "COV_CHANGE_FRAC_SC",
+            "COV_CHANGE_FRAC_CE", "COV_CHANGE_FRAC_ED")
+    for (a, b), tag in zip(zip(points, points[1:]), tags):
+        if abs(a - b) / max(a, b) > frac and ledger.flag(tag):
+            return False
+    return True
+
+
 def qc_sv(svcall: SVCall, config) -> bool:
-    """Main QC cascade (reference: postprocessing.py:200-441)."""
-    dev_sv_filter: list = []
-    if config.dev_filter:
-        if isinstance(svcall.filter, str):
-            if ";" in svcall.filter:
-                dev_sv_filter = svcall.filter.split(";")
-            else:
-                dev_sv_filter = [svcall.filter]
+    """Pre-annotation QC cascade (reference: postprocessing.py:200-441)."""
+    ledger = FilterLedger(svcall, config)
 
-    if config.qc_stdev:
-        stdev_pos = svcall.get_info("STDEV_POS")
-        if stdev_pos > config.qc_stdev_abs_max:
-            if config.dev_filter:
-                dev_sv_filter.append("STDEV_POS")
-            else:
-                svcall.filter = "STDEV_POS"
-                return False
-        if svcall.svtype not in ("BND", "SINGLE_LEFT", "SINGLE_RIGHT") and stdev_pos / abs(svcall.svlen) > 2.0:
-            if config.dev_filter:
-                dev_sv_filter.append("STDEV_POS")
-            else:
-                svcall.filter = "STDEV_POS"
-        if svcall.svtype not in ("BND", "SINGLE_LEFT", "SINGLE_RIGHT") and stdev_pos / abs(svcall.svlen) > 2.0:
-            svcall.filter = f'{svcall.filter};STDEV_POS' if config.dev_filter else "STDEV_POS"
-            if not config.dev_filter:
-                return False
+    if config.qc_stdev and not _screen_stdev(svcall, config, ledger):
+        return False
 
-        stdev_len = svcall.get_info("STDEV_LEN")
-        if stdev_len is not None and stdev_len != 0:
-            if svcall.svtype != "BND" and stdev_len / abs(svcall.svlen) > 1.0:
-                if config.dev_filter:
-                    dev_sv_filter.append("STDEV_LEN")
-                else:
-                    svcall.filter = "STDEV_LEN"
-                    return False
-            if stdev_len > config.qc_stdev_abs_max:
-                if config.dev_filter:
-                    dev_sv_filter.append("STDEV_LEN")
-                else:
-                    svcall.filter = "STDEV_LEN"
-                    return False
+    if (svcall.is_single_break and not config.dev_output_candidates
+            and ledger.flag("SINGLE_BREAK")):
+        return False
 
-    if svcall.is_single_break and not config.dev_output_candidates:
-        if config.dev_filter:
-            dev_sv_filter.append("SINGLE_BREAK")
-        else:
-            svcall.filter = "SINGLE_BREAK"
-            return False
-
-    support_overwrite_svlen = 10  # supporting reads above which SVLEN_MIN is waived
     if abs(svcall.svlen) < config.minsvlen and svcall.svtype != 'BND':
-        if svcall.support < support_overwrite_svlen or config.minsvlen_hard_cap:
-            if config.dev_filter:
-                dev_sv_filter.append("SVLEN_MIN")
-            else:
-                svcall.filter = "SVLEN_MIN"
-                return False
-
-    if svcall.svtype == "BND":
-        if config.qc_bnd_filter_strand and len(set(lead.strand for lead in svcall.postprocess.cluster.leads)) < 2:
-            if config.dev_filter:
-                dev_sv_filter.append("STRAND_BND")
-            else:
-                svcall.filter = "STRAND_BND"
-                return False
-
-    upstream_downstream_max_coverage_diff = 0.7
-    upstream_downstream_diff = 0.5
-    if (svcall.svtype == "DEL" and config.long_del_length != -1 and abs(svcall.svlen) >= config.long_del_length and
-            not config.mosaic and abs(svcall.svlen) <= config.dev_longer_del):
-        scaled_long_del_coverage = config.long_del_coverage / 2.0
-        if svcall.coverage_center > (svcall.coverage_upstream + svcall.coverage_downstream) * scaled_long_del_coverage:
-            if svcall.coverage_upstream > svcall.coverage_center > svcall.coverage_downstream:
-                if svcall.coverage_downstream / svcall.coverage_upstream < upstream_downstream_max_coverage_diff:
-                    if config.dev_filter:
-                        dev_sv_filter.append("COV_CHANGE_DEL")
-                    else:
-                        svcall.filter = "COV_CHANGE_DEL"
-                        return False
-            elif svcall.coverage_upstream < svcall.coverage_center < svcall.coverage_downstream:
-                if svcall.coverage_upstream / svcall.coverage_downstream < upstream_downstream_max_coverage_diff:
-                    if config.dev_filter:
-                        dev_sv_filter.append("COV_CHANGE_DEL")
-                    else:
-                        svcall.filter = "COV_CHANGE_DEL"
-                        return False
-        if svcall.coverage_upstream > svcall.coverage_downstream:
-            if (upstream_downstream_diff > svcall.coverage_downstream / svcall.coverage_upstream or
-                    svcall.coverage_center > svcall.coverage_downstream):
-                if config.dev_filter:
-                    dev_sv_filter.append("COV_CHANGE_DEL")
-                else:
-                    svcall.filter = "COV_CHANGE_DEL"
-                    return False
-        elif svcall.coverage_upstream < svcall.coverage_downstream:
-            if (upstream_downstream_diff > svcall.coverage_upstream / svcall.coverage_downstream or
-                    svcall.coverage_upstream < svcall.coverage_center):
-                if config.dev_filter:
-                    dev_sv_filter.append("COV_CHANGE_DEL")
-                else:
-                    svcall.filter = "COV_CHANGE_DEL"
-                    return False
-    elif (svcall.svtype == "DUP" and config.long_dup_length != -1 and abs(svcall.svlen) >= config.long_dup_length and
-          not config.mosaic) and abs(svcall.svlen) <= config.dev_longer_dup:
-        scaled_long_dup_coverage = config.long_dup_coverage / 2.0
-        if svcall.coverage_center < (svcall.coverage_upstream + svcall.coverage_downstream) * scaled_long_dup_coverage:
-            if svcall.coverage_upstream > svcall.coverage_center > svcall.coverage_downstream:
-                if svcall.coverage_downstream / svcall.coverage_upstream < upstream_downstream_max_coverage_diff:
-                    if config.dev_filter:
-                        dev_sv_filter.append("COV_CHANGE_DUP")
-                    else:
-                        svcall.filter = "COV_CHANGE_DUP"
-                        return False
-            elif svcall.coverage_upstream < svcall.coverage_center < svcall.coverage_downstream:
-                if svcall.coverage_upstream / svcall.coverage_downstream < upstream_downstream_max_coverage_diff:
-                    if config.dev_filter:
-                        dev_sv_filter.append("COV_CHANGE_DUP")
-                    else:
-                        svcall.filter = "COV_CHANGE_DUP"
-                        return False
-            if svcall.coverage_upstream > svcall.coverage_downstream:
-                if (upstream_downstream_diff > svcall.coverage_downstream / svcall.coverage_upstream or
-                        svcall.coverage_center < svcall.coverage_downstream):
-                    if config.dev_filter:
-                        dev_sv_filter.append("COV_CHANGE_DUP")
-                    else:
-                        svcall.filter = "COV_CHANGE_DUP"
-                        return False
-            elif svcall.coverage_upstream < svcall.coverage_downstream:
-                if (upstream_downstream_diff > svcall.coverage_upstream / svcall.coverage_downstream or
-                        svcall.coverage_upstream > svcall.coverage_center):
-                    if config.dev_filter:
-                        dev_sv_filter.append("COV_CHANGE_DUP")
-                    else:
-                        svcall.filter = "COV_CHANGE_DUP"
-                        return False
-    elif svcall.svtype == "INS" and (svcall.coverage_upstream < config.qc_coverage or
-                                     svcall.coverage_downstream < config.qc_coverage):
-        if config.dev_filter:
-            dev_sv_filter.append("COV_CHANGE_INS")
-        else:
-            svcall.filter = "COV_CHANGE_INS"
+        if ((svcall.support < _SVLEN_WAIVER_SUPPORT or config.minsvlen_hard_cap)
+                and ledger.flag("SVLEN_MIN")):
             return False
 
-    # INLINE/SA filter
-    if svcall.svtype in ["INS", "DEL"]:
-        min_reads = 5
+    if (svcall.svtype == "BND" and config.qc_bnd_filter_strand
+            and _strand_diversity(svcall) < 2 and ledger.flag("STRAND_BND")):
+        return False
+
+    span = abs(svcall.svlen)
+    if (svcall.svtype == "DEL" and config.long_del_length != -1
+            and span >= config.long_del_length and not config.mosaic
+            and span <= config.dev_longer_del):
+        if not _screen_long_del_coverage(svcall, config, ledger):
+            return False
+    elif (svcall.svtype == "DUP" and config.long_dup_length != -1
+            and span >= config.long_dup_length and not config.mosaic
+            and span <= config.dev_longer_dup):
+        if not _screen_long_dup_coverage(svcall, config, ledger):
+            return False
+    elif svcall.svtype == "INS" and (svcall.coverage_upstream < config.qc_coverage
+                                     or svcall.coverage_downstream < config.qc_coverage):
+        if ledger.flag("COV_CHANGE_INS"):
+            return False
+
+    if svcall.svtype in ("INS", "DEL"):
+        # CIGAR-only events backed mostly by reads that also carry split
+        # alignments are suspect (reference: postprocessing.py:329-339).
         sa_inline, sap_inline = svcall.postprocess.cluster.sa_counts
-        sa_split = svcall.info.get("SUPPORT_SA")
-        no_split_sa = sa_split == 0 or sa_split is None
-        if sap_inline > config.dev_inline_sa_support_max and sa_inline > min_reads and no_split_sa:
-            if config.dev_filter:
-                dev_sv_filter.append("INLINE_SA")
-            else:
-                svcall.filter = "INLINE_SA"
-                return False
-
-    qc, val = svcall.qc_coverage_samples()
-    svcall.set_info('COVERAGE_VAR', val)
-    if not qc:
-        if config.dev_filter:
-            dev_sv_filter.append("COV_VAR")
-        else:
-            svcall.filter = "COV_VAR"
+        if (sap_inline > config.dev_inline_sa_support_max
+                and sa_inline > _INLINE_SA_MIN_READS
+                and not svcall.info.get("SUPPORT_SA")
+                and ledger.flag("INLINE_SA")):
             return False
 
-    qc_coverage_max_change_frac = config.qc_coverage_max_change_frac
-    if qc_coverage_max_change_frac != -1.0:
-        u = float(svcall.coverage_upstream) if svcall.coverage_upstream != 0 else 1.0
-        s = float(svcall.coverage_start) if svcall.coverage_start != 0 else 1.0
-        c = float(svcall.coverage_center) if svcall.coverage_center != 0 else 1.0
-        e = float(svcall.coverage_end) if svcall.coverage_end != 0 else 1.0
-        d = float(svcall.coverage_downstream) if svcall.coverage_downstream != 0 else 1.0
+    smooth, variance = svcall.qc_coverage_samples()
+    svcall.set_info('COVERAGE_VAR', variance)
+    if not smooth and ledger.flag("COV_VAR"):
+        return False
 
-        if abs(u - s) / max(u, s) > qc_coverage_max_change_frac:
-            if config.dev_filter:
-                dev_sv_filter.append("COV_CHANGE_FRAC_US")
-            else:
-                svcall.filter = "COV_CHANGE_FRAC_US"
-                return False
-        if abs(s - c) / max(s, c) > qc_coverage_max_change_frac:
-            if config.dev_filter:
-                dev_sv_filter.append("COV_CHANGE_FRAC_SC")
-            else:
-                svcall.filter = "COV_CHANGE_FRAC_SC"
-                return False
-        if abs(c - e) / max(c, e) > qc_coverage_max_change_frac:
-            if config.dev_filter:
-                dev_sv_filter.append("COV_CHANGE_FRAC_CE")
-            else:
-                svcall.filter = "COV_CHANGE_FRAC_CE"
-                return False
-        if abs(e - d) / max(e, d) > qc_coverage_max_change_frac:
-            if config.dev_filter:
-                dev_sv_filter.append("COV_CHANGE_FRAC_ED")
-            else:
-                svcall.filter = "COV_CHANGE_FRAC_ED"
-                return False
+    if not _screen_coverage_steps(svcall, config, ledger):
+        return False
 
-    if config.dev_filter:
-        svcall.filter = ";".join(dev_sv_filter)
+    ledger.seal()
+    return True
+
+
+# --------------------------------------------------------------------------
+# Post-annotation QC (genotype-aware + mosaic arms)
+
+
+def _screen_mosaic_support(svcall, config, ledger):
+    """Mosaic-mode support/length rules (reference: postprocessing.py:444-468)."""
+    stdev_pos = svcall.info.get("STDEV_POS")
+    stdev_len = svcall.info.get("STDEV_LEN")
+    span_info = svcall.info.get("SVLEN", 1)
+    needed = config.mosaic_min_reads
+    if stdev_pos is not None and stdev_len is not None and svcall.svtype in ACCEPTED_SVTYPES:
+        scattered = ((not svcall.precise
+                      or stdev_len / abs(svcall.svlen) > _MOSAIC_STDEV_LEN_RATIO
+                      or stdev_pos > _MOSAIC_STDEV_POS_MAX)
+                     and abs(span_info) <= config.max_svlen_mosaic)
+        if not (svcall.svtype in ("BND", "INV") or scattered):
+            needed = config.mosaic_min_reads - 1
+    if svcall.support < needed and ledger.flag("SUPPORT_MIN"):
+        return False
+    if (svcall.svtype != "BND" and abs(svcall.svlen) > config.max_svlen_mosaic
+            and ledger.flag("SVLEN_MAX_MOSAIC")):
+        return False
+    return True
+
+
+def _screen_strand_support(svcall, config, ledger, mosaic_arm):
+    """Both-strand support requirement, with the mosaic variant gated by a
+    support floor (reference: postprocessing.py:470-487)."""
+    if svcall.svtype == "BND":
+        return True
+    long_ins = svcall.svtype == "INS" and svcall.svlen >= config.long_ins_length
+    if not mosaic_arm and config.qc_strand:
+        if not long_ins and _strand_diversity(svcall) < 2 and ledger.flag("STRAND"):
+            return False
+    elif mosaic_arm and config.mosaic_qc_strand:
+        if (not long_ins and _strand_diversity(svcall) < 2
+                and svcall.support >= config.mosaic_use_strand_thresholds
+                and ledger.flag("STRAND_MOSAIC")):
+            return False
+    return True
+
+
+def _screen_mosaic_edges(svcall, config, ledger):
+    """Mosaic calls anchored near read ends are artifacts
+    (reference: postprocessing.py:520-532)."""
+    if svcall.svtype in {"BND", "SINGLE_LEFT", "SINGLE_RIGHT"}:
+        return True
+    margin = config.dev_min_close_edge_dist
+    near_edge = sum(1 for ld in svcall.postprocess.cluster.leads
+                    if ld.qry_start <= margin or abs(ld.read_len - ld.qry_start) <= margin)
+    if (near_edge / svcall.support >= config.dev_min_read_close_edge_prop
+            and ledger.flag("MOSAIC_SV_CLOSE_EDGE")):
+        return False
     return True
 
 
 def qc_sv_post_annotate(svcall: SVCall, config, coverage_average_total: float,
                         nm_threshold: float | None = None) -> bool:
-    """Post-annotation QC including mosaic arms (reference: postprocessing.py:444-600).
+    """Genotype-aware QC incl. mosaic arms (reference: postprocessing.py:444-600).
 
     nm_threshold overrides config.qc_nm_threshold (the per-task regional NM
     statistic; passed explicitly so decode-ahead prefetch of the next task
-    cannot perturb this task's QC)."""
-    dev_sv_filter: list = []
-    if config.dev_filter:
-        if isinstance(svcall.filter, str):
-            if ";" in svcall.filter:
-                dev_sv_filter = svcall.filter.split(";")
-            else:
-                dev_sv_filter = [svcall.filter]
+    cannot perturb this task's QC).
+    """
+    ledger = FilterLedger(svcall, config)
 
     af = svcall.get_info("VAF")
     af = af if af is not None else 0
-    sv_is_mosaic = af <= config.mosaic_af_max
+    in_mosaic_band = af <= config.mosaic_af_max
+    mosaic_arm = config.mosaic and in_mosaic_band
 
     if ((svcall.coverage_center < config.qc_coverage and
             (len(svcall.genotypes) == 0 or (svcall.genotypes[0][0] != "." and
                                             svcall.genotypes[0][0] + svcall.genotypes[0][1] < 2))) and
             ("DEL" != svcall.svtype and abs(svcall.svlen) > config.long_del_length)):
-        if config.dev_filter:
-            dev_sv_filter.append("COV_MIN_GT")
-        else:
-            svcall.filter = "COV_MIN_GT"
+        if ledger.flag("COV_MIN_GT"):
             return False
 
-    if config.mosaic and not sv_is_mosaic:
-        if not qc_sv_support(svcall, coverage_average_total, config):
-            if not config.dev_filter:
-                return False
+    if config.mosaic and not in_mosaic_band:
+        if not qc_sv_support(svcall, coverage_average_total, config) and not config.dev_filter:
+            return False
 
     nm_base = nm_threshold if nm_threshold is not None else config.qc_nm_threshold
-    qc_nm = config.qc_nm
-    qc_nm_threshold = nm_base * config.qc_nm_mult
-    if config.mosaic and sv_is_mosaic:
-        qc_nm = config.mosaic_qc_nm
-        qc_nm_threshold = nm_base * config.qc_nm_mult
-    if qc_nm and svcall.nm > qc_nm_threshold and (len(svcall.genotypes) == 0 or svcall.genotypes[0][1] == 0):
-        if config.dev_filter:
-            dev_sv_filter.append("ALN_NM")
-        else:
-            svcall.filter = "ALN_NM"
+    nm_active = config.mosaic_qc_nm if mosaic_arm else config.qc_nm
+    nm_limit = nm_base * config.qc_nm_mult
+    if (nm_active and svcall.nm > nm_limit
+            and (len(svcall.genotypes) == 0 or svcall.genotypes[0][1] == 0)
+            and ledger.flag("ALN_NM")):
+        return False
+
+    if not config.mosaic and in_mosaic_band:
+        dup_exempt = svcall.svtype == "DUP" and af >= config.dev_min_dup_vaf
+        if not dup_exempt and ledger.flag("MOSAIC_VAF"):
             return False
 
-    if not config.mosaic and sv_is_mosaic:
-        skip_this_dup = "DUP" == svcall.svtype and af >= config.dev_min_dup_vaf
-        if not skip_this_dup:
-            if config.dev_filter:
-                dev_sv_filter.append("MOSAIC_VAF")
-            else:
-                svcall.filter = "MOSAIC_VAF"
-                return False
+    if mosaic_arm and not _screen_mosaic_support(svcall, config, ledger):
+        return False
 
-    if config.mosaic and sv_is_mosaic:
-        stdev_pos = svcall.info.get("STDEV_POS")
-        stdev_len = svcall.info.get("STDEV_LEN")
-        svlen = svcall.info.get("SVLEN", 1)
-        min_mosaic_support = config.mosaic_min_reads
-        max_stdev_to_svlen_ratio = 0.1
-        max_stdev_pos_difference = 5
-        if stdev_pos is not None and stdev_len is not None and svcall.svtype in ACCEPTED_SVTYPES:
-            filter_low_supp = ((not svcall.precise or stdev_len / abs(svcall.svlen) > max_stdev_to_svlen_ratio or
-                                stdev_pos > max_stdev_pos_difference) and abs(svlen) <= config.max_svlen_mosaic)
-            min_mosaic_support = config.mosaic_min_reads if (svcall.svtype in ["BND", "INV"] or filter_low_supp) \
-                else config.mosaic_min_reads - 1
-        if svcall.support < min_mosaic_support:
-            if config.dev_filter:
-                dev_sv_filter.append("SUPPORT_MIN")
-            else:
-                svcall.filter = "SUPPORT_MIN"
-                return False
-        if "BND" != svcall.svtype:
-            if abs(svcall.svlen) > config.max_svlen_mosaic:
-                if config.dev_filter:
-                    dev_sv_filter.append("SVLEN_MAX_MOSAIC")
-                else:
-                    svcall.filter = "SVLEN_MAX_MOSAIC"
-                    return False
+    if not _screen_strand_support(svcall, config, ledger, mosaic_arm):
+        return False
 
-    if svcall.svtype != "BND":
-        if not (config.mosaic and sv_is_mosaic) and config.qc_strand:
-            is_long_ins = (svcall.svtype == "INS" and svcall.svlen >= config.long_ins_length)
-            if not is_long_ins and len(set(lead.strand for lead in svcall.postprocess.cluster.leads)) < 2:
-                if config.dev_filter:
-                    dev_sv_filter.append("STRAND")
-                else:
-                    svcall.filter = "STRAND"
-                    return False
-        elif (config.mosaic and sv_is_mosaic) and config.mosaic_qc_strand:
-            is_long_ins = (svcall.svtype == "INS" and svcall.svlen >= config.long_ins_length)
-            if (not is_long_ins and len(set(lead.strand for lead in svcall.postprocess.cluster.leads)) < 2
-                    and svcall.support >= config.mosaic_use_strand_thresholds):
-                if config.dev_filter:
-                    dev_sv_filter.append("STRAND_MOSAIC")
-                else:
-                    svcall.filter = "STRAND_MOSAIC"
-                    return False
+    if (mosaic_arm and svcall.svtype in ("INV", "DUP")
+            and svcall.svlen < config.mosaic_qc_invdup_min_length
+            and ledger.flag("SVLEN_MIN_MOSAIC")):
+        return False
 
-    if config.mosaic and sv_is_mosaic:
-        if (svcall.svtype == "INV" or svcall.svtype == "DUP") and svcall.svlen < config.mosaic_qc_invdup_min_length:
-            if config.dev_filter:
-                dev_sv_filter.append("SVLEN_MIN_MOSAIC")
-            else:
-                svcall.filter = "SVLEN_MIN_MOSAIC"
-                return False
-
-    if svcall.coverage_center < config.qc_coverage and svcall.svtype not in ["DEL", "INS"]:
-        if (svcall.svtype == "INV" and svcall.svlen) > config.long_inv_length and not (config.mosaic and sv_is_mosaic):
-            pass
-        else:
-            if config.dev_filter:
-                dev_sv_filter.append("COV_MIN")
-            else:
-                svcall.filter = "COV_MIN"
-                return False
+    if svcall.coverage_center < config.qc_coverage and svcall.svtype not in ("DEL", "INS"):
+        # Parenthesization preserved from the reference: the comparison is
+        # (svtype==INV and svlen) > threshold (reference: postprocessing.py:498).
+        long_inv_exempt = ((svcall.svtype == "INV" and svcall.svlen) > config.long_inv_length
+                           and not mosaic_arm)
+        if not long_inv_exempt and ledger.flag("COV_MIN"):
+            return False
 
     if config.mosaic:
-        if sv_is_mosaic and (af < config.mosaic_af_min or af > config.mosaic_af_max):
-            if config.dev_filter:
-                dev_sv_filter.append("MOSAIC_VAF")
-            else:
-                svcall.filter = "MOSAIC_VAF"
+        if in_mosaic_band and (af < config.mosaic_af_min or af > config.mosaic_af_max):
+            if ledger.flag("MOSAIC_VAF"):
                 return False
-        elif not sv_is_mosaic and not config.mosaic_include_germline:
-            if config.dev_filter:
-                dev_sv_filter.append("NOT_MOSAIC_VAF")
-            else:
-                svcall.filter = "NOT_MOSAIC_VAF"
+        elif not in_mosaic_band and not config.mosaic_include_germline:
+            if ledger.flag("NOT_MOSAIC_VAF"):
                 return False
-        if sv_is_mosaic and svcall.svtype not in {"BND", "SINGLE_LEFT", "SINGLE_RIGHT"}:
-            read_close_edge_count = 0
-            for sv_start_read, read_len in [(ld.qry_start, ld.read_len)
-                                            for ld in svcall.postprocess.cluster.leads]:
-                if (sv_start_read <= config.dev_min_close_edge_dist
-                        or abs(read_len - sv_start_read) <= config.dev_min_close_edge_dist):
-                    read_close_edge_count += 1
-            if float(read_close_edge_count) / svcall.support >= config.dev_min_read_close_edge_prop:
-                if config.dev_filter:
-                    dev_sv_filter.append("MOSAIC_SV_CLOSE_EDGE")
-                else:
-                    svcall.filter = "MOSAIC_SV_CLOSE_EDGE"
-                    return False
+        if in_mosaic_band and not _screen_mosaic_edges(svcall, config, ledger):
+            return False
 
-    if config.dev_filter:
-        if len(dev_sv_filter) > 1:
-            if "PASS" == dev_sv_filter[0]:
-                svcall.filter = ";".join(dev_sv_filter[1:])
-            else:
-                svcall.filter = ";".join(dev_sv_filter)
-        elif dev_sv_filter:
-            svcall.filter = dev_sv_filter[0]
+    ledger.seal_trimmed()
     return True
 
 
+# --------------------------------------------------------------------------
+# Genotyping + phasing glue
+
+
 def genotype_sv(svcall: SVCall, config, phase: tuple | None = None):
-    """Dispatch to the per-type genotyper (reference: postprocessing.py:607-623)."""
+    """Run the genotyper, then let hom-alt calls bypass a failed haplotype
+    filter (reference: postprocessing.py:607-623)."""
     from sniffles_tpu.genotype import GENOTYPER_BY_TYPE, Genotyper
 
     GENOTYPER_BY_TYPE.get(svcall.svtype, Genotyper)(svcall, config, phase).calculate()
 
-    # hom-alt should skip hp_filter
     try:
         a, b, gq, dr, dv, phase = svcall.genotypes[0]
-        if a == b and a == 1 and (phase_info := svcall.get_info("PHASE")):
+        if a == b == 1 and (phase_info := svcall.get_info("PHASE")):
             hp, ps, hp_supp, ps_supp, hp_filt, ps_filt = phase_info.split(",")
-            if "0" != hp:
-                hp_filt = "PASS"
-                phase = (hp, ps)
-                svcall.genotypes[0] = (a, b, gq, dr, dv, phase)
-                svcall.set_info("PHASE", f"{hp},{ps},{hp_supp},{ps_supp},{hp_filt},{ps_filt}")
+            if hp != "0":
+                svcall.genotypes[0] = (a, b, gq, dr, dv, (hp, ps))
+                svcall.set_info("PHASE", f"{hp},{ps},{hp_supp},{ps_supp},PASS,{ps_filt}")
     except KeyError:
         pass
 
 
+def _vote(values, conflict_threshold):
+    """Majority vote with a conflict share; returns (winner, support, filter).
+
+    The winner must carry positive support and less than the threshold share
+    of conflicting (non-NULL, different) votes to PASS
+    (reference: postprocessing.py:634-650).
+    """
+    tally = util.most_common(values)
+    support, winner = tally[0]
+    if winner is None:
+        winner = "NULL"
+    rivals = sum(n for n, v in tally if v != winner and v != "NULL")
+    passed = (rivals / float(support + rivals) < conflict_threshold
+              and winner != "NULL" and support > 0)
+    return winner, support, "PASS" if passed else "FAIL"
+
+
 def phase_sv(svcall, config):
-    """Derive HP/PS phase from supporting reads (reference: postprocessing.py:626-654)."""
-    reads_phases = {lead.read_id: (lead.hap, lead.phase_set)
-                    for lead in svcall.postprocess.cluster.leads}
-    hp_list = util.most_common(hp for hp, ps in reads_phases.values())
-    ps_list = util.most_common(ps for hp, ps in reads_phases.values())
-
-    hp_support, hp = hp_list[0]
-    ps_support, ps = ps_list[0]
-    if hp is None:
-        hp = "NULL"
-    if ps is None:
-        ps = "NULL"
-
-    other_hp_support = sum(other_supp for other_supp, other_hp in hp_list
-                           if other_hp != hp and other_hp != "NULL")
-    other_ps_support = sum(other_supp for other_supp, other_ps in ps_list
-                           if other_ps != ps and other_ps != "NULL")
-
-    hp_filter = "FAIL"
-    if (float(other_hp_support) / (hp_support + other_hp_support) < config.phase_conflict_threshold
-            and hp != "NULL" and hp_support > 0):
-        hp_filter = "PASS"
-
-    ps_filter = "FAIL"
-    if (float(other_ps_support) / (ps_support + other_ps_support) < config.phase_conflict_threshold
-            and ps != "NULL" and ps_support > 0):
-        ps_filter = "PASS"
+    """Derive the call's haplotype/phase-set from its supporting reads'
+    HP/PS tags (reference: postprocessing.py:626-654)."""
+    by_read = {lead.read_id: (lead.hap, lead.phase_set)
+               for lead in svcall.postprocess.cluster.leads}
+    hp, hp_support, hp_filter = _vote([h for h, _ in by_read.values()],
+                                      config.phase_conflict_threshold)
+    ps, ps_support, ps_filter = _vote([p for _, p in by_read.values()],
+                                      config.phase_conflict_threshold)
 
     svcall.set_info("PHASE", f"{hp},{ps},{hp_support},{ps_support},{hp_filter},{ps_filter}")
-    hp_return = hp if hp in config.phase_identifiers and hp_filter == "PASS" else None
-    ps_return = ps if "PASS" == ps_filter else None
-    return hp_return, ps_return
+    hp_out = hp if hp in config.phase_identifiers and hp_filter == "PASS" else None
+    ps_out = ps if ps_filter == "PASS" else None
+    return hp_out, ps_out
