@@ -1,11 +1,11 @@
-"""
-SV data model and cluster→call conversion.
+"""SV data model, cluster-to-call conversion, and split-pair classification.
 
-Mirrors the reference semantics for SVCall/SVGroup, split
-classification, and the robust-statistics calling step (reference:
-sv.py:87-782). The per-candidate statistics (center/trim/stdev) also
-have batched device implementations in ops/stats.py used by the TPU
-pipeline; this module is the exact host-side ground truth.
+Behavior matches the reference data model and calling step (reference:
+sv.py:87-782): robust center statistics, PRECISE determination, BND alt
+resolution, multi-sample group merging, and the adjacent-split geometry
+rules.  The per-candidate statistics (center/trim/stdev) also have
+batched device implementations in ops/stats.py used by the TPU pipeline;
+this module is the exact host-side ground truth.
 """
 from __future__ import annotations
 
@@ -21,9 +21,7 @@ from sniffles_tpu.ops.edit_distance import edit_distance
 
 if TYPE_CHECKING:
     from sniffles_tpu.cluster import Cluster
-    from sniffles_tpu.leads import Lead
     from sniffles_tpu.config import SnifflesConfig
-    from sniffles_tpu.io.bam import BamRead
 
 log = logging.getLogger(__name__)
 
@@ -34,7 +32,8 @@ ALL_TYPES = TYPES + SINGLE_TYPES
 
 @dataclass
 class SVCallBNDInfo:
-    """(reference: sv.py:36-44)"""
+    """Breakend geometry: mate locus plus bracket orientation
+    (reference: sv.py:36-44)."""
     mate_contig: str
     mate_ref_start: int
     is_first: bool      # True for N..., False for ...N
@@ -47,93 +46,90 @@ class SVCallPostprocessingInfo:
 
 
 class ForwardDifferenceWelford:
-    """Welford accumulator over relative forward differences (reference: sv.py:51-85)."""
+    """Streaming mean/variance of relative forward differences, used for
+    the large-event coverage-smoothness screen (reference: sv.py:51-85)."""
 
     def __init__(self):
-        self.n = 0
-        self.m1 = 0
-        self.m2 = 0
-        self.last = None
+        self.n, self.m1, self.m2, self.last = 0, 0, 0, None
 
     def push(self, value):
         if self.last is None:
             self.last = value
             return
-        last = self.last
-        m = self.n
-        v = (value - last) / (last + 1e-10)
-        n = m + 1
-        delta = v - self.m1
-        delta_n = delta / n
-        self.m1 += delta_n
-        self.m2 += delta * delta_n * m
-        self.n = n
+        step = (value - self.last) / (self.last + 1e-10)
+        count = self.n + 1
+        delta = step - self.m1
+        self.m1 += delta / count
+        self.m2 += delta * (delta / count) * self.n
+        self.n = count
         self.last = value
 
     @property
     def mean(self):
-        if self.n == 0:
-            return None
-        return self.m1
+        return self.m1 if self.n else None
 
     @property
     def variance(self):
-        if self.n < 2:
-            return None
-        return self.m2 / self.n  # ddof=0
+        # population variance (ddof=0)
+        return self.m2 / self.n if self.n >= 2 else None
 
 
 @dataclass(slots=True)
 class SVCall:
-    """A called SV record (reference: sv.py:87-223).
+    """One called SV record (reference: sv.py:87-223).
 
     Slots: calls are the bulk of SNF blocks and combine working sets
     (samples x blocks), so per-instance dicts dominate memory at
-    population scale. `__setstate__` also accepts the reference's
+    population scale.  `__setstate__` also accepts the reference's
     dict-form pickle state so SVCalls inside reference-written SNF
-    blocks still load (compat.py maps sniffles.sv.SVCall here)."""
-    contig: str
-    pos: int
-    id: str
-    ref: str
-    alt: str
-    qual: int
-    filter: str
-    info: dict
-
+    blocks still load (compat.py maps sniffles.sv.SVCall here).
+    """
+    # event shape + locus
     svtype: str
     svlen: int
     end: int
+    contig: str
+    pos: int
+
+    # VCF columns
+    ref: str
+    alt: str
+    id: str
+    qual: int
+    filter: str
+    info: dict
     genotypes: dict[int, tuple]
 
-    precise: bool
+    # evidence summary
     support: int
-    rnames: list[str] | None
-
+    precise: bool
     qc: bool
     nm: float
+    rnames: list[str] | None
     postprocess: Optional[SVCallPostprocessingInfo]
 
     svlens: list[int] = None
-
     fwd: int = None
     rev: int = None
 
-    forward_difference_sampler: ForwardDifferenceWelford = field(default_factory=ForwardDifferenceWelford)
+    # span depths (filled by postprocess.coverage)
     coverage_upstream: int = 0
-    coverage_downstream: int = 0
     coverage_start: int = 0
     coverage_center: int = 0
     coverage_end: int = 0
+    coverage_downstream: int = 0
+    forward_difference_sampler: ForwardDifferenceWelford = field(default_factory=ForwardDifferenceWelford)
 
-    sample_internal_id: int = None
     bnd_info: SVCallBNDInfo = None
-
+    sample_internal_id: int = None
     support_inline: int = None
     support_splits: int = None
 
+    # force-calling passthrough (GenotypeTask, reference: parallel.py:309-366)
     raw_vcf_line: Optional[str] = None
     raw_vcf_line_index: Optional[int] = None
+    genotype_match_sv: Optional['SVCall'] = None
+    genotype_match_dist: float = 0.0
 
     # snapshotted candidate-CSV lines (see Task.finalize_candidates:
     # computed while postprocess info is still attached, consumed by
@@ -142,25 +138,20 @@ class SVCall:
     csv_line: Optional[tuple] = None
     csv_line_single: Optional[tuple] = None
 
-    # force-calling match state (GenotypeTask, reference: parallel.py:309-366)
-    genotype_match_sv: Optional['SVCall'] = None
-    genotype_match_dist: float = 0.0
-
     def __setstate__(self, state):
         # accept both the slots pickle form and dict-form states: the
         # reference's plain-dataclass pickles (SNF interop) and pre-slots
         # pickles of this class, whose __dict__ may carry cached-property
-        # values (is_single_break/csv_line) that are not settable fields.
-        # Defaults are applied first so fields absent from an older state
-        # (e.g. csv_line on a reference-written SNF) read as their
-        # dataclass defaults instead of raising AttributeError.
+        # values that are not settable fields.  Defaults are applied first
+        # so fields absent from an older state read as their dataclass
+        # defaults instead of raising AttributeError.
         _apply_pickle_state(self, state)
 
     def set_info(self, k, v):
         self.info[k] = v
 
     def get_info(self, k):
-        return self.info[k] if k in self.info else None
+        return self.info.get(k)
 
     def has_info(self, k):
         return k in self.info
@@ -169,95 +160,104 @@ class SVCall:
     def is_single_break(self) -> bool:
         return self.svtype.startswith('SINGLE')
 
+    def _csv_orientations(self):
+        """Orientation pair for candidate-CSV output (reference: sv.py:183-193)."""
+        if self.svtype == "DEL":
+            return '+', '-'
+        if self.svtype == "DUP":
+            return '-', '+'
+        if self.svtype == "BND":
+            return ('+' if self.bnd_info.is_first else '-',
+                    '+' if self.bnd_info.is_reverse else '-')
+        return '=', '='
+
     def _to_csv_line(self, single_break: bool = False) -> tuple | None:
         """Candidate CSV emission (reference: sv.py:180-214)."""
         vaf = self.get_info('VAF')
-        support_ref = int(self.support / vaf) if vaf else 0
-
-        if self.svtype == "DEL":
-            o1, o2 = '+', '-'
-        elif self.svtype == "DUP":
-            o1, o2 = '-', '+'
-        elif self.svtype == "BND":
-            o1 = '+' if self.bnd_info.is_first else '-'
-            o2 = '+' if self.bnd_info.is_reverse else '-'
-        else:
-            o1, o2 = '=', '='
+        ref_reads = str(int(self.support / vaf) if vaf else 0)
+        o1, o2 = self._csv_orientations()
 
         cluster = self.postprocess.cluster
-        support_inline = len(set(l.read_qname for l in cluster.leads if l.source == "INLINE"))
-        support_splits = self.support - support_inline
+        inline = len({ld.read_qname for ld in cluster.leads if ld.source == "INLINE"})
+        counts = (str(inline), str(self.support - inline), ref_reads)
 
         if single_break:
+            # Half-calls: unclassified single breaks and the break side of an INS.
+            masked = self.filter if self.filter != 'SINGLE_BREAK' else ''
             if self.svtype == 'INS' and (loc := cluster.get_break()):
-                return (self.svtype, '-', self.contig, str(loc), '', '', '', self.filter,
-                        str(support_inline), str(support_splits), str(support_ref))
-            elif self.svtype == 'SINGLE_LEFT':
-                return (self.svtype, '-', self.contig, str(self.pos), '', '', '',
-                        self.filter if self.filter != 'SINGLE_BREAK' else '',
-                        str(support_inline), str(support_splits), str(support_ref))
-            elif self.svtype == 'SINGLE_RIGHT':
-                return (self.svtype, '+', self.contig, str(self.pos), '', '', '',
-                        self.filter if self.filter != 'SINGLE_BREAK' else '',
-                        str(support_inline), str(support_splits), str(support_ref))
-            else:
-                return None
-        else:
-            if self.is_single_break:
-                return None
+                return (self.svtype, '-', self.contig, str(loc), '', '', '', self.filter) + counts
+            if self.svtype == 'SINGLE_LEFT':
+                return (self.svtype, '-', self.contig, str(self.pos), '', '', '', masked) + counts
+            if self.svtype == 'SINGLE_RIGHT':
+                return (self.svtype, '+', self.contig, str(self.pos), '', '', '', masked) + counts
+            return None
+        if self.is_single_break:
+            return None
 
         if self.svtype == 'BND':
-            return (self.svtype, o1, self.contig, str(self.pos), o2, self.bnd_info.mate_contig,
-                    str(self.bnd_info.mate_ref_start), self.filter, str(support_inline),
-                    str(support_splits), str(support_ref))
-
-        return (self.svtype, o1, self.contig, str(self.pos), o2, self.contig, str(self.end),
-                self.filter, str(support_inline), str(support_splits), str(support_ref))
+            mate = (self.bnd_info.mate_contig, str(self.bnd_info.mate_ref_start))
+        else:
+            mate = (self.contig, str(self.end))
+        return (self.svtype, o1, self.contig, str(self.pos), o2) + mate + (self.filter,) + counts
 
     def finalize(self):
         self.postprocess = None
 
+    # variance ceiling for the coverage-smoothness screen (COV_VAR)
+    _COVERAGE_VAR_MAX = 0.3
+
     def qc_coverage_samples(self) -> tuple[bool, float | None]:
         var = self.forward_difference_sampler.variance
-        if var is None:
-            return True, None
-        return var < 0.3, float(var)
+        return (True, None) if var is None else (var < self._COVERAGE_VAR_MAX, float(var))
+
+
+# --------------------------------------------------------------------------
+# Multi-sample merge groups (combine mode)
+
+
+def _merged_sample_genotype(existing, incoming, merged_id):
+    """Keep the stronger of two same-sample genotypes under one merged id
+    (reference: sv.py:353-362)."""
+    a, b = incoming[0], incoming[1]
+    if existing[0] == "." or (a != "." and (a, b) >= (existing[0], existing[1])):
+        return incoming[:6] + (merged_id,)
+    return existing[:6] + (merged_id,)
 
 
 @dataclass
 class SVGroup:
-    """Multi-sample merge group (reference: sv.py:226-481)."""
-    candidates: list[SVCall]
+    """Cross-sample candidate group built during combine
+    (reference: sv.py:226-481)."""
     pos_mean: float
     len_mean: float
+    candidates: list[SVCall]
     included_samples: set
     coverages_nonincluded: dict
 
     bnd_mate_ref_start_mean: float = None
     bnd_mate_contig: str = None
 
+    # live-instance counter for combine progress reporting
     _counter = 0
 
     def __new__(cls, *args, **kwargs):
-        cls._counter += 1
+        cls._counter = cls._counter + 1
         return super().__new__(cls)
 
     def __del__(self):
-        SVGroup._counter -= 1
+        type(self)._counter -= 1
 
     @classmethod
     def from_candidate(cls, candidate: SVCall) -> "SVGroup":
-        obj = cls(
-            candidates=[candidate],
-            pos_mean=float(candidate.pos),
-            len_mean=float(abs(candidate.svlen)),
-            included_samples={candidate.sample_internal_id},
-            coverages_nonincluded=dict(),
-        )
+        group = cls(candidates=[candidate],
+                    pos_mean=float(candidate.pos),
+                    len_mean=float(abs(candidate.svlen)),
+                    included_samples={candidate.sample_internal_id},
+                    coverages_nonincluded={})
         if candidate.svtype == "BND":
-            obj.bnd_mate_contig = candidate.bnd_info.mate_contig
-            obj.bnd_mate_ref_start_mean = candidate.bnd_info.mate_ref_start
-        return obj
+            group.bnd_mate_contig = candidate.bnd_info.mate_contig
+            group.bnd_mate_ref_start_mean = candidate.bnd_info.mate_ref_start
+        return group
 
     def align_call(self, candidate: SVCall, limit: float,
                    ed_cache: dict | None = None) -> bool:
@@ -301,165 +301,174 @@ class SVGroup:
         return ((self.len_mean - distance) / self.len_mean) > limit
 
     def add_candidate(self, candidate: SVCall):
-        group_size = len(self.candidates)
-        self.pos_mean *= group_size
-        self.len_mean *= group_size
-        self.pos_mean += candidate.pos
-        self.len_mean += abs(candidate.svlen)
+        """Fold one candidate into the group's running means
+        (reference: sv.py:297-317)."""
+        n = len(self.candidates)
+        self.pos_mean = (self.pos_mean * n + candidate.pos) / (n + 1)
+        self.len_mean = (self.len_mean * n + abs(candidate.svlen)) / (n + 1)
         if candidate.svtype == "BND":
-            self.bnd_mate_ref_start_mean *= group_size
-            self.bnd_mate_ref_start_mean += candidate.bnd_info.mate_ref_start
-
+            self.bnd_mate_ref_start_mean = (
+                (self.bnd_mate_ref_start_mean * n + candidate.bnd_info.mate_ref_start) / (n + 1))
         self.candidates.append(candidate)
-        group_size += 1
-        self.pos_mean /= group_size
-        self.len_mean /= group_size
         self.included_samples.add(candidate.sample_internal_id)
 
-        if candidate.svtype == "BND":
-            self.bnd_mate_ref_start_mean /= group_size
+    # -- group calling stages ---------------------------------------------
 
-    def call(self, config, task) -> Optional[SVCall]:
-        """Emit the merged multi-sample call (reference: sv.py:320-481)."""
-        first_cand = self.candidates[0]
+    def _passes_confidence(self, config) -> bool:
+        """High-confidence (QC-pass share) or low-confidence (presence
+        share + absolute floor) acceptance (reference: sv.py:326-342)."""
+        n = float(len(config.snf_input_info))
+        passed = sum(cand.qc for cand in self.candidates)
+        present = len(self.included_samples)
+        return ((passed > 0 and passed / n >= config.combine_high_confidence)
+                or (present / n >= config.combine_low_confidence
+                    and present >= config.combine_low_confidence_abs))
 
-        samples_count = float(len(config.snf_input_info))
-        n_samples = len(config.snf_input_info)
-        sample_internal_ids = set(sample["internal_id"] for sample in config.snf_input_info)
-        total_count = len(self.included_samples)
-        pass_count = sum(cand.qc for cand in self.candidates)
-        qc = ((pass_count > 0 and pass_count / samples_count >= config.combine_high_confidence) or
-              (total_count / samples_count >= config.combine_low_confidence and
-               total_count >= config.combine_low_confidence_abs))
-
-        if not qc:
-            if not (config.no_qc and n_samples == 1):
-                return None
-
-        if not config.combine_output_filtered and not any(
-                cand.qc and cand.filter == "PASS" for cand in self.candidates):
-            if not (config.no_qc and n_samples == 1):
-                return None
-
-        rnames = []
-        genotypes = {}
-
+    def _collect_genotypes(self, config):
+        """Per-sample 7-tuple genotypes with intra-sample merging; also
+        gathers rnames (reference: sv.py:344-365)."""
+        rnames, genotypes = [], {}
         for cand in self.candidates:
             if rnames is not None and cand.rnames is not None:
                 rnames.extend(cand.rnames)
-
-            if 0 not in cand.genotypes:
-                cand.genotypes[0] = (".", ".", 0, 0, cand.support, (None, None))
-            if cand.sample_internal_id in genotypes:
-                # Intra-sample merging
-                a, b, gt_qual, dr, dv, ps = cand.genotypes[0]
-                curr_a, curr_b, curr_gt_qual, curr_dr, curr_dv, curr_ps, curr_id = genotypes[cand.sample_internal_id]
-                new_id = curr_id + "," + config.id_prefix + cand.id
-                if (curr_a == ".") or (a != "." and (a, b) >= (curr_a, curr_b)):
-                    genotypes[cand.sample_internal_id] = (a, b, gt_qual, dr, dv, ps, new_id)
-                else:
-                    genotypes[cand.sample_internal_id] = (curr_a, curr_b, curr_gt_qual, curr_dr, curr_dv,
-                                                          curr_ps, new_id)
+            cand.genotypes.setdefault(0, (".", ".", 0, 0, cand.support, (None, None)))
+            sid = cand.sample_internal_id
+            tagged_id = config.id_prefix + cand.id
+            if sid in genotypes:
+                merged_id = genotypes[sid][6] + "," + tagged_id
+                genotypes[sid] = _merged_sample_genotype(genotypes[sid], cand.genotypes[0], merged_id)
             else:
-                a, b, gt_qual, dr, dv, ps = cand.genotypes[0]
-                genotypes[cand.sample_internal_id] = (a, b, gt_qual, dr, dv, ps, config.id_prefix + cand.id)
+                genotypes[sid] = cand.genotypes[0] + (tagged_id,)
+        return rnames, genotypes
 
-        for sample_internal_id in sample_internal_ids:
-            if sample_internal_id in genotypes:
+    def _fill_absent_samples(self, genotypes, config, all_sample_ids):
+        """Samples without a candidate get 0/0 or ./. from block coverage
+        (reference: sv.py:367-374)."""
+        for sid in all_sample_ids:
+            if sid in genotypes:
                 continue
-            coverage = self.coverages_nonincluded[sample_internal_id]
-            if coverage >= config.combine_null_min_coverage:
-                genotypes[sample_internal_id] = (0, 0, 0, coverage, 0, (None, None), "NULL")
-            else:
-                genotypes[sample_internal_id] = (".", ".", 0, coverage, 0, (None, None), "NULL")
+            depth = self.coverages_nonincluded[sid]
+            alleles = (0, 0) if depth >= config.combine_null_min_coverage else (".", ".")
+            genotypes[sid] = alleles + (0, depth, 0, (None, None), "NULL")
+
+    @staticmethod
+    def _consensus_genotype(genotypes):
+        """Collapse per-sample genotypes to the modal genotype; returns
+        (genotypes, is_variant) (reference: sv.py:376-396)."""
+        buckets = {}
+        for a, b, gt_qual, dr, dv in genotypes.values():
+            slot = buckets.setdefault((a, b), {"count": 0, "qual": [], "dr": [], "dv": []})
+            slot["count"] += 1
+            slot["qual"].append(gt_qual)
+            slot["dr"].append(dr)
+            slot["dv"].append(dv)
+        top_count = max(s["count"] for s in buckets.values())
+        winner = max(gt for gt, s in buckets.items() if s["count"] == top_count)
+        stats = buckets[winner]
+        merged = {0: winner + (int(sum(stats["qual"]) / stats["count"]),
+                               sum(stats["dr"]), sum(stats["dv"]))}
+        return merged, (winner[0] == 1 or winner[1] == 1)
+
+    @staticmethod
+    def _relabel_pairs(genotypes, config):
+        """Propagate the strongest confident genotype onto low-quality
+        samples (reference: sv.py:398-410)."""
+        strongest = (0, 0)
+        for a, b, qual, dr, dv, ps, gid in genotypes.values():
+            if qual > config.combine_pair_relabel_threshold and a != ".":
+                strongest = max(strongest, (a, b))
+        if strongest == (0, 0):
+            return
+        for sid, (a, b, qual, dr, dv, ps, gid) in genotypes.items():
+            if qual < config.combine_pair_relabel_threshold and a != ".":
+                genotypes[sid] = strongest + (qual, dr, dv, ps, gid)
+
+    def _pick_alt(self, median_len):
+        """For INS: the candidate alt closest in length to the median
+        (reference: sv.py:420-428)."""
+        best = self.candidates[0].alt
+        best_gap = abs(len(best) - median_len)
+        for cand in self.candidates:
+            gap = abs(len(cand.alt) - median_len)
+            if gap < best_gap:
+                best, best_gap = cand.alt, gap
+        return best
+
+    def call(self, config, task) -> Optional[SVCall]:
+        """Emit the merged multi-sample call, or None when the group fails
+        a combine screen (reference: sv.py:320-481)."""
+        cands = self.candidates
+        lead_cand = cands[0]
+        n_samples = len(config.snf_input_info)
+        solo_unfiltered = config.no_qc and n_samples == 1
+
+        if not self._passes_confidence(config) and not solo_unfiltered:
+            return None
+        if (not config.combine_output_filtered
+                and not any(c.qc and c.filter == "PASS" for c in cands)
+                and not solo_unfiltered):
+            return None
+
+        rnames, genotypes = self._collect_genotypes(config)
+        all_sample_ids = {s["internal_id"] for s in config.snf_input_info}
+        self._fill_absent_samples(genotypes, config, all_sample_ids)
 
         if config.combine_consensus:
-            genotypes_consensus = {}
-            for a, b, gt_qual, dr, dv in genotypes.values():
-                if not (a, b) in genotypes_consensus:
-                    genotypes_consensus[(a, b)] = {"count": 0, "qual": list(), "dr": list(), "dv": list()}
-                genotypes_consensus[(a, b)]["count"] += 1
-                genotypes_consensus[(a, b)]["qual"].append(gt_qual)
-                genotypes_consensus[(a, b)]["dr"].append(dr)
-                genotypes_consensus[(a, b)]["dv"].append(dv)
-            most_common_count = genotypes_consensus[sorted(genotypes_consensus,
-                                                           key=lambda k: genotypes_consensus[k]["count"],
-                                                           reverse=True)[0]]["count"]
-            most_common_gt = [gt for gt in genotypes_consensus
-                              if genotypes_consensus[gt]["count"] == most_common_count]
-            cons_a, cons_b = max(most_common_gt)
-            consensus_info = genotypes_consensus[(cons_a, cons_b)]
-            genotypes = {0: (cons_a, cons_b, int(sum(consensus_info["qual"]) / consensus_info["count"]),
-                             sum(consensus_info["dr"]), sum(consensus_info["dv"]))}
-            if cons_a != 1 and cons_b != 1:
-                if not (config.no_qc and n_samples == 1):
-                    return None
+            genotypes, is_variant = self._consensus_genotype(genotypes)
+            if not is_variant and not solo_unfiltered:
+                return None
 
         if config.combine_pair_relabel:
-            max_gt = (0, 0)
-            for sample_id in genotypes:
-                a, b, qual, dr, dv, ps, new_id = genotypes[sample_id]
-                if qual > config.combine_pair_relabel_threshold and a != ".":
-                    max_gt = max(max_gt, (a, b))
+            self._relabel_pairs(genotypes, config)
 
-            if max_gt != (0, 0):
-                for sample_id in genotypes:
-                    a, b, qual, dr, dv, ps, new_id = genotypes[sample_id]
-                    if qual < config.combine_pair_relabel_threshold and a != ".":
-                        max_a, max_b = max_gt
-                        genotypes[sample_id] = (max_a, max_b, qual, dr, dv, ps, new_id)
+        median_pos = int(util.median(c.pos for c in cands))
+        median_len = int(util.median(c.svlen for c in cands))
+        all_lengths = ([n for c in cands for n in (c.svlens or [])]
+                       if config.dev_emit_sv_lengths else None)
 
-        svcall_pos = int(util.median(cand.pos for cand in self.candidates))
-        svcall_svlen = int(util.median(cand.svlen for cand in self.candidates))
-
-        if config.dev_emit_sv_lengths:
-            svcall_svlens = [length for cand in self.candidates for length in (cand.svlens or [])]
+        if lead_cand.svtype == "INS":
+            merged_end = median_pos
+            merged_alt = self._pick_alt(median_len)
         else:
-            svcall_svlens = None
+            merged_end = median_pos + abs(median_len)
+            merged_alt = lead_cand.alt
 
-        svcall_alt = first_cand.alt
-        svcall_alt_mindist = abs(len(svcall_alt) - svcall_svlen)
-        if first_cand.svtype == "INS":
-            svcall_end = svcall_pos
-            for cand in self.candidates:
-                dist = abs(len(cand.alt) - svcall_svlen)
-                if dist < svcall_alt_mindist:
-                    svcall_alt_mindist = dist
-                    svcall_alt = cand.alt
-        else:
-            svcall_end = svcall_pos + abs(svcall_svlen)
+        def span_mean(attr):
+            return util.mean_or_none_round(getattr(c, attr) for c in cands
+                                           if getattr(c, attr) is not None)
 
-        svcall = SVCall(contig=first_cand.contig,
-                        pos=svcall_pos if config.dev_combine_medians else first_cand.pos,
-                        id=f"{first_cand.svtype}.{task.sv_id:X}M{task.id:X}",
-                        ref="N",
-                        alt=svcall_alt,
-                        qual=util.mean_or_none_round(int(cand.qual) for cand in self.candidates
-                                                     if cand.qual is not None),
-                        filter="PASS" if n_samples != 1 else first_cand.filter,
-                        info=dict() if n_samples != 1 else first_cand.info,
-                        svtype=first_cand.svtype,
-                        svlen=svcall_svlen if config.dev_combine_medians else first_cand.svlen,
-                        svlens=svcall_svlens,
-                        end=svcall_end if config.dev_combine_medians else first_cand.end,
-                        genotypes=genotypes,
-                        precise=sum(int(cand.precise) for cand in self.candidates) / float(len(self.candidates)) > 0.5,
-                        support=round(util.mean(cand.support for cand in self.candidates)),
-                        rnames=rnames,
-                        postprocess=None,
-                        qc=True,
-                        nm=-1,
-                        fwd=sum(cand.fwd for cand in self.candidates),
-                        rev=sum(cand.rev for cand in self.candidates),
-                        coverage_upstream=util.mean_or_none_round(cand.coverage_upstream for cand in self.candidates if cand.coverage_upstream is not None),
-                        coverage_start=util.mean_or_none_round(cand.coverage_start for cand in self.candidates if cand.coverage_start is not None),
-                        coverage_center=util.mean_or_none_round(cand.coverage_center for cand in self.candidates if cand.coverage_center is not None),
-                        coverage_end=util.mean_or_none_round(cand.coverage_end for cand in self.candidates if cand.coverage_end is not None),
-                        coverage_downstream=util.mean_or_none_round(cand.coverage_downstream for cand in self.candidates if cand.coverage_downstream is not None))
+        use_medians = config.dev_combine_medians
+        svcall = SVCall(
+            contig=lead_cand.contig,
+            pos=median_pos if use_medians else lead_cand.pos,
+            id=f"{lead_cand.svtype}.{task.sv_id:X}M{task.id:X}",
+            ref="N",
+            alt=merged_alt,
+            qual=util.mean_or_none_round(int(c.qual) for c in cands if c.qual is not None),
+            filter="PASS" if n_samples != 1 else lead_cand.filter,
+            info={} if n_samples != 1 else lead_cand.info,
+            svtype=lead_cand.svtype,
+            svlen=median_len if use_medians else lead_cand.svlen,
+            svlens=all_lengths,
+            end=merged_end if use_medians else lead_cand.end,
+            genotypes=genotypes,
+            precise=sum(int(c.precise) for c in cands) / float(len(cands)) > 0.5,
+            support=round(util.mean(c.support for c in cands)),
+            rnames=rnames,
+            postprocess=None,
+            qc=True,
+            nm=-1,
+            fwd=sum(c.fwd for c in cands),
+            rev=sum(c.rev for c in cands),
+            coverage_upstream=span_mean("coverage_upstream"),
+            coverage_start=span_mean("coverage_start"),
+            coverage_center=span_mean("coverage_center"),
+            coverage_end=span_mean("coverage_end"),
+            coverage_downstream=span_mean("coverage_downstream"))
 
         if n_samples != 1:
-            svcall.set_info("STDEV_POS", util.stdev(cand.pos for cand in self.candidates))
-            svcall.set_info("STDEV_LEN", util.stdev(cand.svlen for cand in self.candidates))
+            svcall.set_info("STDEV_POS", util.stdev(c.pos for c in cands))
+            svcall.set_info("STDEV_LEN", util.stdev(c.svlen for c in cands))
 
         # The reference applies the length screen HERE to every type,
         # including BND (sv.py:470-471) — unlike call_from, which exempts
@@ -477,119 +486,106 @@ class SVGroup:
         task.sv_id += 1
 
         if psnf := config.combine_population:
-            pop_af = psnf.get_population_AF(svcall)
-            af, sz = pop_af if pop_af is not None else (0, 0)
+            hit = psnf.get_population_AF(svcall)
+            af, size = hit if hit is not None else (0, 0)
             svcall.set_info("POPULATION_AF", af)
-            svcall.set_info("POPULATION_SIZE", sz)
+            svcall.set_info("POPULATION_SIZE", size)
 
         return svcall
 
 
+# --------------------------------------------------------------------------
+# Cluster -> candidate conversion (call path)
+
+
 def calculate_bounds(svtype, ref_start_mode, svlen_mode):
-    """(reference: sv.py:484-494)"""
+    """Start/end of the event interval from its robust center statistics
+    (reference: sv.py:484-494)."""
     if svtype == "INS":
-        svstart = ref_start_mode
-        svend = ref_start_mode
-    elif svtype == "DEL":
-        svstart = ref_start_mode + svlen_mode
-        svend = ref_start_mode
-    else:
-        svstart = ref_start_mode
-        svend = svstart + abs(svlen_mode)
-    return svstart, svend
+        return ref_start_mode, ref_start_mode
+    if svtype == "DEL":
+        return ref_start_mode + svlen_mode, ref_start_mode
+    return ref_start_mode, ref_start_mode + abs(svlen_mode)
 
 
 def call_from(cluster, config, keep_qc_fails, task):
-    """Convert a lead cluster into an SV candidate (reference: sv.py:497-598)."""
+    """Convert one lead cluster into an SV candidate; yields at most one
+    call (reference: sv.py:497-598)."""
     leads = cluster.leads
-
     svtype = cluster.svtype
     qc = True
 
-    svlen = util.center(v.svlen for v in leads)
-
-    if config.dev_emit_sv_lengths:
-        svlens = [v.svlen for v in leads]
-    else:
-        svlens = None
+    svlen = util.center(ld.svlen for ld in leads)
+    lengths = [ld.svlen for ld in leads] if config.dev_emit_sv_lengths else None
 
     if not svtype.startswith("SINGLE_") and svtype != 'BND':
         if abs(svlen) < config.minsvlen_screen:
             return
 
-    support_set = set(k.read_qname for k in leads)
+    supporting = {ld.read_qname for ld in leads}
+    support_long = 0
     if svtype == "INS" and svlen >= config.long_ins_length:
-        support_long_set = set(lead.read_qname for lead in cluster.leads_long)
-        support_long = len(support_long_set)
-        support_set |= support_long_set
-        support = len(support_set)
-    else:
-        support = len(support_set)
-        support_long = 0
-    ref_start = util.center(v.ref_start for v in leads)
-    stdev_pos = util.stdev(util.trim((v.ref_start for v in leads)))
-    if svtype != "BND":
-        stdev_len = util.stdev(util.trim((v.svlen for v in leads)))
-        precise = (stdev_pos + stdev_len < config.precise)
-    else:
+        # soft-clip evidence counts toward long-INS support
+        long_reads = {ld.read_qname for ld in cluster.leads_long}
+        support_long = len(long_reads)
+        supporting |= long_reads
+    support = len(supporting)
+
+    ref_start = util.center(ld.ref_start for ld in leads)
+    stdev_pos = util.stdev(util.trim(ld.ref_start for ld in leads))
+    if svtype == "BND":
         stdev_len = None
-        precise = (stdev_pos < config.precise)
-    svstart, svend = calculate_bounds(svtype, ref_start, svlen)
-    qual = int(util.mean(v.mapq for v in leads))
-
-    support_fwd = sum(lead.strand == "+" for lead in leads)
-    support_rev = len(leads) - support_fwd
-
-    filter_sv = "PASS"
-
-    if config.qc_nm_measure:
-        nm_mean = util.mean(v.nm for v in leads)
+        precise = stdev_pos < config.precise
     else:
-        nm_mean = -1
+        stdev_len = util.stdev(util.trim(ld.svlen for ld in leads))
+        precise = stdev_pos + stdev_len < config.precise
+
+    svstart, svend = calculate_bounds(svtype, ref_start, svlen)
+    fwd_count = sum(ld.strand == "+" for ld in leads)
+    nm_mean = util.mean(ld.nm for ld in leads) if config.qc_nm_measure else -1
 
     if not keep_qc_fails and not qc:
         return
 
-    svpi = SVCallPostprocessingInfo(cluster=cluster)
-    # sorted, not set order: the reference emits RNAMES in hash-seed-
-    # dependent set order (reference sv.py:555 via list(support_set)),
-    # so its output varies run to run under --output-rnames; ours is
-    # deterministic (docs/migration.md, known differences)
-    rnames = sorted(support_set)
+    svcall = SVCall(
+        contig=cluster.contig,
+        pos=svstart,
+        id=f"{svtype}.{task.sv_id:X}S{task.id:X}",
+        ref="N",
+        alt=f"<{svtype}>",
+        qual=int(util.mean(ld.mapq for ld in leads)),
+        filter="PASS",
+        info={},
+        svtype=svtype,
+        svlen=svlen,
+        svlens=lengths,
+        end=svend,
+        genotypes={},
+        precise=precise,
+        support=support,
+        # sorted, not set order: the reference emits RNAMES in hash-seed-
+        # dependent set order (reference sv.py:555 via list(support_set)),
+        # so its output varies run to run under --output-rnames; ours is
+        # deterministic (docs/migration.md, known differences)
+        rnames=sorted(supporting),
+        postprocess=SVCallPostprocessingInfo(cluster=cluster),
+        qc=qc,
+        nm=nm_mean,
+        fwd=fwd_count,
+        rev=len(leads) - fwd_count)
 
-    svcall = SVCall(contig=cluster.contig,
-                    pos=svstart,
-                    id=f"{svtype}.{task.sv_id:X}S{task.id:X}",
-                    ref="N",
-                    alt=f"<{svtype}>",
-                    qual=qual,
-                    filter=filter_sv,
-                    info=dict(),
-                    svtype=svtype,
-                    svlen=svlen,
-                    svlens=svlens,
-                    end=svend,
-                    genotypes=dict(),
-                    precise=precise,
-                    support=support,
-                    rnames=rnames,
-                    postprocess=svpi,
-                    qc=qc,
-                    nm=nm_mean,
-                    fwd=support_fwd,
-                    rev=support_rev)
+    type_extras = {
+        "BND": lambda: resolve_bnd(svcall, cluster, config),
+        "INS": lambda: svcall.set_info("SUPPORT_LONG", support_long),
+        "DEL": lambda: svcall.set_info("SUPPORT_SA",
+                                       sum(ld.source != "INLINE" for ld in leads)),
+    }
+    if svtype in type_extras:
+        type_extras[svtype]()
 
-    if svtype == "BND":
-        resolve_bnd(svcall, cluster, config)
-    elif svtype == "INS":
-        svcall.set_info("SUPPORT_LONG", support_long)
-    elif svtype == "DEL":
-        svcall.set_info("SUPPORT_SA", len([l for l in leads if l.source != "INLINE"]))
-
-    if stdev_pos is not None:
-        svcall.set_info("STDEV_POS", stdev_pos)
-    if stdev_len is not None:
-        svcall.set_info("STDEV_LEN", stdev_len)
+    for tag, scatter in (("STDEV_POS", stdev_pos), ("STDEV_LEN", stdev_len)):
+        if scatter is not None:
+            svcall.set_info(tag, scatter)
 
     task.sv_id += 1
     yield svcall
@@ -599,173 +595,134 @@ def merge_inner_bounds(leads, config):
     """Per-read aggregated svlen/pos robust bounds (reference:
     sv.py:601-622; retained for API parity — unused by the reference's
     production path as well)."""
-    read_svlengths = {}
-    read_starts = {}
+    length_by_read = {}
+    start_by_read = {}
     for ld in leads:
-        if ld.read_id not in read_svlengths:
-            read_svlengths[ld.read_id] = 0
-            read_starts[ld.read_id] = ld.ref_start
-        read_svlengths[ld.read_id] += ld.svlen
-        read_starts[ld.read_id] = min(ld.ref_start, read_starts[ld.read_id])
-    svlen = util.center(v for k, v in read_svlengths.items())
-    pos = util.center(v for k, v in read_starts.items())
-    return (pos, svlen,
-            util.stdev(util.trim((v for k, v in read_starts.items()))),
-            util.stdev(util.trim((v for k, v in read_svlengths.items()))))
+        if ld.read_id not in length_by_read:
+            length_by_read[ld.read_id] = 0
+            start_by_read[ld.read_id] = ld.ref_start
+        length_by_read[ld.read_id] += ld.svlen
+        start_by_read[ld.read_id] = min(ld.ref_start, start_by_read[ld.read_id])
+    return (util.center(start_by_read.values()),
+            util.center(length_by_read.values()),
+            util.stdev(util.trim(start_by_read.values())),
+            util.stdev(util.trim(length_by_read.values())))
 
 
 def resolve_bnd(svcall: 'SVCall', cluster: 'Cluster', config=None) -> None:
-    """Resolve BND mate/orientation into VCF 4.2 alt syntax (reference: sv.py:625-639)."""
-    mate_contig = util.most_common_top([lead.bnd_info.mate_contig for lead in cluster.leads])
-    selected = [lead for lead in cluster.leads if lead.bnd_info.mate_contig == mate_contig]
-    mate_ref_start = util.center([lead.bnd_info.mate_ref_start for lead in selected])
-    is_first = util.most_common_top([lead.bnd_info.is_first for lead in selected])
-    is_reverse = util.most_common_top([lead.bnd_info.is_reverse for lead in selected])
-    svcall.alt = (("N" if is_first else "") +
-                  ("]" if is_reverse else "[") +
-                  f"{mate_contig}:{mate_ref_start}" +
-                  ("]" if is_reverse else "[") +
-                  ("N" if not is_first else ""))
-    svcall.support = len(set(k.read_qname for k in selected))
-    cluster.leads = selected
-    svcall.bnd_info = SVCallBNDInfo(mate_contig=mate_contig, mate_ref_start=mate_ref_start,
-                                    is_first=is_first, is_reverse=is_reverse)
+    """Resolve the dominant mate locus/orientation of a BND cluster into
+    VCF 4.2 bracket syntax (reference: sv.py:625-639)."""
+    mate_contig = util.most_common_top([ld.bnd_info.mate_contig for ld in cluster.leads])
+    mates = [ld for ld in cluster.leads if ld.bnd_info.mate_contig == mate_contig]
+    mate_pos = util.center([ld.bnd_info.mate_ref_start for ld in mates])
+    is_first = util.most_common_top([ld.bnd_info.is_first for ld in mates])
+    is_reverse = util.most_common_top([ld.bnd_info.is_reverse for ld in mates])
+
+    bracket = "]" if is_reverse else "["
+    locus = f"{bracket}{mate_contig}:{mate_pos}{bracket}"
+    svcall.alt = f"N{locus}" if is_first else f"{locus}N"
+    svcall.support = len({ld.read_qname for ld in mates})
+    svcall.bnd_info = SVCallBNDInfo(mate_contig, mate_pos, is_first, is_reverse)
     svcall.set_info("CHR2", mate_contig)
+    cluster.leads = mates
 
 
 def call_groups(svgroups: list[SVGroup], config, task):
-    for group in svgroups:
-        svcall = group.call(config, task)
-        if svcall is not None:
-            yield svcall
+    """Yield the merged call of every group that survives combine QC."""
+    calls = (group.call(config, task) for group in svgroups)
+    yield from (c for c in calls if c is not None)
+
+
+# --------------------------------------------------------------------------
+# Split-read pair classification
+
+
+def _same_strand_event(read, last, curr, minlen, seq_cap):
+    """INS/DEL/DUP geometry for an adjacent same-strand pair; returns the
+    (svtype, start, svlen) hint or None and sets curr.seq for INS
+    (reference: sv.py:665-721).
+
+    Gap convention: query gap is read-bases skipped between alignments;
+    reference gap runs forward or backward with strand.
+    """
+    forward = curr.strand != "-"
+    qry_gap = curr.qry_start - last.qry_end
+    ref_gap = (curr.ref_start - last.ref_end) if forward else (last.ref_start - curr.ref_end)
+    anchor = curr.ref_start if forward else last.ref_start
+
+    if qry_gap >= minlen and qry_gap - ref_gap >= minlen:
+        # inserted sequence between the two alignments
+        curr.seq = (read.query_sequence[last.qry_end:curr.qry_start]
+                    if qry_gap <= seq_cap else None)
+        return "INS", anchor, qry_gap
+    if ref_gap >= minlen and ref_gap - qry_gap >= minlen:
+        return "DEL", anchor, -ref_gap
+    # re-visited reference span -> duplication
+    if forward and curr.ref_start <= last.ref_end:
+        span = last.ref_end - curr.ref_start
+        if span >= minlen:
+            return "DUP", curr.ref_start, span
+    elif not forward and last.ref_start <= curr.ref_end:
+        span = curr.ref_end - last.ref_start
+        if span >= minlen:
+            return "DUP", last.ref_start, span
+    return None
+
+
+def _strand_flip_event(last, curr, minlen):
+    """INV geometry for an adjacent opposite-strand pair; the breakpoint
+    pair is taken on ref starts (current read forward) or ref ends
+    (current read reverse) (reference: sv.py:723-755)."""
+    if curr.strand != "-":
+        a, b = curr.ref_start, last.ref_start
+    else:
+        a, b = curr.ref_end, last.ref_end
+    span = abs(a - b)
+    if span >= minlen:
+        return "INV", min(a, b), span
+    return None
 
 
 def classify_splits(read, leads: list, config, main_contig: str) -> list:
-    """
-    Classify adjacent split-alignment pairs of one read into
-    INS/DEL/DUP/INV by ref/query gap geometry (reference: sv.py:649-782).
-    """
-    minsvlen_screen = config.minsvlen_screen
+    """Order a read's alignments by query position and classify each
+    adjacent pair into an SV hint (reference: sv.py:649-782).
 
+    Inter-contig pairs are not handled here — they become BNDs via
+    Lead.for_bnd.  When no pair yields a hint, retry once on the
+    alignments matching the first alignment's contig+strand (the
+    short-pseudo-BND filter).
+    """
+    minlen = config.minsvlen_screen
     leads.sort(key=lambda ld: ld.qry_start)
-    last = leads[0]
-    last.svtypes_starts_lens = []
+
+    head = leads[0]
+    head.svtypes_starts_lens = []
+    # A long unaligned prefix is a putative long-INS half-signal.
+    if head.qry_start >= config.long_ins_length * 0.5:
+        head.svtypes_starts_lens.append(("INS", head.ref_start, None))
+
     hints = 0
-
-    if last.qry_start >= config.long_ins_length * 0.5:
-        last.svtypes_starts_lens.append(("INS", last.ref_start, None))
-
-    for i in range(1, len(leads)):
-        curr = leads[i]
+    last = head
+    for curr in leads[1:]:
         curr.svtypes_starts_lens = []
-
         if curr.contig == last.contig:
-            rev = (curr.strand == "-")
-            fwd = not rev
             if curr.strand == last.strand:
-                # INS, DEL, DUP
-                if (fwd and (curr.qry_start - last.qry_end) >= minsvlen_screen
-                        and (curr.qry_start - last.qry_end) - (curr.ref_start - last.ref_end) >= minsvlen_screen):
-                    # INS, FWD
-                    svstart = curr.ref_start
-                    svlen = (curr.qry_start - last.qry_end)
-                    if svlen <= config.dev_seq_cache_maxlen:
-                        curr.seq = read.query_sequence[last.qry_end:curr.qry_start]
-                    else:
-                        curr.seq = None
-                    curr.svtypes_starts_lens.append(("INS", svstart, svlen))
-                    hints += 1
-
-                elif (rev and (curr.qry_start - last.qry_end) >= minsvlen_screen
-                      and (curr.qry_start - last.qry_end) - (last.ref_start - curr.ref_end) >= minsvlen_screen):
-                    # INS, REV
-                    svstart = last.ref_start
-                    svlen = (curr.qry_start - last.qry_end)
-                    if svlen <= config.dev_seq_cache_maxlen:
-                        curr.seq = read.query_sequence[last.qry_end:curr.qry_start]
-                    else:
-                        curr.seq = None
-                    curr.svtypes_starts_lens.append(("INS", svstart, svlen))
-                    hints += 1
-
-                elif (fwd and (curr.ref_start - last.ref_end) >= minsvlen_screen
-                      and (curr.ref_start - last.ref_end) - (curr.qry_start - last.qry_end) >= minsvlen_screen):
-                    # DEL, FWD
-                    svstart = curr.ref_start
-                    svlen = (curr.ref_start - last.ref_end)
-                    curr.svtypes_starts_lens.append(("DEL", svstart, -svlen))
-                    hints += 1
-
-                elif (rev and (last.ref_start - curr.ref_end) >= minsvlen_screen
-                      and (last.ref_start - curr.ref_end) - (curr.qry_start - last.qry_end) >= minsvlen_screen):
-                    # DEL, REV
-                    svstart = last.ref_start
-                    svlen = (last.ref_start - curr.ref_end)
-                    curr.svtypes_starts_lens.append(("DEL", svstart, -svlen))
-                    hints += 1
-
-                elif fwd and curr.ref_start <= last.ref_end:
-                    # DUP, FWD
-                    svstart = curr.ref_start
-                    svlen = (last.ref_end - curr.ref_start)
-                    if svlen >= minsvlen_screen:
-                        curr.svtypes_starts_lens.append(("DUP", svstart, svlen))
-                        hints += 1
-
-                elif rev and last.ref_start <= curr.ref_end:
-                    # DUP, REV
-                    svstart = last.ref_start
-                    svlen = (curr.ref_end - last.ref_start)
-                    if svlen >= minsvlen_screen:
-                        curr.svtypes_starts_lens.append(("DUP", svstart, svlen))
-                        hints += 1
-
+                hint = _same_strand_event(read, last, curr, minlen,
+                                          config.dev_seq_cache_maxlen)
             else:
-                # INV
-                if fwd and curr.ref_start <= last.ref_start:
-                    # CASE B
-                    svstart = curr.ref_start
-                    svlen = last.ref_start - curr.ref_start
-                    if svlen >= minsvlen_screen:
-                        curr.svtypes_starts_lens.append(("INV", svstart, svlen))
-                        hints += 1
-
-                elif fwd and curr.ref_start > last.ref_start:
-                    # CASE C
-                    svstart = last.ref_start
-                    svlen = curr.ref_start - last.ref_start
-                    if svlen >= minsvlen_screen:
-                        curr.svtypes_starts_lens.append(("INV", svstart, svlen))
-                        hints += 1
-
-                elif rev and curr.ref_end >= last.ref_end:
-                    # CASE A
-                    svstart = last.ref_end
-                    svlen = curr.ref_end - last.ref_end
-                    if svlen >= minsvlen_screen:
-                        curr.svtypes_starts_lens.append(("INV", svstart, svlen))
-                        hints += 1
-
-                elif rev and curr.ref_end < last.ref_end:
-                    # CASE D
-                    svstart = curr.ref_end
-                    svlen = last.ref_end - curr.ref_end
-                    if svlen >= minsvlen_screen:
-                        curr.svtypes_starts_lens.append(("INV", svstart, svlen))
-                        hints += 1
-        else:
-            # Inter-contig pairs are handled as BNDs in Lead.for_bnd
-            ...
-
+                hint = _strand_flip_event(last, curr, minlen)
+            if hint is not None:
+                curr.svtypes_starts_lens.append(hint)
+                hints += 1
         last = curr
 
     if not hints and len(leads) > 2:
         # filter out short pseudo BND hints
-        left = leads[0]
-        leads = [ld for ld in leads if ld.contig == left.contig and ld.strand == left.strand]
+        anchor = leads[0]
+        leads = [ld for ld in leads
+                 if ld.contig == anchor.contig and ld.strand == anchor.strand]
         if len(leads) == 2:
             return classify_splits(read, leads, config, main_contig)
-
     return leads
 
 
