@@ -1,10 +1,9 @@
-"""
-Signature clustering.
+"""Signature clustering: seed-bin clusters, adaptive merge sweep, inner
+merge, svlen resplit, BND resplit, and combine group assignment.
 
-Host-side exact implementation of the reference's adaptive cluster
-sweep, inner merge, svlen resplit and BND resplit (reference:
-cluster.py:27-390). The merge sweep is an order-dependent sequential
-algorithm with backtracking (i = max(0, i-2)); the device pipeline in
+Host-side exact implementation of the reference clustering semantics
+(reference: cluster.py:27-390).  The merge sweep is an order-dependent
+sequential algorithm with backtracking; the device pipeline in
 ops/clustering.py implements the sort-and-segment formulation and is
 validated against this module.
 """
@@ -28,271 +27,267 @@ log = logging.getLogger(__name__)
 
 @dataclass
 class Cluster:
-    """(reference: cluster.py:27-82)"""
-    id: str
+    """A group of leads believed to describe the same SV
+    (reference: cluster.py:27-82)."""
     svtype: str
     contig: str
+    id: str
+    seed: int
     start: int
     end: int
-    seed: int
     leads: list['leadprov.Lead']
-    repeat: bool
     leads_long: Optional[list]
+    repeat: bool
     hap_counts: tuple
     sa_counts: tuple = (0, 0.0)
 
     @property
     def span(self) -> Optional[int]:
-        if self.end is None or self.start is None:
+        if None in (self.start, self.end):
             return None
         return self.end - self.start
 
     def compute_metrics(self, max_n=100):
+        """Subsampled mean svlen + start-position stdev, driving the merge
+        sweep criteria.  Quirk preserved from the reference: the stride
+        subsample can visit more than max_n leads while the mean still
+        divides by max_n (reference: cluster.py:48-61).
+        """
         n = min(len(self.leads), max_n)
         if n == 0:
-            self.mean_svlen = 0
-            self.stdev_start = 0
-            return
-
-        step = int(len(self.leads) / n)
-        if n > 1:
-            self.mean_svlen = sum(self.leads[i].svlen for i in range(0, len(self.leads), step)) / float(n)
-            self.stdev_start = util.stdev([self.leads[i].ref_start for i in range(0, len(self.leads), step)])
+            self.mean_svlen, self.stdev_start = 0, 0
+        elif n == 1:
+            self.mean_svlen, self.stdev_start = self.leads[0].svlen, 0
         else:
-            self.mean_svlen = self.leads[0].svlen
-            self.stdev_start = 0
+            stride = int(len(self.leads) / n)
+            picks = range(0, len(self.leads), stride)
+            self.mean_svlen = sum(self.leads[i].svlen for i in picks) / float(n)
+            self.stdev_start = util.stdev([self.leads[i].ref_start for i in picks])
 
     def get_break(self):
-        """Single-end break location for long-INS clusters (reference: cluster.py:63-77)."""
+        """Single-end break location for long-INS clusters: the median
+        soft-clip anchor, accepted when it agrees with the mean
+        (reference: cluster.py:63-77)."""
         from sniffles_tpu.config import SnifflesConfig
-
-        if self.leads_long and len(self.leads_long) >= SnifflesConfig.GLOBAL.dev_single_break_count:
-            loc = int(statistics.median(lead.ref_start for lead in self.leads_long))
-            mean_start = int(statistics.mean(lead.ref_start for lead in self.leads_long))
-            if abs(loc - mean_start) < SnifflesConfig.GLOBAL.dev_single_break_dist:
-                return loc
+        cfg = SnifflesConfig.GLOBAL
+        if not self.leads_long or len(self.leads_long) < cfg.dev_single_break_count:
             return None
+        anchors = [lead.ref_start for lead in self.leads_long]
+        loc = int(statistics.median(anchors))
+        if abs(loc - int(statistics.mean(anchors))) < cfg.dev_single_break_dist:
+            return loc
         return None
 
     def get_sa_count(self):
-        all_leads = self.leads + self.leads_long if self.leads_long is not None else self.leads
-        sa_count = sum(1 for lead in all_leads if lead.is_sa)
-        self.sa_counts = (sa_count, sa_count / float(len(all_leads)))
+        pool = self.leads + self.leads_long if self.leads_long is not None else self.leads
+        with_sa = sum(1 for lead in pool if lead.is_sa)
+        self.sa_counts = (with_sa, with_sa / float(len(pool)))
+
+    def spawn(self, suffix: str, leads: list, leads_long="inherit") -> 'Cluster':
+        """Child cluster carrying a subset of leads (used by resplit)."""
+        return Cluster(id=self.id + suffix, svtype=self.svtype, contig=self.contig,
+                       start=self.start, end=self.end, seed=self.seed, leads=leads,
+                       repeat=self.repeat,
+                       leads_long=self.leads_long if leads_long == "inherit" else leads_long,
+                       hap_counts=self.hap_counts)
+
+
+# --------------------------------------------------------------------------
+# Intra-cluster refinement
 
 
 def merge_inner(cluster: Cluster, threshold: int) -> Cluster:
-    """Merge fragmented INS/DEL leads of the same read (reference: cluster.py:85-122)."""
-    read_seq: dict[str, list] = {}
+    """Combine fragmented INS/DEL leads of the same read into one lead when
+    their ref/query anchors are within threshold; threshold -1 merges a
+    read's leads unconditionally (inside tandem repeats)
+    (reference: cluster.py:85-122)."""
+    by_read: dict[str, list] = {}
     for ld in cluster.leads:
-        read_seq.setdefault(ld.read_qname, []).append(ld)
+        by_read.setdefault(ld.read_qname, []).append(ld)
 
-    cluster.leads = []
-    for qname in read_seq:
-        read_seq[qname].sort(key=lambda k: k.ref_start)
-        to_merge = read_seq[qname][0]
-
-        curr_lead = to_merge
-
-        last_ref_end = to_merge.ref_end
-        last_qry_end = to_merge.qry_end
-        last_ref_start = to_merge.ref_start
-        last_qry_start = to_merge.qry_start
-
-        for to_merge in read_seq[qname][1:]:
-            merge = (threshold == -1) or (
-                (abs(to_merge.ref_start - last_ref_end) < threshold
-                 or abs(to_merge.ref_start - last_ref_start) < threshold)
-                and (abs(to_merge.qry_start - last_qry_end) < threshold
-                     or abs(to_merge.qry_start - last_qry_start) < threshold)
-            ) and (curr_lead.strand == to_merge.strand)
-            if merge:
-                curr_lead.svlen += to_merge.svlen
-                if to_merge.seq is None or curr_lead.seq is None:
-                    curr_lead.seq = None
-                else:
-                    curr_lead.seq += to_merge.seq
+    merged_leads = []
+    for fragments in by_read.values():
+        fragments.sort(key=lambda k: k.ref_start)
+        open_lead = fragments[0]
+        prev = fragments[0]
+        for nxt in fragments[1:]:
+            # NB the strand condition binds to the threshold branch only,
+            # exactly as in the reference: threshold -1 merges regardless.
+            near = ((abs(nxt.ref_start - prev.ref_end) < threshold
+                     or abs(nxt.ref_start - prev.ref_start) < threshold)
+                    and (abs(nxt.qry_start - prev.qry_end) < threshold
+                         or abs(nxt.qry_start - prev.qry_start) < threshold))
+            if threshold == -1 or (near and open_lead.strand == nxt.strand):
+                open_lead.svlen += nxt.svlen
+                open_lead.seq = (None if nxt.seq is None or open_lead.seq is None
+                                 else open_lead.seq + nxt.seq)
             else:
-                cluster.leads.append(curr_lead)
-                curr_lead = to_merge
-            last_ref_end = to_merge.ref_end
-            last_qry_end = to_merge.qry_end
-            last_ref_start = to_merge.ref_start
-            last_qry_start = to_merge.qry_start
+                merged_leads.append(open_lead)
+                open_lead = nxt
+            prev = nxt
+        merged_leads.append(open_lead)
 
-        cluster.leads.append(curr_lead)
+    cluster.leads = merged_leads
     return cluster
 
 
 def resplit(cluster: Cluster, prop, binsize, merge_threshold_min, merge_threshold_frac):
-    """Re-split a cluster by the svlen histogram (reference: cluster.py:125-161)."""
-    bins_leads: dict[int, list] = {}
+    """Split a cluster along the svlen histogram: quantize to bins, then
+    re-join adjacent bins whose gap is small relative to their lengths
+    (reference: cluster.py:125-161)."""
+    by_bin: dict[int, list] = {}
     for lead in cluster.leads:
-        bin = int(abs(prop(lead)) / binsize) * binsize
-        bins_leads.setdefault(bin, []).append(lead)
+        q = int(abs(prop(lead)) / binsize) * binsize
+        by_bin.setdefault(q, []).append(lead)
 
-    new_clusters = list(sorted(bins_leads.keys()))
+    order = sorted(by_bin)
     i = 1
-    while len(new_clusters) > 1 and i < len(new_clusters):
-        last_cluster = new_clusters[i - 1]
-        curr_cluster = new_clusters[i]
-        merge_threshold = max(merge_threshold_min, min(curr_cluster, last_cluster) * merge_threshold_frac)
-        merge = abs(curr_cluster - last_cluster) <= merge_threshold
-        if merge:
-            bins_leads[new_clusters[i]].extend(bins_leads[new_clusters[i - 1]])
-            new_clusters.pop(i - 1)
+    while len(order) > 1 and i < len(order):
+        lo, hi = order[i - 1], order[i]
+        allowed = max(merge_threshold_min, min(hi, lo) * merge_threshold_frac)
+        if abs(hi - lo) <= allowed:
+            # fold the lower bin into the higher one (higher-bin leads stay
+            # first; downstream center statistics depend on this order)
+            by_bin[hi].extend(by_bin[lo])
+            order.pop(i - 1)
             i = max(0, i - 2)
-        else:
-            i += 1
+        i += 1
 
-    for cluster_index in new_clusters:
-        yield Cluster(id=cluster.id + f".{cluster_index}",
-                      svtype=cluster.svtype,
-                      contig=cluster.contig,
-                      start=cluster.start,
-                      end=cluster.end,
-                      seed=cluster.seed,
-                      leads=bins_leads[cluster_index],
-                      repeat=cluster.repeat,
-                      leads_long=cluster.leads_long,
-                      hap_counts=cluster.hap_counts)
+    for q in order:
+        yield cluster.spawn(f".{q}", by_bin[q])
 
 
 def resplit_bnd(cluster: 'Cluster', merge_threshold: int) -> Iterator['Cluster']:
-    """Group BND leads by (mate contig, orientation, mate pos bin)
-    (reference: cluster.py:164-216)."""
+    """Partition BND leads by (mate contig, orientation), then by runs of
+    nearby mate-position bins (reference: cluster.py:164-216)."""
     if len(cluster.leads) <= 1:
         yield cluster
         return
 
-    contigs_leads: dict = defaultdict(lambda: defaultdict(list))
-
+    partitions: dict = defaultdict(lambda: defaultdict(list))
     for lead in cluster.leads:
-        ld_ident = (lead.bnd_info.mate_contig, lead.bnd_info.is_first)
-        pos_bin = (int(lead.bnd_info.mate_ref_start / merge_threshold) * merge_threshold
+        info = lead.bnd_info
+        pos_bin = (int(info.mate_ref_start / merge_threshold) * merge_threshold
                    if merge_threshold > 0 else 0)
-        contigs_leads[ld_ident][pos_bin].append(lead)
+        partitions[(info.mate_contig, info.is_first)][pos_bin].append(lead)
 
-    for ld_ident in contigs_leads:
-        contig, _ = ld_ident
-        bins = sorted(contigs_leads[ld_ident])
-        curr_leads = [] + contigs_leads[ld_ident][bins[0]]
-        last_bin = bins[0]
-        position_bin = 0
-        for position_bin in bins[1:]:
-            if position_bin - last_bin <= merge_threshold:
-                curr_leads.extend(contigs_leads[ld_ident][position_bin])
+    for (mate_contig, _), by_bin in partitions.items():
+        bins = sorted(by_bin)
+        run = list(by_bin[bins[0]])
+        prev_bin = bins[0]
+        tag_bin = 0
+        for tag_bin in bins[1:]:
+            if tag_bin - prev_bin <= merge_threshold:
+                run.extend(by_bin[tag_bin])
             else:
-                if len(curr_leads):
-                    yield Cluster(id=cluster.id + f".CHR2.{contig}.POS2.{position_bin}",
-                                  svtype=cluster.svtype,
-                                  contig=cluster.contig,
-                                  start=cluster.start,
-                                  end=cluster.end,
-                                  seed=cluster.seed,
-                                  leads=[k for k in curr_leads],
-                                  repeat=cluster.repeat,
-                                  leads_long=None,
-                                  hap_counts=cluster.hap_counts)
-                curr_leads = [] + contigs_leads[ld_ident][position_bin]
-            last_bin = position_bin
-        if len(curr_leads):
-            yield Cluster(id=cluster.id + f".CHR2.{contig}.POS2.{position_bin}",
-                          svtype=cluster.svtype,
-                          contig=cluster.contig,
-                          start=cluster.start,
-                          end=cluster.end,
-                          seed=cluster.seed,
-                          leads=[k for k in curr_leads],
-                          repeat=cluster.repeat,
-                          leads_long=None,
-                          hap_counts=cluster.hap_counts)
+                if run:
+                    yield cluster.spawn(f".CHR2.{mate_contig}.POS2.{tag_bin}",
+                                        list(run), leads_long=None)
+                run = list(by_bin[tag_bin])
+            prev_bin = tag_bin
+        if run:
+            # NB tag_bin here is the last bin visited (or 0 for a single
+            # bin), matching the reference's id quirk (cluster.py:199)
+            yield cluster.spawn(f".CHR2.{mate_contig}.POS2.{tag_bin}",
+                                list(run), leads_long=None)
 
 
-def resolve(svtype, leadtab_provider, config, tr) -> Generator[Cluster | Any, None, list[Any] | None]:
-    """Seed clusters per bin, adaptive merge sweep, then per-type refinement
-    (reference: cluster.py:219-353)."""
+# --------------------------------------------------------------------------
+# Main clustering entry (per svtype, per task)
+
+
+class _RepeatCursor:
+    """Walks the sorted tandem-repeat intervals alongside the seed sweep
+    (reference: cluster.py:232-246)."""
+
+    def __init__(self, tr):
+        self.tr = tr if tr else None
+        self.idx = 0
+        if self.tr:
+            self.lo, self.hi = self.tr[0]
+
+    def covers(self, seed) -> bool:
+        if self.tr is None or self.idx >= len(self.tr):
+            return False
+        while self.hi < seed and self.idx + 1 < len(self.tr):
+            self.idx += 1
+            self.lo, self.hi = self.tr[self.idx]
+        return self.lo < seed < self.hi
+
+
+def _seed_clusters(svtype, leadtab_provider, config, tr):
+    """One cluster per occupied 100bp bin with enough leads
+    (reference: cluster.py:229-275)."""
     leadtab = leadtab_provider.leadtab[svtype]
-    seeds = sorted(leadtab_provider.leadtab[svtype])
     hap_counts = leadtab_provider.leadhapcount[svtype]
     hap_ref = leadtab_provider.leadhapcount["REF"]
-
-    if len(seeds) == 0:
-        return []
-
-    tr_index = 0
-    if tr is not None:
-        if len(tr) == 0:
-            tr = None
-        else:
-            tr_start, tr_end = tr[tr_index]
+    cursor = _RepeatCursor(tr)
 
     clusters = []
-    for seed_index, seed in enumerate(seeds):
+    for seed_index, seed in enumerate(sorted(leadtab)):
+        in_repeat = cursor.covers(seed)
 
-        within_tr = False
-        if tr is not None and tr_index < len(tr):
-            while tr_end < seed and tr_index + 1 < len(tr):
-                tr_index += 1
-                tr_start, tr_end = tr[tr_index]
-            if tr_start < seed < tr_end:
-                within_tr = True
-
+        binned = leadtab[seed]
         if svtype == "INS":
-            leads = [lead for lead in leadtab[seed] if lead.svlen is not None]
-            leads_long = [lead for lead in leadtab[seed] if lead.svlen is None]
+            # soft-clip (svlen None) leads are long-INS side evidence
+            leads = [lead for lead in binned if lead.svlen is not None]
+            leads_long = [lead for lead in binned if lead.svlen is None]
         else:
-            leads = leadtab[seed]
-            leads_long = None
+            leads, leads_long = binned, None
 
-        sv0, sv1, sv2 = hap_counts[seed]
+        h0, h1, h2 = hap_counts[seed]
+        sv_haps = (h0, h1, h2)
         if seed in hap_ref:
-            hp0, hp1, hp2 = hap_ref[seed]
-            hapl_count_full = (sv0, sv1, sv2, hp0, hp1, hp2)
+            r0, r1, r2 = hap_ref[seed]
+            ref_haps = (r0, r1, r2)
         else:
-            hapl_count_full = (sv0, sv1, sv2, 0, 0, 0)
+            ref_haps = (0, 0, 0)
 
         if len(leads) >= config.dev_min_leads_cluster:
             cluster = Cluster(
+                svtype=svtype, contig=leadtab_provider.contig,
                 id=f"CL.{svtype}.{leadtab_provider.contig}.{leadtab_provider.start}.{seed_index}",
-                svtype=svtype,
-                contig=leadtab_provider.contig,
-                start=seed,
-                end=seed + config.cluster_binsize,
-                seed=seed,
-                leads=leads,
-                repeat=within_tr or config.repeat,
-                leads_long=leads_long,
-                hap_counts=hapl_count_full)
-
+                seed=seed, start=seed, end=seed + config.cluster_binsize,
+                leads=leads, leads_long=leads_long,
+                repeat=in_repeat or config.repeat,
+                hap_counts=sv_haps + ref_haps)
             cluster.compute_metrics()
             clusters.append(cluster)
+    return clusters
 
-    # Adaptive merge sweep with backtracking (reference: cluster.py:277-308)
+
+def _merge_sweep(clusters, svtype, config):
+    """Adjacent-cluster merge with backtracking.  Criteria: stddev-scaled
+    inner distance, tandem-repeat length-scaled outer distance, and a flat
+    BND distance (reference: cluster.py:277-308)."""
     i = 0
     while i < len(clusters) - 1:
-        curr_cluster = clusters[i]
-        next_cluster = clusters[i + 1]
+        a, b = clusters[i], clusters[i + 1]
+        inner = b.start - a.end
+        outer = b.end - a.start
 
-        inner_dist = (next_cluster.start - curr_cluster.end)
-        outer_dist = (next_cluster.end - curr_cluster.start)
-        merge = inner_dist <= min(curr_cluster.stdev_start, next_cluster.stdev_start) * config.cluster_r
-        merge = merge or ((config.repeat or curr_cluster.repeat or next_cluster.repeat)
-                          and outer_dist <= min(config.cluster_repeat_h_max,
-                                                (abs(curr_cluster.mean_svlen)
-                                                 + abs(next_cluster.mean_svlen)) * config.cluster_repeat_h))
-        merge = merge or (svtype == "BND" and inner_dist <= config.cluster_merge_bnd)
+        merge = inner <= min(a.stdev_start, b.stdev_start) * config.cluster_r
+        if not merge and (config.repeat or a.repeat or b.repeat):
+            reach = min(config.cluster_repeat_h_max,
+                        (abs(a.mean_svlen) + abs(b.mean_svlen)) * config.cluster_repeat_h)
+            merge = outer <= reach
+        if not merge and svtype == "BND":
+            merge = inner <= config.cluster_merge_bnd
 
         if merge:
             clusters.pop(i + 1)
-            curr_cluster.leads += next_cluster.leads
+            a.leads += b.leads
             if svtype == "INS":
-                curr_cluster.leads_long += next_cluster.leads_long
-            curr_cluster.end = next_cluster.end
-            curr_cluster.repeat = curr_cluster.repeat or next_cluster.repeat
-            curr_cluster.compute_metrics()
+                a.leads_long += b.leads_long
+            a.end = b.end
+            a.repeat = a.repeat or b.repeat
+            a.compute_metrics()
             i = max(0, i - 2)
         i += 1
+    return clusters
 
+
+def _trace_and_dump(clusters, svtype, leadtab_provider, config):
     if config.dev_trace_read:
         for c in clusters:
             for ld in c.leads:
@@ -305,71 +300,97 @@ def resolve(svtype, leadtab_provider, config, tr) -> Generator[Cluster | Any, No
                     f"{leadtab_provider.start}.{leadtab_provider.end}.bed")
         with open(filename, "w") as h:
             for c in clusters:
-                info = f"ID={c.id}, #LEADS={len(c.leads)}; "
-                for ld in c.leads:
-                    info += f"(ref_start={ld.ref_start},svlen={ld.svlen},source={ld.source}); "
+                details = "".join(
+                    f"(ref_start={ld.ref_start},svlen={ld.svlen},source={ld.source}); "
+                    for ld in c.leads)
+                info = f"ID={c.id}, #LEADS={len(c.leads)}; " + details
                 h.write(f"{c.contig}\t{c.start}\t{c.end}\t\"{info}\"\n")
 
-    for cluster in clusters:
-        if len(cluster.leads) == 0:
-            continue
 
+def resolve(svtype, leadtab_provider, config, tr) -> Generator[Cluster | Any, None, list[Any] | None]:
+    """Cluster one svtype's binned leads for a task region: seed, sweep-
+    merge, then per-type refinement (reference: cluster.py:219-353)."""
+    if not leadtab_provider.leadtab[svtype]:
+        return []
+
+    clusters = _merge_sweep(_seed_clusters(svtype, leadtab_provider, config, tr),
+                            svtype, config)
+    _trace_and_dump(clusters, svtype, leadtab_provider, config)
+
+    resplit_off = config.dev_no_resplit_repeat or config.dev_no_resplit
+    for cluster in clusters:
+        if not cluster.leads:
+            continue
         if svtype == "BND":
             if config.dev_no_resplit:
                 yield cluster
             else:
                 yield from resplit_bnd(cluster, merge_threshold=config.cluster_merge_bnd)
+            continue
+        if svtype in ("INS", "DEL"):
+            merge_inner(cluster, -1 if cluster.repeat else config.cluster_merge_pos)
+        if resplit_off:
+            yield cluster
         else:
-            if svtype == "INS" or svtype == "DEL":
-                if cluster.repeat:
-                    merge_inner_threshold = -1
-                else:
-                    merge_inner_threshold = config.cluster_merge_pos
-                merge_inner(cluster, merge_inner_threshold)
+            yield from resplit(cluster,
+                               prop=lambda lead: lead.svlen,
+                               binsize=config.cluster_resplit_binsize,
+                               merge_threshold_min=config.minsvlen,
+                               merge_threshold_frac=config.cluster_merge_len)
 
-            if not config.dev_no_resplit_repeat and not config.dev_no_resplit:
-                yield from resplit(cluster,
-                                   prop=lambda lead: lead.svlen,
-                                   binsize=config.cluster_resplit_binsize,
-                                   merge_threshold_min=config.minsvlen,
-                                   merge_threshold_frac=config.cluster_merge_len)
-            else:
-                yield cluster
+
+# --------------------------------------------------------------------------
+# Combine-mode group assignment
+
+
+def _best_bnd_group(svcand, groups, config):
+    """Closest group by pos + mate-pos distance on the same mate contig
+    (reference: cluster.py:362-371)."""
+    info = svcand.bnd_info
+    best, best_dist = None, math.inf
+    for group in groups:
+        dist = (abs(group.pos_mean - svcand.pos)
+                + abs(group.bnd_mate_ref_start_mean - info.mate_ref_start))
+        if (dist < best_dist and dist <= config.cluster_merge_bnd * 2
+                and group.bnd_mate_contig == info.mate_contig):
+            if (not config.combine_separate_intra
+                    or svcand.sample_internal_id not in group.included_samples):
+                best, best_dist = group, dist
+    return best
+
+
+def _best_length_group(svcand, groups, config, ed_cache):
+    """Closest group by pos + length distance within the sqrt-scaled match
+    radius, gated by sequence identity (reference: cluster.py:373-385)."""
+    best, best_dist = None, math.inf
+    for group in groups:
+        dist = (abs(group.pos_mean - svcand.pos)
+                + abs(abs(group.len_mean) - abs(svcand.svlen)))
+        shorter = float(min(abs(group.len_mean), abs(svcand.svlen)))
+        if (shorter > 0 and dist < best_dist
+                and dist <= config.combine_match * math.sqrt(shorter)
+                and dist <= config.combine_match_max):
+            if ((not config.combine_separate_intra
+                 or svcand.sample_internal_id not in group.included_samples)
+                    and group.align_call(svcand, config.combine_pctseq, ed_cache)):
+                best, best_dist = group, dist
+    return best
 
 
 def resolve_block_groups(svtype, svcands, groups_initial, config, ed_cache=None):
-    """Greedy best-group assignment for multi-sample combine
-    (reference: cluster.py:356-390). ed_cache optionally carries
+    """Greedy best-group assignment in support-descending order
+    (reference: cluster.py:356-390).  ed_cache optionally carries
     device-precomputed pairwise edit distances for the INS identity gate."""
     groups = groups_initial
     for svcand in sorted(svcands, key=lambda cand: cand.support, reverse=True):
-        best_group = None
-        best_dist = math.inf
-
         if svtype == "BND":
-            mate_contig, mate_ref_start = svcand.bnd_info.mate_contig, svcand.bnd_info.mate_ref_start
-            for group in groups:
-                dist = abs(group.pos_mean - svcand.pos) + abs(group.bnd_mate_ref_start_mean - mate_ref_start)
-                if dist < best_dist and dist <= config.cluster_merge_bnd * 2 and group.bnd_mate_contig == mate_contig:
-                    if not config.combine_separate_intra or svcand.sample_internal_id not in group.included_samples:
-                        best_group = group
-                        best_dist = dist
+            target = _best_bnd_group(svcand, groups, config)
         else:
-            for group in groups:
-                dist = abs(group.pos_mean - svcand.pos) + abs(abs(group.len_mean) - abs(svcand.svlen))
-                minlen = float(min(abs(group.len_mean), abs(svcand.svlen)))
-                if (minlen > 0 and dist < best_dist and dist <= config.combine_match * math.sqrt(minlen)
-                        and dist <= config.combine_match_max):
-                    if ((not config.combine_separate_intra
-                         or svcand.sample_internal_id not in group.included_samples)
-                            and group.align_call(svcand, config.combine_pctseq, ed_cache)):
-                        best_group = group
-                        best_dist = dist
-
-        if best_group is None:
+            target = _best_length_group(svcand, groups, config, ed_cache)
+        if target is None:
             groups.append(sv.SVGroup.from_candidate(svcand))
         else:
-            best_group.add_candidate(svcand)
+            target.add_candidate(svcand)
     return groups
 
 

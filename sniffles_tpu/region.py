@@ -1,8 +1,6 @@
-"""
-Genomic region model (reference: region.py).
-
-0-based, half-open intervals.
-"""
+"""Genomic interval model: 0-based, half-open (contig, start, end)
+triples parsed from BED lines or contig:start-end strings
+(reference: region.py:18-57)."""
 from __future__ import annotations
 
 import logging
@@ -14,29 +12,36 @@ log = logging.getLogger(__name__)
 
 @dataclass
 class Region:
-    """A genomic region; coordinates are 0-based, half open (reference: region.py:18-57)."""
     contig: str
     start: int
     end: int
 
     @classmethod
-    def from_bed_line(cls, line: str) -> Optional['Region']:
+    def _build(cls, contig, start, end, source, label) -> Optional['Region']:
         try:
-            contig, start, end = line.split('\t')[:3]
-            return Region(contig=contig, start=int(start), end=int(end))
+            return cls(contig, int(start), int(end))
         except ValueError as ex:
-            log.warning(f'Invalid region line: {line} ({ex})')
+            log.warning(f'Invalid {label}: {source} ({ex})')
             return None
+
+    @classmethod
+    def from_bed_line(cls, line: str) -> Optional['Region']:
+        cols = line.split('\t')
+        if len(cols) < 3:
+            log.warning(f'Invalid region line: {line} '
+                        f'(not enough values to unpack (expected 3, got {len(cols)}))')
+            return None
+        return cls._build(cols[0], cols[1], cols[2], line, "region line")
 
     @classmethod
     def from_string(cls, value: str) -> Optional['Region']:
         try:
-            contig, pos = value.split(':')
-            start, end = map(int, pos.split('-'))
-            return Region(contig=contig, start=start, end=end)
+            contig, span = value.split(':')
+            start, end = span.split('-')
         except ValueError as ex:
             log.warning(f'Invalid region string: {value} ({ex})')
             return None
+        return cls._build(contig, start, end, value, "region string")
 
     def __str__(self) -> str:
         return f'{self.contig}:{self.start}-{self.end}'
