@@ -20,6 +20,13 @@ from sniffles_tpu import util
 
 _DASH = ord("-")
 
+# Voting thresholds of the anchor consensus, shared by the vectorized and
+# sequential formulations (reference: consensus.py:281-287): minimum
+# non-gap votes per column, minimum matched-span fraction per read,
+# minimum alignment share per column, segment identity floor (fraction and
+# absolute), and the required vote margin over the runner-up.
+_VOTE_PARAMS = (2, 0.2, 0.25, 0.5, 5, 3)
+
 
 def iter_kmers(seq, klen, skip):
     """(reference: consensus.py:142-144)"""
@@ -140,13 +147,8 @@ def novel_from_reads(best_lead, other_leads, klen, skip, skip_repetitive, debug=
             klen, skip, skip_repetitive)
         if res is not None:
             return res
-    consensus_min = 2
-    maxshift = klen
-    minspan = 0.2
-    minalns = 0.25
-    minident = 0.5
-    minident_abs = 5
-    minbestdiff = 3
+    (consensus_min, minspan, minalns, minident, minident_abs,
+     minbestdiff), maxshift = _VOTE_PARAMS, klen
 
     best_seq = best_lead.seq
     lb = len(best_seq)
@@ -253,78 +255,88 @@ def novel_from_reads(best_lead, other_leads, klen, skip, skip_repetitive, debug=
                           minbestdiff)
 
 
-def novel_from_reads_spec(best_lead, other_leads, klen, skip, skip_repetitive,
-                          debug=False):
-    """Direct port of the reference loop (consensus.py:280-394); kept as
-    the exactness reference for novel_from_reads and as the fallback for
-    klen > 8 (packed-code fast path needs one uint64 per kmer)."""
-    consensus_min = 2
-    maxshift = klen
-    minspan = 0.2
-    minalns = 0.25
-    minident = 0.5
-    minident_abs = 5
-    minbestdiff = 3
-
-    alignments = []
-    anchors = {}
-    taboo = set()
-    for i, kmer in iter_kmers(best_lead.seq, klen=klen, skip=skip_repetitive):
-        if kmer in taboo:
+def _unique_anchor_map(seq: str, klen: int, skip: int) -> dict:
+    """k-mer -> position over the anchor read, keeping only k-mers seen
+    exactly once in the sample (repeated k-mers are poisoned)
+    (reference: consensus.py:291-299)."""
+    anchors: dict = {}
+    repeated: set = set()
+    for pos, kmer in iter_kmers(seq, klen=klen, skip=skip):
+        if kmer in repeated:
             continue
         if kmer in anchors:
             del anchors[kmer]
-            taboo.add(kmer)
-            continue
-        anchors[kmer] = i
+            repeated.add(kmer)
+        else:
+            anchors[kmer] = pos
+    return anchors
 
+
+def _project_onto_anchor(best_seq, best_arr, lead, anchors, klen, skip,
+                         maxshift, minident):
+    """Pseudo-align one lead onto the anchor read's coordinates via shared
+    unique k-mers: between consecutive accepted anchors on the same
+    diagonal, copy the lead's bases when segment identity clears the
+    floor; anything else becomes gaps.  Returns (projection, span)
+    (reference: consensus.py:301-338)."""
+    blen = len(best_seq)
+    lead_arr = np.frombuffer(lead.seq.encode("ascii"), dtype=np.uint8)
+    pieces: list[str] = []
+    written = 0
+    span = 0
+    prev_i = prev_j = None
+
+    for j, kmer in iter_kmers(lead.seq, klen=klen, skip=skip):
+        i = anchors.get(kmer)
+        if i is None or abs(i - j) > maxshift:
+            continue
+        if prev_i is not None and i <= prev_i:
+            continue
+
+        if prev_i is None:
+            if j > 0:
+                pieces, written = ["-" * i], i
+        else:
+            step_i = i - prev_i
+            step_j = min(j - prev_j, blen - written)
+            if step_i == step_j and step_j > 0:
+                span += j - prev_j
+                hits = int((lead_arr[prev_j + 1:j + 1]
+                            == best_arr[prev_i + 1:prev_i + 1 + (j - prev_j)]).sum())
+                if hits / float(j - prev_j) >= minident:
+                    pieces.append(lead.seq[prev_j:j][:step_j])
+                else:
+                    pieces.append("-" * step_j)
+            else:
+                pieces.append("-" * step_j)
+            written += step_j
+        prev_i, prev_j = i, j
+
+    projection = "".join(pieces)
+    if len(projection) < blen:
+        projection += "-" * (blen - len(projection))
+    return projection, span
+
+
+def novel_from_reads_spec(best_lead, other_leads, klen, skip, skip_repetitive,
+                          debug=False):
+    """Sequential per-kmer formulation of the reference consensus
+    (reference: consensus.py:280-394); the exactness reference for the
+    vectorized novel_from_reads above and the fallback for klen > 8
+    (the packed-code fast path needs one uint64 per kmer)."""
+    (consensus_min, minspan, minalns, minident, minident_abs,
+     minbestdiff), maxshift = _VOTE_PARAMS, klen
+
+    anchors = _unique_anchor_map(best_lead.seq, klen, skip_repetitive)
     best_arr = np.frombuffer(best_lead.seq.encode("ascii"), dtype=np.uint8)
 
-    for leadi, lead in enumerate(other_leads):
-        last_i = None
-        last_j = None
-        conseq = ""
-        span = 0
-        lead_arr = np.frombuffer(lead.seq.encode("ascii"), dtype=np.uint8)
-        for j, kmer in iter_kmers(lead.seq, klen=klen, skip=skip):
-            if kmer not in anchors:
-                continue
-            i = anchors[kmer]
-            if abs(i - j) > maxshift:
-                continue
-            if last_i is not None and i <= last_i:
-                continue
-
-            if last_i is None:
-                if j > 0:
-                    conseq = "-" * i
-            else:
-                fwd_i = i - last_i
-                fwd_j = j - last_j
-                if len(conseq) + fwd_j > len(best_lead.seq):
-                    fwd_j = len(best_lead.seq) - len(conseq)
-
-                if fwd_i == fwd_j and fwd_j > 0:
-                    span += (j - last_j)
-                    m = int((lead_arr[last_j + 1:j + 1]
-                             == best_arr[last_i + 1:last_i + 1 + (j - last_j)]).sum())
-                    ident = m / float((j - last_j))
-                    if ident >= minident:
-                        conseq += lead.seq[last_j:j][:fwd_j]
-                    else:
-                        conseq += "-" * fwd_j
-                else:
-                    conseq += "-" * fwd_j
-            last_i = i
-            last_j = j
-
-        if len(conseq) < len(best_lead.seq):
-            conseq += "-" * (len(best_lead.seq) - len(conseq))
-
-        conseq = _filter_segments(conseq, best_arr, minident, minident_abs)
-
+    alignments = []
+    for lead in other_leads:
+        projection, span = _project_onto_anchor(
+            best_lead.seq, best_arr, lead, anchors, klen, skip, maxshift, minident)
+        projection = _filter_segments(projection, best_arr, minident, minident_abs)
         if span / float(len(best_lead.seq)) > minspan:
-            alignments.append(conseq)
+            alignments.append(projection)
 
     return _flatten_votes(best_lead.seq, alignments, consensus_min, minalns,
                           minbestdiff)

@@ -69,29 +69,27 @@ def median_modes(nums):
 
 
 def median_or_mode(nums):
-    """(reference: util.py:34-40)"""
-    nums = list(nums)
-    top = most_common(nums)
-    if len(top) > 1 and (top[0][0] - top[1][0] < 2):
-        return median_noavg(nums)
-    return median_modes(nums)
+    """Upper median when the two top counts are close, mode-median
+    otherwise (reference: util.py:34-40)."""
+    values = list(nums)
+    tally = most_common(values)
+    close_race = len(tally) > 1 and tally[0][0] - tally[1][0] < 2
+    return median_noavg(values) if close_race else median_modes(values)
 
 
 def mean(nums) -> float:
-    nums = list(nums)
-    return sum(nums) / len(nums)
+    values = list(nums)
+    return sum(values) / len(values)
 
 
 def mean_or_none(nums):
-    nums = list(nums)
-    if len(nums) == 0:
-        return None
-    return sum(nums) / len(nums)
+    values = list(nums)
+    return sum(values) / len(values) if values else None
 
 
 def mean_or_none_round(nums):
-    r = mean_or_none(nums)
-    return r if r is None else round(r)
+    m = mean_or_none(nums)
+    return None if m is None else round(m)
 
 
 def trim(nums, pct=25):
@@ -135,27 +133,25 @@ def fatal_error_main(msg: str) -> None:
 
 
 def load_tandem_repeats(filename: str, padding: int) -> dict[str, list[tuple[int, int]]]:
-    """Load a tandem-repeat BED with padding (reference: util.py:121-147)."""
-    contigs_tr: dict[str, list[tuple[int, int]]] = {}
-    unsorted = False
+    """Load a tandem-repeat BED as padded per-contig interval lists,
+    sorting in memory only when the file itself was unsorted
+    (reference: util.py:121-147)."""
+    by_contig: dict[str, list[tuple[int, int]]] = {}
+    needs_sort = False
     with open(filename, "r") as handle:
         for line in handle:
-            parts = line.split("\t")
-            if len(parts) >= 3:
-                contig, start, end = parts[:3]
-                start = int(start)
-                end = int(end)
-                if contig not in contigs_tr:
-                    contigs_tr[contig] = []
-                if contigs_tr[contig]:
-                    last_start, _ = contigs_tr[contig][-1]
-                    if start < last_start:
-                        unsorted = True
-                contigs_tr[contig].append((max(0, start - padding), end + padding))
-    if unsorted:
-        for contig in contigs_tr:
-            contigs_tr[contig].sort()
-    return contigs_tr
+            cols = line.split("\t")
+            if len(cols) < 3:
+                continue
+            contig = cols[0]
+            lo, hi = int(cols[1]), int(cols[2])
+            intervals = by_contig.setdefault(contig, [])
+            needs_sort = needs_sort or bool(intervals and lo < intervals[-1][0])
+            intervals.append((max(0, lo - padding), hi + padding))
+    if needs_sort:
+        for intervals in by_contig.values():
+            intervals.sort()
+    return by_contig
 
 
 def should_process_contig(contig: str, length: int, config) -> bool:
