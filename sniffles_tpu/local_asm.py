@@ -1,9 +1,9 @@
-"""
-Local assembly rescue for filtered INS/DEL calls.
+"""Local assembly rescue for filtered INS/DEL calls.
 
-Re-fetches supporting reads around a filtered call, builds a consensus
-(ops/poa.py replaces SPOA), aligns consensus vs reference, locates the
-gap and rescues the call (reference: local_asm.py:26-304; gated at
+Re-fetches the supporting reads around a filtered call, builds a read
+consensus (ops/poa.py replaces SPOA), aligns consensus against the local
+reference window, locates the gap run matching the event length, and
+rescues the call (reference: local_asm.py:26-304; gated at
 parallel.py:186-196).
 """
 from __future__ import annotations
@@ -17,61 +17,118 @@ from sniffles_tpu.ops.poa import poa
 GAP = "-"
 log = logging.getLogger('sniffles_tpu.local_asm')
 
+_ALGO = {"local": 0, "global": 1, "semig": 2}
+
+# Size-tiered alignment scores for the consensus-vs-reference MSA
+# (reference: local_asm.py:26-73): (upper svlen bound, (match, mismatch,
+# gap open, gap extend, second gap open, second gap extend)).
+_SCORE_TIERS = (
+    (400, (10, -10, -20, 0, -10, -1)),
+    (1200, (13, -5, -25, 0, -25, -1)),
+    (None, (10, -10, -30, -1, -15, -1)),
+)
+
+# Padding tiers (reference: local_asm.py:105-124): (upper svlen bound,
+# svlen-proportional factor, default-pad multiplier).
+_PAD_TIERS = (
+    (400, 0.5, 0.70),
+    (1200, 0.5, 1.0),
+    (None, 0.75, 1.2),
+)
+
+
+def _tier(table, svlen):
+    size = abs(svlen)
+    for bound, *rest in table:
+        if bound is None or size <= bound:
+            return rest if len(rest) > 1 else rest[0]
+
 
 class SPOA:
-    """Size-tiered scoring matrices (reference: local_asm.py:26-73)."""
+    """Scoring-parameter holder kept API-compatible with round-1 callers;
+    tiers live in _SCORE_TIERS."""
 
     def __init__(self):
-        self.algorithm = {"local": 0, "global": 1, "semig": 2}
-        self.sv_small = 400
-        self.sv_middl = 1200
-        self.sv_large = 10000
-        # scores SV small x <= 400
-        self.sv_s = (10, -10, -20, 0, -10, -1)
-        # scores SV mid 400 < x <= 1200
-        self.sv_m = (13, -5, -25, 0, -25, -1)
-        # scores SV large 1200 < x
-        self.sv_l = (10, -10, -30, -1, -15, -1)
+        self.algorithm = dict(_ALGO)
         self.match = self.miss = self.gap_open = self.gap_expand = 0
         self.gap_open2 = self.gap_expand2 = 0
 
     def set(self, svlen: int):
-        if abs(svlen) <= self.sv_small:
-            t = self.sv_s
-        elif self.sv_small < abs(svlen) <= self.sv_middl:
-            t = self.sv_m
-        else:
-            t = self.sv_l
         (self.match, self.miss, self.gap_open, self.gap_expand,
-         self.gap_open2, self.gap_expand2) = t
+         self.gap_open2, self.gap_expand2) = _tier(_SCORE_TIERS, svlen)
+
+
+def _scan_for_gap(aln: str, target_len: int, eps: float, enabled: bool = True):
+    """Walk an alignment string; stop at the first non-gap character that
+    follows a gap run within eps of target_len.
+
+    Returns (non-gap offset at the stop point, gap-run size at the stop
+    point, number of gap runs seen, whether the walk stopped early).
+    When the walk runs off the end, the trailing gap run (if any) is
+    still reported — the caller's final verdict re-checks it, matching
+    the reference's post-loop acceptance (reference: local_asm.py:154-189,
+    217-252).
+    """
+    gap_run = 0
+    runs = 0
+    in_gap = False
+    offset = 0
+    for ch in aln:
+        if ch == GAP:
+            gap_run += 1
+            if not in_gap:
+                runs += 1
+                in_gap = True
+            continue
+        in_gap = False
+        if gap_run > 0 and abs(gap_run - target_len) / float(target_len) <= eps and enabled:
+            return offset, gap_run, runs, True
+        offset += 1
+        gap_run = 0
+    return offset, gap_run, runs, False
+
+
+def _slice_at(aln: str, offset: int, length: int) -> str:
+    """aln[offset:offset+length] when offset falls inside the string
+    (1-based walk semantics of the reference), else ''."""
+    if 1 <= offset <= len(aln):
+        return aln[offset:offset + length]
+    return ""
 
 
 class LocalAsm:
-    """(reference: local_asm.py:76-304)"""
+    """Assembly-rescue driver for one filtered call
+    (reference: local_asm.py:76-304)."""
 
     def __init__(self, sv: SVCall):
         self.sv = sv
         self.info_sv = ""
 
+    # -- call mutation ------------------------------------------------------
+
     def update_sv_cand(self, sv_pos: int, sv_seq: str):
-        if "MOSAIC_VAF" == self.sv.filter:
-            self.sv.set_info("MOSAIC", True)
-            self.sv.filter = "GT"
+        call = self.sv
+        if call.filter == "MOSAIC_VAF":
+            call.set_info("MOSAIC", True)
+            call.filter = "GT"
         else:
-            self.sv.filter = "PASS"
-        self.sv.qc = True
-        self.sv.pos = sv_pos
-        self.sv.set_info("LASM", True)
-        if "DEL" == self.sv.svtype:
-            self.sv.end = sv_pos + len(sv_seq) + 1
-        elif "INS" == self.sv.svtype:
-            self.sv.end = sv_pos + 1
+            call.filter = "PASS"
+        call.qc = True
+        call.pos = sv_pos
+        call.set_info("LASM", True)
+        if call.svtype == "DEL":
+            call.end = sv_pos + len(sv_seq) + 1
+        elif call.svtype == "INS":
+            call.end = sv_pos + 1
+
+    # -- I/O helpers --------------------------------------------------------
 
     @staticmethod
     def open_bam(bam_file_in: str, ref: str):
         from sniffles_tpu.io.bam import AlignmentFile
-        mode = r"rc" if "cram" in bam_file_in else r"rb"
-        return AlignmentFile(bam_file_in, mode=mode, require_index=True, reference_filename=ref)
+        mode = "rc" if "cram" in bam_file_in else "rb"
+        return AlignmentFile(bam_file_in, mode=mode, require_index=True,
+                             reference_filename=ref)
 
     @staticmethod
     def ref_seq_by_region(fas, region: str):
@@ -79,180 +136,139 @@ class LocalAsm:
 
     @staticmethod
     def region_pos(region: str):
-        [_, posit] = region.split(":")
-        [start, end] = posit.split("-")
-        return int(start), int(end)
+        span = region.split(":")[1]
+        lo, hi = span.split("-")
+        return int(lo), int(hi)
 
     def select_padding(self, read_type: str, default_pad: int = 2000):
-        svlen_pad = self.sv.svlen if "sv" == read_type else round(self.sv.svlen / 2)
-        max_padding = default_pad * 3
-        if abs(self.sv.svlen) <= 400:
-            return min(max(round(svlen_pad * 0.5), round(default_pad * 0.70)), max_padding)
-        elif 400 < abs(self.sv.svlen) <= 1200:
-            return min(max(round(svlen_pad * 0.5), round(default_pad * 1.0)), max_padding)
+        proportional = (self.sv.svlen if read_type == "sv"
+                        else round(self.sv.svlen / 2))
+        frac, mult = _tier(_PAD_TIERS, self.sv.svlen)
+        return min(max(round(proportional * frac), round(default_pad * mult)),
+                   default_pad * 3)
+
+    # -- supporting-read harvest -------------------------------------------
+
+    def _harvest_windows(self, bam, region: str, rnames, for_del: bool):
+        """Cut the SV-spanning subsequence (with size-dependent padding)
+        out of every supporting read (reference: local_asm.py:126-152 DEL,
+        191-215 INS)."""
+        call = self.sv
+        contig = ""
+        windows = []
+        window_starts, window_stops = [], []
+        for read in bam.fetch(region=region):
+            if not contig:
+                contig = read.reference_name
+            if read.query_name not in rnames or read.query_sequence is None:
+                continue
+            pad = self.select_padding("sv")
+            qseq = read.query_sequence
+            anchor = call.pos - read.reference_start
+            if for_del:
+                lo = anchor - pad
+                hi = call.end - read.reference_start + pad + 1
+                needed = 2 * pad
+                margin = pad + 100
+                span = (call.pos - margin, call.end + margin)
+            else:
+                lo = max(anchor - pad, 0)
+                hi = anchor + call.svlen + pad
+                needed = call.svlen + 2 * pad
+                span = (call.pos - pad, call.pos + call.svlen + pad)
+            window = qseq[lo:hi]
+            if len(window) >= needed and lo > 0 and 0 < hi < len(qseq):
+                windows.append(window)
+                window_starts.append(span[0])
+                window_stops.append(span[1])
+
+        if windows:
+            fetch_region = f'{contig}:{min(window_starts)}-{max(window_stops)}'
         else:
-            return min(max(round(svlen_pad * 0.75), round(default_pad * 1.2)), max_padding)
+            fetch_region = ""
+        return windows, [], fetch_region
 
     def read_seq_by_name_del(self, bam, region: str, rnames: list[str]):
-        """(reference: local_asm.py:126-152)"""
-        contig = ""
-        start, stop = [], []
-        read_seqs = []
-        extra_pad = 100
-        for read in bam.fetch(region=region):
-            if "" == contig:
-                contig = read.reference_name
-            if read.query_name in rnames:
-                if read.query_sequence is not None:
-                    padding = self.select_padding("sv")
-                    pos = self.sv.pos - read.reference_start - padding
-                    end = self.sv.end - read.reference_start + padding + 1
-                    read_seq_del = read.query_sequence[pos:end]
-                    read_len = len(read.query_sequence)
-                    if len(read_seq_del) >= 2 * padding and (pos > 0 and 0 < end < read_len):
-                        read_seqs.append(read_seq_del)
-                        start.append(self.sv.pos - padding - extra_pad)
-                        stop.append(self.sv.end + padding + extra_pad)
+        return self._harvest_windows(bam, region, rnames, for_del=True)
 
-        region = f'{contig}:{min(start)}-{max(stop)}' if len(read_seqs) > 0 else ""
-        return read_seqs, [], region
+    def read_seq_by_name_ins(self, bam, region: str, rnames: list[str]):
+        return self._harvest_windows(bam, region, rnames, for_del=False)
+
+    # -- gap location -------------------------------------------------------
 
     def solve_del(self, region: str, sv_aln: str, ref_aln: str, eps: float = 0.15,
                   max_gaps_aln: int = 3):
-        """(reference: local_asm.py:154-189)"""
-        svlen = abs(self.sv.svlen)
-        [ref_pos, _] = self.region_pos(region)
-        gap_size = 0
-        del_pos = 0
-        n_gaps = 0
-        count_gap = True
-        ref_pos_calc = 0
-        for char in sv_aln:
-            if GAP == char:
-                gap_size += 1
-                if count_gap:
-                    n_gaps += 1
-                    count_gap = False
-            else:
-                count_gap = True
-                if abs(gap_size - svlen) / float(svlen) <= eps and gap_size > 0:
-                    del_pos = ref_pos + ref_pos_calc
-                    break
-                ref_pos_calc += 1
-                gap_size = 0
-        count_pos = 0
-        ref_seq = ""
-        for _ in ref_aln:
-            count_pos += 1
-            if count_pos == ref_pos_calc:
-                ref_seq = ref_aln[count_pos:(count_pos + gap_size)]
-                break
-        return [del_pos, ref_seq, len(ref_seq) > 0 and
-                (abs((gap_size - svlen) / float(svlen)) <= eps and gap_size > 0
-                 and n_gaps <= max_gaps_aln)]
-
-    def read_seq_by_name_ins(self, bam, region: str, rnames: list[str]):
-        """(reference: local_asm.py:191-215)"""
-        contig = ""
-        start, stop = [], []
-        read_seqs_sv = []
-        for read in bam.fetch(region=region):
-            if "" == contig:
-                contig = read.reference_name
-            if read.query_name in rnames:
-                if read.query_sequence is not None:
-                    padding = self.select_padding("sv")
-                    pos = max(self.sv.pos - read.reference_start - padding, 0)
-                    end = self.sv.pos - read.reference_start + self.sv.svlen + padding
-                    read_seq_ins = read.query_sequence[pos:end]
-                    read_len = len(read.query_sequence)
-                    if len(read_seq_ins) >= self.sv.svlen + (2 * padding) and (pos > 0 and 0 < end < read_len):
-                        read_seqs_sv.append(read_seq_ins)
-                        start.append(self.sv.pos - padding)
-                        stop.append(self.sv.pos + self.sv.svlen + padding)
-
-        region = f'{contig}:{min(start)}-{max(stop)}' if len(read_seqs_sv) > 0 else ""
-        return read_seqs_sv, [], region
+        """DEL: the gap sits in the consensus row; its reference-row bases
+        recover the deleted sequence (reference: local_asm.py:154-189)."""
+        target = abs(self.sv.svlen)
+        region_start, _ = self.region_pos(region)
+        offset, gap_size, n_gaps, stopped = _scan_for_gap(sv_aln, target, eps)
+        del_pos = region_start + offset if stopped else 0
+        ref_seq = _slice_at(ref_aln, offset, gap_size)
+        ok = (len(ref_seq) > 0 and gap_size > 0 and n_gaps <= max_gaps_aln
+              and abs((gap_size - target) / float(target)) <= eps)
+        return [del_pos, ref_seq, ok]
 
     def solve_ins(self, region: str, sv_aln: str, ref_aln: str, eps: float = 0.15,
                   max_gaps_aln: int = 3):
-        """(reference: local_asm.py:217-252)"""
-        [ref_pos, _] = self.region_pos(region)
-        gap_size = 0
-        ins_pos = 0
-        n_gaps = 0
-        count_gap = True
-        ref_pos_calc = 0
-        for char in ref_aln:
-            if GAP == char:
-                gap_size += 1
-                if count_gap:
-                    n_gaps += 1
-                    count_gap = False
-            else:
-                count_gap = True
-                if abs((gap_size - self.sv.svlen) / self.sv.svlen) <= eps and gap_size > 0 and ref_pos > 0:
-                    ins_pos = ref_pos + ref_pos_calc
-                    break
-                ref_pos_calc += 1
-                gap_size = 0
-        count_pos = 0
-        ins_seq = ""
-        for _ in sv_aln:
-            count_pos += 1
-            if count_pos == ref_pos_calc:
-                ins_seq = sv_aln[count_pos:(count_pos + gap_size)]
-                break
-        return [ins_pos, ins_seq, len(ins_seq) > 0 and
-                (abs((gap_size - self.sv.svlen) / self.sv.svlen) <= eps and gap_size > 0
-                 and n_gaps <= max_gaps_aln)]
+        """INS: the gap sits in the reference row; its consensus-row bases
+        recover the inserted sequence (reference: local_asm.py:217-252)."""
+        target = self.sv.svlen
+        region_start, _ = self.region_pos(region)
+        offset, gap_size, n_gaps, stopped = _scan_for_gap(
+            ref_aln, target, eps, enabled=region_start > 0)
+        ins_pos = region_start + offset if stopped else 0
+        ins_seq = _slice_at(sv_aln, offset, gap_size)
+        ok = (len(ins_seq) > 0 and gap_size > 0 and n_gaps <= max_gaps_aln
+              and abs((gap_size - target) / target) <= eps)
+        return [ins_pos, ins_seq, ok]
+
+    # -- driver -------------------------------------------------------------
 
     def assembly(self, config, min_reads: int = 5, max_reads: int = 30,
                  fetch_read: int = 5000) -> bool:
-        """(reference: local_asm.py:254-304)"""
-        file_path = Path(config.input)
-        if file_path.suffix not in [".bam", ".cram"]:
+        """POA consensus of supporting reads, consensus-vs-reference MSA,
+        gap location, and call rescue (reference: local_asm.py:254-304)."""
+        call = self.sv
+        if Path(config.input).suffix not in (".bam", ".cram"):
             log.warning(f'Input {config.input} is not BAM or CRAM, skipping local assembly')
             return False
         if config.reference is None:
             log.warning('Reference not provided, skipping local assembly')
             return False
+        if call.svtype not in ("DEL", "INS"):
+            log.warning(f'SVTYPE: {call.svtype} not supported, skipping local assembly')
+            return False
+
         from sniffles_tpu.io.fasta import FastaFile
         bam = self.open_bam(config.input, config.reference)
         fas = FastaFile(config.reference)
-        spoa = SPOA()
-        region_sv_fetch = f'{self.sv.contig}:{self.sv.pos - fetch_read}-{self.sv.end + fetch_read}'
-        svlen = abs(self.sv.svlen)
-        sv_pos = 0
-        sv_seq = ""
-        spoa.set(svlen)
-        if "DEL" == self.sv.svtype:
-            read_seq, _, region_fas = self.read_seq_by_name_del(bam, region_sv_fetch, self.sv.rnames)
-        elif "INS" == self.sv.svtype:
-            read_seq, _, region_fas = self.read_seq_by_name_ins(bam, region_sv_fetch, self.sv.rnames)
-        else:
-            log.warning(f'SVTYPE: {self.sv.svtype} not supported, skipping local assembly')
+        scores = SPOA()
+        scores.set(abs(call.svlen))
+
+        fetch_region = f'{call.contig}:{call.pos - fetch_read}-{call.end + fetch_read}'
+        windows, _, msa_region = self._harvest_windows(
+            bam, fetch_region, call.rnames, for_del=call.svtype == "DEL")
+
+        if len(windows) < min_reads:
             return False
 
-        report_sv = False
-        if len(read_seq) >= min_reads:
-            ref_seq = self.ref_seq_by_region(fas, region_fas)
-            min_cov = round(len(read_seq) * 0.50)
-            read_seq = read_seq[:max_reads] if len(read_seq) > max_reads else read_seq
-            consensus, _ = poa(sequences=read_seq, algorithm=spoa.algorithm["local"],
-                               genmsa=True, min_coverage=min_cov)
-            _, msa = poa(sequences=[consensus, ref_seq], algorithm=spoa.algorithm["local"],
-                         genmsa=True, min_coverage=1,
-                         m=spoa.match, n=spoa.miss, g=spoa.gap_open, e=spoa.gap_expand,
-                         q=spoa.gap_open2, c=spoa.gap_expand2)
-            if len(msa) == 2:
-                [sv_aln, ref_aln] = msa
-            else:
-                return report_sv
-            if "INS" == self.sv.svtype:
-                [sv_pos, sv_seq, report_sv] = self.solve_ins(region_fas, sv_aln, ref_aln)
-            elif "DEL" == self.sv.svtype:
-                [sv_pos, sv_seq, report_sv] = self.solve_del(region_fas, sv_aln, ref_aln)
-        if report_sv:
+        ref_seq = self.ref_seq_by_region(fas, msa_region)
+        min_cov = round(len(windows) * 0.50)
+        consensus, _ = poa(sequences=windows[:max_reads], algorithm=_ALGO["local"],
+                           genmsa=True, min_coverage=min_cov)
+        _, msa = poa(sequences=[consensus, ref_seq], algorithm=_ALGO["local"],
+                     genmsa=True, min_coverage=1,
+                     m=scores.match, n=scores.miss, g=scores.gap_open,
+                     e=scores.gap_expand, q=scores.gap_open2, c=scores.gap_expand2)
+        if len(msa) != 2:
+            return False
+        sv_aln, ref_aln = msa
+
+        if call.svtype == "INS":
+            sv_pos, sv_seq, rescued = self.solve_ins(msa_region, sv_aln, ref_aln)
+        else:
+            sv_pos, sv_seq, rescued = self.solve_del(msa_region, sv_aln, ref_aln)
+        if rescued:
             self.update_sv_cand(sv_pos, sv_seq)
-        return report_sv
+        return rescued
