@@ -1,10 +1,10 @@
-"""
-Task types: CallTask (single-sample calling), GenotypeTask (force
+"""Task types: CallTask (single-sample calling), GenotypeTask (force
 calling), CombineTask (multi-sample SNF merge).
 
-Mirrors reference task semantics (reference: parallel.py:42-572). Tasks
-are the unit of genome-space sharding: one task per contig interval
-(call/genotype) or per SNF-block shard (combine).
+Tasks are the unit of genome-space sharding — one per contig interval
+(call/genotype) or per SNF-block shard (combine) — and must stay
+pickleable for the worker pipes.  Behavior matches the reference task
+semantics (reference: parallel.py:42-572).
 """
 from __future__ import annotations
 
@@ -29,22 +29,31 @@ if TYPE_CHECKING:
 log = logging.getLogger(__name__)
 
 
+def _traced_reads(leads_list, config):
+    """Read names among `leads_list` selected by --dev-trace-read."""
+    return [ld.read_qname for ld in leads_list if ld.read_qname in config.dev_trace_read]
+
+
 @dataclass
 class Task:
-    """A unit of work sent to a worker; must be pickleable (reference: parallel.py:42-249)."""
-    id: int
-    sv_id: int
+    """A unit of work sent to a worker (reference: parallel.py:42-249)."""
     contig: str
     start: int
     end: int
+    id: int
+    sv_id: int
     config: 'SnifflesConfig'
+
     assigned_process_id: Optional[int] = None
+    tandem_repeats: list = None
+    regions: list[Region] = None
+    genotype_svs: list = None
     lead_provider: leadprov.LeadProvider = None
     bam: object = None
-    tandem_repeats: list = None
-    genotype_svs: list = None
-    regions: list[Region] = None
     result: Result = None
+
+    _prefetched: Optional[tuple] = None
+    _nm_threshold: Optional[float] = None
 
     def __str__(self):
         return f'Task #{self.id}'
@@ -53,9 +62,7 @@ class Task:
     def done(self) -> bool:
         return self.result is not None
 
-    @property
-    def success(self) -> bool:
-        return self.done and not self.result.error
+    success = property(lambda self: self.done and not self.result.error)
 
     def add_result(self, result: Result) -> None:
         self.result = result
@@ -63,8 +70,7 @@ class Task:
     def execute(self, worker=None) -> Optional[Result]:
         raise NotImplementedError
 
-    _prefetched: Optional[tuple] = None
-    _nm_threshold: Optional[float] = None
+    # -- lead extraction ----------------------------------------------------
 
     def _cache_filename(self) -> str:
         """Leadtab cache path (reference: leadprov.py:672-678)."""
@@ -75,35 +81,45 @@ class Task:
         base = os.path.basename(self.config.input)
         return os.path.join(cache_dir, f"{base}_{self.contig}_{self.start}_{self.end}.pickle")
 
+    def _load_cached_leadtab(self) -> bool:
+        import os
+        import pickle
+        path = self._cache_filename()
+        if not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            self.lead_provider, self._nm_threshold, self._prefetched = pickle.load(f)
+        self.lead_provider.config = self.config  # nulled before pickling
+        self.config.qc_nm_threshold = self._nm_threshold
+        self.config.average_regional_nm = self._nm_threshold
+        return True
+
+    def _save_cached_leadtab(self):
+        import pickle
+        lp_config = self.lead_provider.config
+        self.lead_provider.config = None  # config is not picklable state
+        try:
+            with open(self._cache_filename(), "wb") as f:
+                pickle.dump((self.lead_provider, self._nm_threshold, self._prefetched), f)
+        finally:
+            self.lead_provider.config = lp_config
+
     def build_leadtab(self):
         # a decode-ahead prefetch (runtime.SnifflesParentWorker) may have
         # already built the leadtab on a background thread
         if self.lead_provider is not None:
             return self._prefetched
-
         config = self.config
-
-        if config.dev_cache:
-            import pickle
-            import os
-            path = self._cache_filename()
-            if os.path.exists(path):
-                with open(path, "rb") as f:
-                    state = pickle.load(f)
-                self.lead_provider, self._nm_threshold, self._prefetched = state
-                self.lead_provider.config = config  # nulled before pickling
-                config.qc_nm_threshold = self._nm_threshold
-                config.average_regional_nm = self._nm_threshold
-                return self._prefetched
+        if config.dev_cache and self._load_cached_leadtab():
+            return self._prefetched
 
         from sniffles_tpu.io.bam import AlignmentFile
         self.bam = AlignmentFile(config.input, config.input_mode, require_index=True,
                                  reference_filename=config.reference)
-
-        self.lead_provider = leadprov.LeadProvider(config, self.id * config.task_read_id_offset_mult,
-                                                   self.contig)
-        externals = self.lead_provider.build_leadtab(
-            self.regions if self.regions else [Region(self.contig, self.start, self.end)], self.bam)
+        self.lead_provider = leadprov.LeadProvider(
+            config, self.id * config.task_read_id_offset_mult, self.contig)
+        span = self.regions if self.regions else [Region(self.contig, self.start, self.end)]
+        externals = self.lead_provider.build_leadtab(span, self.bam)
         # snapshot the per-task regional NM statistic: with decode-ahead the
         # next task's scan would overwrite the config-global before this
         # task's QC consumes it (reference: leadprov.py:577-578)
@@ -111,46 +127,37 @@ class Task:
         self._prefetched = (externals, self.lead_provider.read_count)
 
         if config.dev_cache:
-            import pickle
-            lp_config = self.lead_provider.config
-            self.lead_provider.config = None  # config is not picklable state
-            try:
-                with open(self._cache_filename(), "wb") as f:
-                    pickle.dump((self.lead_provider, self._nm_threshold, self._prefetched), f)
-            finally:
-                self.lead_provider.config = lp_config
-
+            self._save_cached_leadtab()
         return self._prefetched
 
+    # -- candidate generation ----------------------------------------------
+
+    def _iter_clusters(self, config):
+        """Device sort-and-segment clusters when enabled, host sweep for the
+        rest (and as fallback)."""
+        host_types = sv.ALL_TYPES
+        if getattr(config, "tpu_call", False) and config.threads == 0:
+            try:
+                from sniffles_tpu.parallel.device_call import device_clusters, _DEVICE_TYPES
+                made = list(device_clusters(self.lead_provider, config, self.tandem_repeats))
+            except Exception:
+                log.warning("device clustering unavailable; falling back to host path",
+                            exc_info=True)
+            else:
+                yield from made
+                host_types = [t for t in sv.ALL_TYPES if t not in _DEVICE_TYPES]
+        for svtype in host_types:
+            yield from cluster.resolve(svtype, self.lead_provider, config, self.tandem_repeats)
+
     def call_candidates(self, keep_qc_fails, config) -> list[sv.SVCall]:
-        """(reference: parallel.py:104-127)"""
+        """Clusters -> preliminary calls + span coverage
+        (reference: parallel.py:104-127)."""
         candidates = []
-        use_device = getattr(config, "tpu_call", False) and config.threads == 0
-
-        def iter_clusters():
-            host_types = sv.ALL_TYPES
-            if use_device:
-                try:
-                    from sniffles_tpu.parallel.device_call import device_clusters, _DEVICE_TYPES
-                    clusters = list(device_clusters(self.lead_provider, config,
-                                                    self.tandem_repeats))
-                except Exception:
-                    log.warning("device clustering unavailable; falling back to host path",
-                                exc_info=True)
-                else:
-                    yield from clusters
-                    host_types = [t for t in sv.ALL_TYPES if t not in _DEVICE_TYPES]
-            for svtype in host_types:
-                yield from cluster.resolve(svtype, self.lead_provider, config,
-                                           self.tandem_repeats)
-
-        for svcluster in iter_clusters():
+        for svcluster in self._iter_clusters(config):
             svcluster.get_sa_count()
             for svc in sv.call_from(svcluster, config, keep_qc_fails, self):
                 if config.dev_trace_read:
-                    traced = [ld.read_qname for ld in svcluster.leads
-                              if ld.read_qname in config.dev_trace_read]
-                    if traced:
+                    if traced := _traced_reads(svcluster.leads, config):
                         print(f"[DEV_TRACE_READ] [3/4] [Task.call_candidates] Read "
                               f"{','.join(traced)} -> Cluster {svcluster.id} -> "
                               f"preliminary SVCall {svc.svtype} {svc.contig}:{svc.pos} "
@@ -160,223 +167,236 @@ class Task:
         self.coverage_average_total = postprocessing.coverage(candidates, self.lead_provider)
         return candidates
 
+    # -- finalization -------------------------------------------------------
+
+    def _snapshot_csv_lines(self, svc):
+        try:
+            # snapshot CSV lines while postprocess info is attached
+            svc.csv_line = svc._to_csv_line()
+            svc.csv_line_single = svc._to_csv_line(single_break=True)
+        except Exception:
+            log.exception(f'Error generating CSV line for {svc}')
+
+    def _try_phasing_rescue(self, svc, config):
+        """Allelic-imbalance HET rescue gate (reference: parallel.py:178-184)."""
+        eligible = (svc.svtype not in ("BND",)
+                    and abs(svc.svlen) <= config.dev_maxsvlen_extra
+                    and svc.support >= int(config.dev_minreads_extra * 0.60))
+        if config.phase and not svc.qc and eligible:
+            try:
+                self.rescue_phasing(svc)
+            except Exception:
+                log.warning(f'Error while rescue phasing for {svc}')
+
+    def _try_local_assembly(self, svc, config):
+        """Assembly-rescue gate for filtered INS/DEL (reference: parallel.py:186-196)."""
+        keep_as_is = (("PASS", "GT", "MOSAIC_VAF") if config.dev_locasm_skip_mosaic
+                      else ("PASS", "GT"))
+        wanted = (config.dev_locasm_do and not svc.qc
+                  and svc.filter not in keep_as_is and svc.svtype in ("INS", "DEL")
+                  and abs(svc.svlen) <= config.dev_maxsvlen_extra
+                  and (svc.support >= config.dev_minreads_extra
+                       or len(svc.rnames) > config.dev_minreads_extra))
+        if wanted:
+            from sniffles_tpu.local_asm import LocalAsm
+            LocalAsm(svc).assembly(self.config)
+
     def finalize_candidates(self, candidates: list['sv.SVCall'], keep_qc_fails, config):
-        """(reference: parallel.py:129-201)"""
-        passed = []
+        """QC screens, annotation, genotype, rescue passes
+        (reference: parallel.py:129-201)."""
+        finalized = []
         for svc in candidates:
             svc.qc = svc.qc and postprocessing.qc_sv(svc, config)
-
             if not config.mosaic and svc.qc:
-                svc.qc = svc.qc and postprocessing.qc_sv_support(svc, self.coverage_average_total, config)
+                svc.qc = svc.qc and postprocessing.qc_sv_support(
+                    svc, self.coverage_average_total, config)
 
             postprocessing.annotate_sv(svc, config)
-
             svc.qc = svc.qc and postprocessing.qc_sv_post_annotate(
                 svc, config, self.coverage_average_total, nm_threshold=self._nm_threshold)
 
             if config.dev_trace_read and svc.postprocess is not None:
-                traced = [ld.read_qname for ld in svc.postprocess.cluster.leads
-                          if ld.read_qname in config.dev_trace_read]
-                if traced:
+                if traced := _traced_reads(svc.postprocess.cluster.leads, config):
                     print(f"[DEV_TRACE_READ] [4/4] [Task.finalize_candidates] Read "
                           f"{','.join(traced)} -> Cluster {svc.postprocess.cluster.id} -> "
                           f"finalized SVCall, QC={svc.qc}: {svc.svtype} {svc.contig}:"
                           f"{svc.pos} filter={svc.filter}")
 
             if config.dev_output_candidates:
-                try:
-                    # snapshot CSV lines while postprocess info is attached
-                    svc.csv_line = svc._to_csv_line()
-                    svc.csv_line_single = svc._to_csv_line(single_break=True)
-                except Exception:
-                    log.exception(f'Error generating CSV line for {svc}')
+                self._snapshot_csv_lines(svc)
 
-            # Phasing rescue for allelic-imbalance HETs (reference: parallel.py:178-184)
-            phasing_rescue = (svc.svtype not in ["BND"] and abs(svc.svlen) <= config.dev_maxsvlen_extra
-                              and svc.support >= int(config.dev_minreads_extra * 0.60))
-            if self.config.phase and not svc.qc and phasing_rescue:
-                try:
-                    self.rescue_phasing(svc)
-                except Exception:
-                    log.warning(f'Error while rescue phasing for {svc}')
-
-            # Local assembly rescue (reference: parallel.py:186-196)
-            skip_filters = ["PASS", "GT"] if not config.dev_locasm_skip_mosaic else ["PASS", "GT", "MOSAIC_VAF"]
-            apply_to_svtypes = ["INS", "DEL"]
-            do_local_asm = (svc.filter not in skip_filters and svc.svtype in apply_to_svtypes and
-                            config.dev_locasm_do and not svc.qc and abs(svc.svlen) <= config.dev_maxsvlen_extra
-                            and (svc.support >= config.dev_minreads_extra or
-                                 len(svc.rnames) > config.dev_minreads_extra))
-            if do_local_asm:
-                from sniffles_tpu.local_asm import LocalAsm
-                loc_asm = LocalAsm(svc)
-                loc_asm.assembly(self.config)
+            self._try_phasing_rescue(svc, config)
+            self._try_local_assembly(svc, config)
 
             svc.finalize()
-            passed.append(svc)
-        return passed
+            finalized.append(svc)
+        return finalized
 
     def rescue_phasing(self, svc: sv.SVCall, min_rnames_in_phase: float = 0.75,
                        min_reads_cover: int = 3) -> bool:
-        """(reference: parallel.py:203-249)"""
-        if "call_sample" != self.config.mode:
+        """Rescue a mosaic-VAF-filtered call whose supporting reads nearly
+        all share one haplotype (reference: parallel.py:203-249)."""
+        if self.config.mode != "call_sample":
             return False
         import numpy as np
-        nm_vals = [this_lead.nm for this_lead in svc.postprocess.cluster.leads]
-        n_leads = len(nm_vals)
-        sv_nm = np.nanmean(nm_vals)
-        if sv_nm > self.config.genotype_error or n_leads <= min_reads_cover:
-            return False
-        if "PHASE" in svc.info:
-            hp, _, hp_reads, _, hp_filter, _ = svc.info["PHASE"].split(",")
-            if "PASS" != hp_filter:
-                return False
-            hp = int(hp)
-        else:
+        nm_vals = [ld.nm for ld in svc.postprocess.cluster.leads]
+        if np.nanmean(nm_vals) > self.config.genotype_error or len(nm_vals) <= min_reads_cover:
             return False
 
-        _, sv1, sv2, _, hap1, hap2 = svc.postprocess.cluster.hap_counts
-        if hp == 1:
-            all_reads_phase, sv_reads_phase = hap1, sv1
-        elif hp == 2:
-            all_reads_phase, sv_reads_phase = hap2, sv2
-        else:
+        phase_info = svc.info.get("PHASE")
+        if phase_info is None:
+            return False
+        hp, _, hp_reads, _, hp_filter, _ = phase_info.split(",")
+        if hp_filter != "PASS":
             return False
 
-        if 0 == all_reads_phase:
+        # hap_counts = (sv hap0/1/2, all-reads hap0/1/2)
+        _, sv1, sv2, _, all1, all2 = svc.postprocess.cluster.hap_counts
+        by_hap = {1: (all1, sv1), 2: (all2, sv2)}
+        if int(hp) not in by_hap:
+            return False
+        total_in_phase, sv_in_phase = by_hap[int(hp)]
+        if total_in_phase == 0:
             return False
 
-        if float(sv_reads_phase) / float(all_reads_phase) >= min_rnames_in_phase:
-            if "MOSAIC_VAF" == svc.filter:
+        if sv_in_phase / float(total_in_phase) >= min_rnames_in_phase:
+            if svc.filter == "MOSAIC_VAF":
                 svc.filter = "PASS"
-                gt = svc.genotypes[0]
-                a, b, gq, dr, dv, p = gt
+                a, b, gq, dr, dv, p = svc.genotypes[0]
                 svc.genotypes[0] = (a, 1, gq, dr, dv, p)
                 svc.qc = True
                 return True
-            return False
         return False
 
 
 class CallTask(Task):
-    """Single-sample SV calling for one contig interval (reference: parallel.py:252-297)."""
+    """Single-sample SV calling for one contig interval
+    (reference: parallel.py:252-297)."""
+
+    def _write_temp_snf(self, result, svcandidates, config):
+        """Per-task temp SNF part for later assembly (reference:
+        parallel.py:279-293)."""
+        part_name = f"{config.snf}.tmp_{self.id}.snf"
+        with open(part_name, "wb") as handle:
+            part = snf.SNFile(config, handle)
+            for cand in svcandidates:
+                part.store(cand)
+            # downsampled depth rides along in every block for combine-time
+            # 0/0-vs-./. decisions
+            part.annotate_block_coverages(self.lead_provider)
+            part.write_and_index()
+        result.has_snf = True
+        result.snf_filename = part_name
+        result.snf_index = part.get_index()
+        result.snf_total_length = part.get_total_length()
+        result.snf_candidate_count = len(svcandidates)
 
     def execute(self, worker=None) -> CallResult:
         config = self.config
+        qc = not (config.snf is not None or config.no_qc)
 
-        if config.snf is not None or config.no_qc:
-            qc = False
-        else:
-            qc = True
-
-        _, read_count = self.build_leadtab()
+        read_count = self.build_leadtab()[1]
         svcandidates = self.call_candidates(qc, config)
         svcalls = self.finalize_candidates(svcandidates, not qc, config)
         if not config.no_qc:
-            svcalls = [s for s in svcalls if s.qc]
-
+            svcalls = [call for call in svcalls if call.qc]
         if config.sort:
-            svcalls = sorted(svcalls, key=lambda svc: svc.pos)
+            svcalls.sort(key=lambda call: call.pos)
 
         result = CallResult(self, svcalls, read_count)
-
         if config.dev_output_candidates:
             result.store_candidates(svcandidates)
-
         if config.snf is not None:
-            snf_filename = f"{config.snf}.tmp_{self.id}.snf"
-
-            with open(snf_filename, "wb") as handle:
-                snf_out = snf.SNFile(config, handle)
-                for cand in svcandidates:
-                    snf_out.store(cand)
-                snf_out.annotate_block_coverages(self.lead_provider)
-                snf_out.write_and_index()
-            result.snf_filename = snf_filename
-            result.snf_index = snf_out.get_index()
-            result.snf_total_length = snf_out.get_total_length()
-            result.snf_candidate_count = len(svcandidates)
-            result.has_snf = True
-
+            self._write_temp_snf(result, svcandidates, config)
         result.coverage_average_total = self.coverage_average_total
-
         return result
 
 
 class GenotypeTask(Task):
     """Force calling against a known-SV VCF (reference: parallel.py:300-369)."""
 
-    def execute(self, worker=None) -> Optional[GenotypeResult]:
-        config = self.config
+    _BINSIZE = 5000
 
-        qc = False
-        _, read_count = self.build_leadtab()
-        svcandidates = self.call_candidates(qc, config=config)
-        self.finalize_candidates(svcandidates, not qc, config=config)
-
-        binsize = 5000
-        binedge = int(binsize / 10)
-        genotype_svs_svtypes_bins = {svtype: {} for svtype in sv.TYPES}
-        for genotype_sv in self.genotype_svs:
-            genotype_sv.genotype_match_sv = None
-            genotype_sv.genotype_match_dist = math.inf
-
-            if genotype_sv.svtype not in genotype_svs_svtypes_bins:
-                log.warning(f'Unsupported SVTYPE: {genotype_sv.svtype}')
+    def _bin_targets(self):
+        """Index the target SVs by svtype and 5kb position bin; targets near
+        a bin edge register in the neighbor bin too
+        (reference: parallel.py:309-330)."""
+        edge = self._BINSIZE // 10
+        table = {svtype: {} for svtype in sv.TYPES}
+        for target in self.genotype_svs:
+            target.genotype_match_sv = None
+            target.genotype_match_dist = math.inf
+            if target.svtype not in table:
+                log.warning(f'Unsupported SVTYPE: {target.svtype}')
                 continue
+            home = int(target.pos / self._BINSIZE) * self._BINSIZE
+            slots = [home]
+            offset = target.pos % self._BINSIZE
+            if offset < edge:
+                slots.append(home - self._BINSIZE)
+            if offset > self._BINSIZE - edge:
+                slots.append(home + self._BINSIZE)
+            for slot in slots:
+                table[target.svtype].setdefault(slot, []).append(target)
+        return table
 
-            bins = [int(genotype_sv.pos / binsize) * binsize]
-            if genotype_sv.pos % binsize < binedge:
-                bins.append((int(genotype_sv.pos / binsize) - 1) * binsize)
-            if genotype_sv.pos % binsize > binsize - binedge:
-                bins.append((int(genotype_sv.pos / binsize) + 1) * binsize)
-
-            for bin in bins:
-                genotype_svs_svtypes_bins[genotype_sv.svtype].setdefault(bin, []).append(genotype_sv)
-
+    def _match_candidates(self, svcandidates, table, config):
+        """Greedy nearest-target assignment per candidate
+        (reference: parallel.py:337-358)."""
         for cand in svcandidates:
             if cand.svtype.startswith('SINGLE'):
                 continue
-            bin = int(cand.pos / binsize) * binsize
-            if bin not in genotype_svs_svtypes_bins[cand.svtype]:
+            slot = int(cand.pos / self._BINSIZE) * self._BINSIZE
+            targets = table[cand.svtype].get(slot)
+            if targets is None:
                 continue
             if cand.svtype == "BND":
-                for genotype_sv in genotype_svs_svtypes_bins[cand.svtype][bin]:
-                    dist = abs(genotype_sv.pos - cand.pos)
-                    if dist < genotype_sv.genotype_match_dist and dist <= config.cluster_merge_bnd:
-                        if cand.bnd_info.mate_contig == genotype_sv.bnd_info.mate_contig:
-                            genotype_sv.genotype_match_sv = cand
-                            genotype_sv.genotype_match_dist = dist
+                for target in targets:
+                    dist = abs(target.pos - cand.pos)
+                    if (dist < target.genotype_match_dist
+                            and dist <= config.cluster_merge_bnd
+                            and cand.bnd_info.mate_contig == target.bnd_info.mate_contig):
+                        target.genotype_match_sv = cand
+                        target.genotype_match_dist = dist
             else:
-                for genotype_sv in genotype_svs_svtypes_bins[cand.svtype][bin]:
-                    dist = abs(genotype_sv.pos - cand.pos) + abs(abs(genotype_sv.svlen) - abs(cand.svlen))
-                    minlen = float(min(abs(genotype_sv.svlen), abs(cand.svlen)))
-                    if (minlen > 0 and dist < genotype_sv.genotype_match_dist
-                            and dist <= config.combine_match * math.sqrt(minlen)
+                for target in targets:
+                    dist = (abs(target.pos - cand.pos)
+                            + abs(abs(target.svlen) - abs(cand.svlen)))
+                    shorter = float(min(abs(target.svlen), abs(cand.svlen)))
+                    if (shorter > 0 and dist < target.genotype_match_dist
+                            and dist <= config.combine_match * math.sqrt(shorter)
                             and dist <= config.combine_match_max):
-                        genotype_sv.genotype_match_sv = cand
-                        genotype_sv.genotype_match_dist = dist
+                        target.genotype_match_sv = cand
+                        target.genotype_match_dist = dist
 
+    def execute(self, worker=None) -> Optional[GenotypeResult]:
+        config = self.config
+        read_count = self.build_leadtab()[1]
+        svcandidates = self.call_candidates(False, config=config)
+        self.finalize_candidates(svcandidates, True, config=config)
+
+        table = self._bin_targets()
+        self._match_candidates(svcandidates, table, config)
         postprocessing.coverage(self.genotype_svs, self.lead_provider)
 
-        # Determine genotypes for unmatched input SVs (reference: parallel.py:356-366)
-        for svc in self.genotype_svs:
-            coverage_list = [svc.coverage_start, svc.coverage_center, svc.coverage_end]
-            coverage_list = [c for c in coverage_list if c is not None]
-            if len(coverage_list) == 0:
+        # Unmatched input SVs genotype as 0/0 (covered) or ./. (uncovered)
+        # (reference: parallel.py:356-366, incl. the mid-loop bailout when a
+        # target has no usable depth values)
+        for target in self.genotype_svs:
+            depths = [d for d in (target.coverage_start, target.coverage_center,
+                                  target.coverage_end) if d is not None]
+            if not depths:
                 return
-            coverage = round(sum(coverage_list) / len(coverage_list))
-            svc.genotypes = {}
-            if coverage > 0:
-                svc.genotypes[0] = (0, 0, 0, coverage, 0, (None, None))
-            else:
-                svc.genotypes[0] = config.genotype_none
+            depth = round(sum(depths) / len(depths))
+            target.genotypes = {0: ((0, 0, 0, depth, 0, (None, None)) if depth > 0
+                                    else config.genotype_none)}
 
         return GenotypeResult(self, self.genotype_svs, read_count)
 
 
 class CombineTask(Task):
-    """Merge multiple SNF files into a multi-sample VCF (reference: parallel.py:372-572)."""
+    """Merge multiple SNF files into a multi-sample VCF
+    (reference: parallel.py:372-572)."""
     TARGET_WORK_PER_TASK = 10000
 
     result_class = CombineResult
@@ -393,232 +413,239 @@ class CombineTask(Task):
     suppress_tail: bool = False
 
     def __init__(self, *args, **kwargs):
-        self.result_class = kwargs.pop('result_class', None) or self.result_class
+        override = kwargs.pop('result_class', None)
+        if override is not None:
+            self.result_class = override
         super().__init__(*args, **kwargs)
         self.generate_blocks()
 
     def generate_blocks(self):
+        step = self.config.snf_block_size
         if self.regions:
-            block_indices = set()
+            wanted = set()
             for r in self.regions:
-                start = r.start // self.config.snf_block_size * self.config.snf_block_size
-                block_indices |= set(range(start, r.end + self.config.snf_block_size,
-                                           self.config.snf_block_size))
-            self.block_indices = list(sorted(block_indices))
+                first = r.start // step * step
+                wanted.update(range(first, r.end + step, step))
+            self.block_indices = sorted(wanted)
         else:
-            self.block_indices = list(range(self.start, self.end + self.config.snf_block_size,
-                                            self.config.snf_block_size))
+            self.block_indices = list(range(self.start, self.end + step, step))
 
     def __str__(self):
-        if len(self.block_indices) > 0:
-            return (f'Task {self.id} Contig {self.contig} [{self.start} ({self.block_indices[0]}) '
-                    f'.. {self.end} ({self.block_indices[-1]})]')
-        return f'Task {self.id} [no blocks available]'
+        if not self.block_indices:
+            return f'Task {self.id} [no blocks available]'
+        return (f'Task {self.id} Contig {self.contig} [{self.start} ({self.block_indices[0]}) '
+                f'.. {self.end} ({self.block_indices[-1]})]')
 
     def clone(self, first_block: int, block_count: int, new_id: int = None) -> 'CombineTask':
-        obj = copy.copy(self)
+        shard = copy.copy(self)
         if new_id is not None:
-            obj.id = new_id
+            shard.id = new_id
         # This realizes the handoff the reference only describes in a
         # comment (parallel.py:425-429).
-        obj.overlap_nblocks = min(2, first_block)
-        obj.block_indices = self.block_indices[first_block - obj.overlap_nblocks:
-                                               first_block + block_count]
-        obj.suppress_tail = (first_block + block_count) < len(self.block_indices)
-        obj.start = obj.block_indices[0]
-        obj.end = obj.block_indices[-1] + obj.config.snf_block_size
-        return obj
+        shard.overlap_nblocks = min(2, first_block)
+        shard.block_indices = self.block_indices[first_block - shard.overlap_nblocks:
+                                                 first_block + block_count]
+        shard.suppress_tail = (first_block + block_count) < len(self.block_indices)
+        shard.start = shard.block_indices[0]
+        shard.end = shard.block_indices[-1] + shard.config.snf_block_size
+        return shard
 
     def scatter(self) -> list['CombineTask']:
         """Scatter on block level (reference: parallel.py:422-442)."""
-        total_blocks = len(self.block_indices) * len(self.config.sample_ids_vcf)
-        if total_blocks <= self.TARGET_WORK_PER_TASK or self.config.threads <= 1:
+        total_work = len(self.block_indices) * len(self.config.sample_ids_vcf)
+        if total_work <= self.TARGET_WORK_PER_TASK or self.config.threads <= 1:
             return [self]
-
         # >= 2 blocks per shard: the overlap-block handoff is exactly-once
         # when a group's members cannot span a whole shard (production
         # sizing gives >= 100 blocks/shard; the floor guards degenerate
         # configurations)
-        blocks_per_task = max(2, total_blocks // self.TARGET_WORK_PER_TASK)
+        per_shard = max(2, total_work // self.TARGET_WORK_PER_TASK)
+        return [self.clone(first, per_shard, new_id=self.id + i + 1)
+                for i, first in enumerate(range(0, len(self.block_indices), per_shard))]
 
-        return [
-            self.clone(fb, blocks_per_task, new_id=self.id + i + 1)
-            for i, fb in enumerate(range(0, len(self.block_indices), blocks_per_task))
-        ]
+    # -- input plumbing -----------------------------------------------------
 
-    def execute(self, worker=None):
-        samples_headers_snf = {}
-        for snf_info in self.config.snf_input_info:
-            snf_in = snf.SNFile(self.config, open(snf_info["filename"], "rb"),
-                                filename=snf_info["filename"])
+    def _open_sample_snfs(self):
+        handles = {}
+        for info in self.config.snf_input_info:
+            snf_in = snf.SNFile(self.config, open(info["filename"], "rb"),
+                                filename=info["filename"])
             snf_in.read_header()
-            samples_headers_snf[snf_info["internal_id"]] = snf_in
-
+            handles[info["internal_id"]] = snf_in
             if self.config.combine_close_handles:
                 snf_in.close()
+        return handles
 
-        if self.config.combine_population:
-            from sniffles_tpu.io.snfp import PopulationSNF
-            # tasks share the config in inline (--threads 0) mode; only the
-            # first task replaces the filename with the opened handle
-            if isinstance(self.config.combine_population, str):
-                self.config.combine_population = PopulationSNF.open(self.config.combine_population)
+    def _attach_population(self):
+        if not self.config.combine_population:
+            return
+        from sniffles_tpu.io.snfp import PopulationSNF
+        # tasks share the config in inline (--threads 0) mode; only the
+        # first task replaces the filename with the opened handle
+        if isinstance(self.config.combine_population, str):
+            self.config.combine_population = PopulationSNF.open(self.config.combine_population)
 
+    def _bin_candidates(self, svtype, sample_snfs, samples_blocks):
+        """Collect this block's support-screened candidates per 100bp-scale
+        bin; returns (bins, #raw candidates seen)
+        (reference: parallel.py:489-511)."""
+        bin_width = self.config.combine_min_size
+        threshold = self.config.combine_support_threshold
+        bins: dict[int, list] = {}
+        seen = 0
+        for sample_id, sample_snf in sample_snfs.items():
+            blocks = samples_blocks[sample_id]
+            if blocks is None:
+                continue
+            reqc = sample_snf.reqc
+            for block in blocks:
+                for cand in block[svtype]:
+                    if cand.support < threshold:
+                        continue
+                    if reqc:
+                        postprocessing.genotype_sv(cand, self.config)
+                    cand.sample_internal_id = sample_id
+                    slot = int(cand.pos / bin_width) * bin_width
+                    bins.setdefault(slot, []).append(cand)
+                seen += len(block[svtype])
+        return bins, seen
+
+    def _group_batch(self, svtype, svcands, keep, ed_cache):
+        """Greedy group assignment, on device when enabled."""
+        use_device = (getattr(self.config, "tpu_combine", False)
+                      and self.config.threads == 0
+                      and svtype != "BND" and len(svcands) >= 4)
+        if use_device:
+            try:
+                from sniffles_tpu.parallel.device_combine import device_block_groups
+                return device_block_groups(svtype, svcands, keep, self.config, ed_cache)
+            except Exception:
+                log.warning("device combine grouping unavailable; host greedy",
+                            exc_info=True)
+        return cluster.resolve_block_groups(svtype, svcands, keep, self.config, ed_cache)
+
+    def _fold_uncovered_depths(self, group, samples_blocks, all_sample_ids):
+        """For samples without a candidate in this group, look up the
+        block's downsampled depth at the group position
+        (reference: parallel.py:537-551)."""
+        window = self.config.coverage_binsize_combine
+        probe = int(group.pos_mean / window) * window
+        for absent in all_sample_ids - group.included_samples:
+            blocks = samples_blocks[absent]
+            depth = 0
+            if blocks is not None and probe in blocks[0]["_COVERAGE"]:
+                depth = blocks[0]["_COVERAGE"][probe]
+            prior = group.coverages_nonincluded.get(absent)
+            group.coverages_nonincluded[absent] = (depth if prior is None
+                                                   else max(depth, prior))
+
+    def _drop_ghosts(self, groups):
+        """Groups confined to the overlap's older block belong to the
+        previous shard."""
+        if not self.overlap_nblocks:
+            return groups
+        limit = self.block_indices[self.overlap_nblocks - 1]
+        return [g for g in groups if any(c.pos >= limit for c in g.candidates)]
+
+    def execute(self, worker=None):
+        config = self.config
+        sample_snfs = self._open_sample_snfs()
+        self._attach_population()
         result = self.result_class(self, [], 0)
 
-        bin_min_size = self.config.combine_min_size
-        bin_max_candidates = max(25, int(len(self.config.snf_input_info) * 0.5))
-        overlap_abs = self.config.combine_overlap_abs
-        support_threshold = self.config.combine_support_threshold
-
-        sample_internal_ids = set(samples_headers_snf.keys())
+        batch_trigger = max(25, int(len(config.snf_input_info) * 0.5))
+        overlap_abs = config.combine_overlap_abs
+        bin_width = config.combine_min_size
+        all_sample_ids = set(sample_snfs.keys())
 
         candidates_processed = 0
-        groups_keep = {svtype: list() for svtype in sv.TYPES}
+        groups_keep = {svtype: [] for svtype in sv.TYPES}
         calls = []
 
         for cur, block_index in enumerate(self.block_indices):
-            samples_blocks = {}
             if calls:
                 result.store_calls(calls)
                 calls = []
 
-            for sample_internal_id, sample_snf in samples_headers_snf.items():
-                blocks = sample_snf.read_blocks(self.contig, block_index)
-                samples_blocks[sample_internal_id] = blocks
+            samples_blocks = {sample_id: sample_snf.read_blocks(self.contig, block_index)
+                              for sample_id, sample_snf in sample_snfs.items()}
 
             for svtype in sv.TYPES:
-                bins = {}
-                for sample_internal_id, sample_snf in samples_headers_snf.items():
-                    blocks = samples_blocks[sample_internal_id]
-                    reqc = sample_snf.reqc
-
-                    if blocks is None:
-                        continue
-                    for block in blocks:
-                        for cand in block[svtype]:
-                            if cand.support < support_threshold:
-                                continue
-
-                            if reqc:
-                                postprocessing.genotype_sv(cand, self.config)
-
-                            cand.sample_internal_id = sample_internal_id
-
-                            bin = int(cand.pos / bin_min_size) * bin_min_size
-                            bins.setdefault(bin, []).append(cand)
-                        candidates_processed += len(block[svtype])
-
-                if len(bins) == 0:
+                bins, seen = self._bin_candidates(svtype, sample_snfs, samples_blocks)
+                candidates_processed += seen
+                if not bins:
                     continue
 
-                size = 0
-                svcands = []
+                batch = []
+                span = 0
                 keep = groups_keep[svtype]
-                sorted_bins = sorted(bins)
-                last_bin = sorted_bins[-1]
-                for curr_bin in sorted_bins:
-                    svcands.extend(bins[curr_bin])
-                    size += bin_min_size
+                ordered_bins = sorted(bins)
+                final_bin = ordered_bins[-1]
+                for curr_bin in ordered_bins:
+                    batch.extend(bins[curr_bin])
+                    span += bin_width
+                    flush = ((not config.combine_exhaustive and len(batch) >= batch_trigger)
+                             or curr_bin == final_bin)
+                    if not flush:
+                        continue
+                    if not batch:
+                        span = 0
+                        continue
 
-                    if ((not self.config.combine_exhaustive and len(svcands) >= bin_max_candidates)
-                            or curr_bin == last_bin):
-                        if len(svcands) == 0:
-                            size = 0
-                            continue
+                    # memoizes host edit distances across group probes
+                    # within this batch (align_call fills it). An eager
+                    # device all-pairs prefilter was tried here and
+                    # removed: the greedy probes only a few pairs per
+                    # batch (with length-bound shortcuts), so computing
+                    # every pair ahead of time loses even before device
+                    # dispatch latency; the mesh-sharded combine step
+                    # (parallel/mesh.py) keeps its own batched DP where
+                    # whole blocks are resident on device.
+                    ed_cache = {} if (svtype == "INS" and config.combine_pctseq) else None
+                    svgroups = self._group_batch(svtype, batch, keep, ed_cache)
 
-                        # memoizes host edit distances across group probes
-                        # within this batch (align_call fills it). An eager
-                        # device all-pairs prefilter was tried here and
-                        # removed: the greedy probes only a few pairs per
-                        # batch (with length-bound shortcuts), so computing
-                        # every pair ahead of time loses even before device
-                        # dispatch latency; the mesh-sharded combine step
-                        # (parallel/mesh.py) keeps its own batched DP where
-                        # whole blocks are resident on device.
-                        ed_cache = {} if (svtype == "INS"
-                                          and self.config.combine_pctseq) else None
-                        use_device_combine = (getattr(self.config, "tpu_combine", False)
-                                              and self.config.threads == 0
-                                              and svtype != "BND" and len(svcands) >= 4)
-                        if use_device_combine:
-                            try:
-                                from sniffles_tpu.parallel.device_combine import device_block_groups
-                                svgroups = device_block_groups(svtype, svcands, keep,
-                                                               self.config, ed_cache)
-                            except Exception:
-                                log.warning("device combine grouping unavailable; host greedy",
-                                            exc_info=True)
-                                svgroups = cluster.resolve_block_groups(svtype, svcands, keep,
-                                                                        self.config, ed_cache)
+                    closing = []
+                    keep = []
+                    for group in svgroups:
+                        self._fold_uncovered_depths(group, samples_blocks, all_sample_ids)
+                        # sliding frontier: a group still within reach of the
+                        # current bin may yet gain candidates
+                        if abs(group.pos_mean - curr_bin) < max(span * 0.5, overlap_abs):
+                            keep.append(group)
                         else:
-                            svgroups = cluster.resolve_block_groups(svtype, svcands, keep,
-                                                                    self.config, ed_cache)
-                        groups_call = []
-                        keep = []
-                        for group in svgroups:
-                            coverage_bin = (int(group.pos_mean / self.config.coverage_binsize_combine)
-                                            * self.config.coverage_binsize_combine)
-                            for non_included_sample in sample_internal_ids - group.included_samples:
-                                if (samples_blocks[non_included_sample] is not None
-                                        and coverage_bin in samples_blocks[non_included_sample][0]["_COVERAGE"]):
-                                    coverage = samples_blocks[non_included_sample][0]["_COVERAGE"][coverage_bin]
-                                else:
-                                    coverage = 0
-                                if non_included_sample in group.coverages_nonincluded:
-                                    group.coverages_nonincluded[non_included_sample] = max(
-                                        coverage, group.coverages_nonincluded[non_included_sample])
-                                else:
-                                    group.coverages_nonincluded[non_included_sample] = coverage
+                            closing.append(group)
 
-                            if abs(group.pos_mean - curr_bin) < max(size * 0.5, overlap_abs):
-                                keep.append(group)
-                            else:
-                                groups_call.append(group)
+                    if cur >= self.overlap_nblocks:
+                        # (closes inside the overlap were emitted by the
+                        # previous shard: same candidates, same greedy)
+                        closing = self._drop_ghosts(closing)
+                        calls.extend(sv.call_groups(closing, config, self))
 
-                        if cur < self.overlap_nblocks:
-                            # closes inside the overlap were emitted by the
-                            # previous shard (same candidates, same greedy)
-                            pass
-                        else:
-                            if self.overlap_nblocks:
-                                # ghosts: groups confined to the overlap's
-                                # older block belonged to the previous shard
-                                ghost_limit = self.block_indices[self.overlap_nblocks - 1]
-                                groups_call = [g for g in groups_call
-                                               if any(c.pos >= ghost_limit for c in g.candidates)]
-                            calls.extend(sv.call_groups(groups_call, self.config, self))
-
-                        size = 0
-                        svcands = []
+                    span = 0
+                    batch = []
 
                 groups_keep[svtype] = keep
 
-        # Tail flush. Ghost groups (confined to the overlap's older block)
-        # belong to the previous shard; groups touching this shard's last
-        # block are handed to the next shard when one exists (it rebuilds
-        # them fully from its two-block overlap).
-        ghost_limit = (self.block_indices[self.overlap_nblocks - 1]
-                       if self.overlap_nblocks else None)
+        # Tail flush. Ghosts belong to the previous shard; groups touching
+        # this shard's last block are handed to the next shard when one
+        # exists (it rebuilds them fully from its two-block overlap).
         last_block = self.block_indices[-1]
-        for svtype in groups_keep:
-            groups = groups_keep[svtype]
-            if ghost_limit is not None:
-                groups = [g for g in groups
-                          if any(c.pos >= ghost_limit for c in g.candidates)]
+        for svtype, groups in groups_keep.items():
+            groups = self._drop_ghosts(groups)
             if self.suppress_tail:
                 groups = [g for g in groups
                           if not any(c.pos >= last_block for c in g.candidates)]
-            calls.extend(sv.call_groups(groups, self.config, self))
+            calls.extend(sv.call_groups(groups, config, self))
 
-        if calls:
+        if len(calls) > 0:
             result.store_calls(calls)
-
         result.finalize()
+
         return result
 
 
 class ShutdownTask:
+    """Poison pill: executing it raises Shutdown inside the worker loop."""
     id = None
 
     def __str__(self):
