@@ -1,11 +1,11 @@
-"""
-Lead (raw SV signature) extraction from BAM alignments.
+"""Lead (raw SV signature) extraction from BAM alignments.
 
-Mirrors the reference extraction semantics (reference: leadprov.py):
-CIGAR indels >= minsvlen_screen, long soft-clips as putative long INS,
-clip-only single-break signatures, split-read signatures from SA tags,
-and dedicated BND leads. Consumes records from the built-in BAM decoder
-(io/bam.py) or the native C++ decoder.
+Produces the same signature stream as the reference extraction
+(reference: leadprov.py): CIGAR indels >= minsvlen_screen, long
+soft-clips as putative long INS, clip-only single-break signatures,
+split-read signatures from SA tags, and dedicated BND leads.  Consumes
+records from the built-in BAM decoder (io/bam.py) or the native C++
+decoder.
 
 The per-base coverage array and the binned leadtab produced here feed
 both the exact host pipeline and (tensorized via signatures.py) the TPU
@@ -14,6 +14,7 @@ device pipeline.
 from __future__ import annotations
 
 import logging
+import re
 from dataclasses import dataclass
 from typing import Optional, Iterator
 
@@ -28,6 +29,8 @@ from sniffles_tpu.io.bam import (BamRead, CINS, CDEL, CSOFT_CLIP, CHARD_CLIP, CM
 
 log = logging.getLogger(__name__)
 
+_CLIP_OPS = (CSOFT_CLIP, CHARD_CLIP)
+
 
 @dataclass(slots=True)
 class Lead:
@@ -37,32 +40,34 @@ class Lead:
     at WGS scale), so per-instance dicts dominate memory without them.
     `__setstate__` also accepts the reference's dict-form pickle state so
     Leads inside reference-written SNF blocks still load (compat.py maps
-    sniffles.leadprov.Lead here)."""
+    sniffles.leadprov.Lead here).
+    """
 
-    def __setstate__(self, state):
-        from sniffles_tpu.compat import _apply_pickle_state
-        _apply_pickle_state(self, state)
-    read_id: int = None
     read_qname: str = None
+    read_id: int = None
     contig: str = None
     ref_start: int = None
     ref_end: int = None
+    svtype: str = None
+    svlen: Optional[int] = None
     qry_start: int = None
     qry_end: int = None
     strand: str = None
     mapq: int = None
-    nm: float = None
     source: str = None
-    svtype: str = None
-    svlen: Optional[int] = None
+    nm: float = None
     seq: Optional[str] = None
     svtypes_starts_lens: list = None
     bnd_info: Optional[SVCallBNDInfo] = None
-    hap: str = "0"
     phase_set: str = None
-    is_sa: bool = False
+    hap: str = "0"
     read_len: int = 0
+    is_sa: bool = False
     sa_same_strand: bool = False
+
+    def __setstate__(self, state):
+        from sniffles_tpu.compat import _apply_pickle_state
+        _apply_pickle_state(self, state)
 
     @classmethod
     def for_bnd(cls, read_id: int, read: BamRead) -> Optional['Lead']:
@@ -75,108 +80,101 @@ class Lead:
         require it. The caller (LeadProvider.iter_region) gates which of
         these reach the calling pipeline.
         """
-        left = 0
-        right = 0
-        if read.cigartuples[0][0] in (CSOFT_CLIP, CHARD_CLIP):
-            left = read.cigartuples[0][1]
-        if read.cigartuples[-1][0] in (CSOFT_CLIP, CHARD_CLIP):
-            right = read.cigartuples[-1][1]
+        first_op, first_len = read.cigartuples[0]
+        last_op, last_len = read.cigartuples[-1]
+        clip_head = first_len if first_op in _CLIP_OPS else 0
+        clip_tail = last_len if last_op in _CLIP_OPS else 0
 
-        if left > right:
-            ref_start = read.reference_start + 1
-            is_first = False
+        # The larger clip marks the side where the read continues elsewhere.
+        if clip_head > clip_tail:
+            anchor, is_first = read.reference_start + 1, False
         else:
-            ref_start = read.reference_end
-            is_first = True
+            anchor, is_first = read.reference_end, True
+        own_strand = "-" if read.is_reverse else "+"
 
-        read_strand = "-" if read.is_reverse else "+"
+        for entry in read.get_tag("SA").split(";"):
+            if not entry:
+                continue
+            mate_contig, sa_pos, sa_strand, sa_cigar, _sa_mapq, sa_nm = entry.split(",")
+            try:
+                head_clip, tail_clip, mate_refspan, _ = CIGAR_analyze(sa_cigar)
+            except Exception as e:
+                util.error(f"Malformed CIGAR '{sa_cigar}' with pos {sa_pos} of read "
+                           f"'{read.query_name}' ({e}). Skipping.")
+                return None
 
-        for sa in read.get_tag("SA").split(";"):
-            if len(sa) > 0:
-                refname, pos, strand, cigar, mapq, nm = sa.split(",")
-                same_strand = (read_strand == strand)
+            mate_start = int(sa_pos) - 1  # SA positions are 1-based
+            mate_is_reverse = tail_clip > head_clip
+            if mate_is_reverse:
+                mate_anchor = mate_start + mate_refspan
+            elif is_first:
+                mate_anchor = mate_start + 1
+            elif sa_strand == own_strand:
+                mate_anchor = mate_start + mate_refspan
+            else:
+                mate_anchor = mate_start + 2
 
-                pos_org = pos
-                pos = int(pos) - 1  # SA positions are 1-based
-                try:
-                    left, right, refspan, readspan = CIGAR_analyze(cigar)
-                except Exception as e:
-                    util.error(f"Malformed CIGAR '{cigar}' with pos {pos_org} of read "
-                               f"'{read.query_name}' ({e}). Skipping.")
-                    return None
-                is_reverse = right > left
-                if is_reverse:
-                    mate_ref_start = pos + refspan
-                else:
-                    if is_first:
-                        mate_ref_start = pos + 1
-                    else:
-                        if strand == read_strand:
-                            mate_ref_start = pos + refspan
-                        else:
-                            mate_ref_start = pos + 2
-
-                return cls(
-                    read_id=read_id,
-                    read_qname=read.query_name,
-                    contig=read.reference_name,
-                    ref_start=ref_start,
-                    ref_end=ref_start,
-                    qry_start=read.query_alignment_start,
-                    qry_end=read.query_alignment_end,
-                    strand="-" if read.is_reverse else "+",
-                    mapq=read.mapping_quality,
-                    nm=int(nm) if read.has_tag("NM") else None,
-                    source="BND_SA",
-                    svtype="BND",
-                    svlen=0,
-                    seq=None,
-                    bnd_info=SVCallBNDInfo(
-                        mate_contig=refname,
-                        mate_ref_start=mate_ref_start,
-                        is_first=is_first,
-                        is_reverse=is_reverse,
-                    ),
-                    sa_same_strand=same_strand,
-                )
-
+            return cls(
+                read_qname=read.query_name,
+                read_id=read_id,
+                contig=read.reference_name,
+                ref_start=anchor,
+                ref_end=anchor,
+                svtype="BND",
+                svlen=0,
+                qry_start=read.query_alignment_start,
+                qry_end=read.query_alignment_end,
+                strand=own_strand,
+                mapq=read.mapping_quality,
+                source="BND_SA",
+                nm=int(sa_nm) if read.has_tag("NM") else None,
+                seq=None,
+                bnd_info=SVCallBNDInfo(mate_contig, mate_anchor, is_first, mate_is_reverse),
+                sa_same_strand=own_strand == sa_strand,
+            )
         return None
+
+
+_CIGAR_TOKEN = re.compile(r"(\d+)([A-Z=])")
+
+# op -> (counts toward read span, counts toward ref span)
+_CIGAR_SPANS = {
+    "M": (True, True), "=": (True, True), "X": (True, True),
+    "I": (True, False), "D": (False, True), "N": (False, True),
+}
 
 
 def CIGAR_analyze(cigar: str) -> tuple[int, int, int, int]:
     """(clip_start, clip_end, refspan, readspan) from a CIGAR string
     (reference: leadprov.py:144-176)."""
-    buf = ""
-    readspan = 0
-    refspan = 0
-    clip_start = None
-    clip = 0
-    for c in cigar:
-        if c.isnumeric():
-            buf += c
+    refspan = readspan = 0
+    leading_clip = None
+    clip_total = 0
+    at = 0
+    for m in _CIGAR_TOKEN.finditer(cigar):
+        if m.start() != at:
+            raise ValueError(f"Unparsable CIGAR at offset {at}: '{cigar}'")
+        at = m.end()
+        n, op = int(m.group(1)), m.group(2)
+        spans = _CIGAR_SPANS.get(op)
+        if spans is not None:
+            readspan += n if spans[0] else 0
+            refspan += n if spans[1] else 0
+        elif op in "SH":
+            if leading_clip is None and readspan + refspan > 0:
+                leading_clip = clip_total
+            clip_total += n
         else:
-            oplen = int(buf)
-            h = False
-            if c in "MIX=":
-                readspan += oplen
-                h = True
-            if c in "MDX=N":
-                refspan += oplen
-                h = True
-            if not h:
-                if c in "SH":
-                    if clip_start is None and readspan + refspan > 0:
-                        clip_start = clip
-                    clip += oplen
-                else:
-                    raise ValueError(f"Unknown CIGAR operation: '{c}'")
-            buf = ""
-    if clip_start is None:
-        clip_start = clip
-    return clip_start, clip - clip_start, refspan, readspan
+            raise ValueError(f"Unknown CIGAR operation: '{op}'")
+    rest = cigar[at:]
+    if rest and not rest.isdigit():
+        raise ValueError(f"Unparsable CIGAR tail: '{cigar}'")
+    if leading_clip is None:
+        leading_clip = clip_total
+    return leading_clip, clip_total - leading_clip, refspan, readspan
 
 
-# (add_read, add_ref, event, Δ coverage) per op (reference: leadprov.py:180-195)
+# (add_read, add_ref, event, Δ coverage) per numeric op (reference: leadprov.py:180-195)
 OPLIST = [
     (1, 1, 0, 1),  # M
     (1, 0, 1, 0),  # I
@@ -191,123 +189,113 @@ OPLIST = [
 
 
 def get_cigar_indels(read: BamRead, minoplen: int = 10) -> tuple[int, int, int, int]:
-    """Sum of ins/del bases, and of those above minoplen (reference: leadprov.py:198-224)."""
-    ins_sum = 0
-    del_sum = 0
-    large_ins_sum = 0
-    large_del_sum = 0
-    for op, oplength in read.cigartuples:
-        if op == CINS:
-            ins_sum += oplength
-            if oplength > minoplen:
-                large_ins_sum += oplength
-        elif op == CDEL:
-            del_sum += oplength
-            if oplength > minoplen:
-                large_del_sum += oplength
-    return ins_sum, del_sum, large_ins_sum, large_del_sum
+    """Total inserted/deleted bases, plus the share from ops above
+    minoplen (reference: leadprov.py:198-224)."""
+    totals = {CINS: 0, CDEL: 0}
+    larges = {CINS: 0, CDEL: 0}
+    for op, n in read.cigartuples:
+        if op in totals:
+            totals[op] += n
+            if n > minoplen:
+                larges[op] += n
+    return totals[CINS], totals[CDEL], larges[CINS], larges[CDEL]
 
 
-def read_itersplits(read_id, read: BamRead, contig, config, read_nm, read_hap, read_ps) -> Iterator[Lead]:
-    """Leads from a primary read's supplementary alignments (reference: leadprov.py:227-355)."""
-    all_leads = []
-    supps = [part.split(",") for part in read.get_tag("SA").split(";") if len(part) > 0]
+# --------------------------------------------------------------------------
+# Split-read lead extraction
 
-    if len(supps) > config.max_splits_base + config.max_splits_kb * (read.query_length / 1000.0):
-        return
+
+def _split_alignment_chain(read_id, read: BamRead, contig, config,
+                           read_nm, hap, ps) -> Optional[list[Lead]]:
+    """The read's primary alignment plus every SA entry as SPLIT leads in
+    one list, or None when the read carries too many splits or a bad SA
+    CIGAR (reference: leadprov.py:231-265)."""
+    sa_entries = [part.split(",") for part in read.get_tag("SA").split(";") if part]
+    allowed = config.max_splits_base + config.max_splits_kb * (read.query_length / 1000.0)
+    if len(sa_entries) > allowed:
+        return None
 
     if read.is_reverse:
-        qry_start = read.query_length - read.query_alignment_end
+        prim_qry_start = read.query_length - read.query_alignment_end
     else:
-        qry_start = read.query_alignment_start
+        prim_qry_start = read.query_alignment_start
 
-    curr_lead = Lead(read_id,
-                     read.query_name,
-                     contig,
-                     read.reference_start,
-                     read.reference_start + read.reference_length,
-                     qry_start,
-                     qry_start + read.query_alignment_length,
-                     "-" if read.is_reverse else "+",
-                     read.mapping_quality,
-                     read_nm,
-                     "SPLIT_PRIM",
-                     "?",
-                     hap=str(read_hap), phase_set=str(read_ps), is_sa=read.is_supplementary)
-    all_leads.append(curr_lead)
+    chain = [Lead(
+        read_qname=read.query_name, read_id=read_id, contig=contig,
+        ref_start=read.reference_start,
+        ref_end=read.reference_start + read.reference_length,
+        svtype="?", qry_start=prim_qry_start,
+        qry_end=prim_qry_start + read.query_alignment_length,
+        strand="-" if read.is_reverse else "+",
+        mapq=read.mapping_quality, source="SPLIT_PRIM", nm=read_nm,
+        hap=str(hap), phase_set=str(ps), is_sa=read.is_supplementary)]
 
-    for refname, pos, strand, cigar, mapq, nm in supps:
-        mapq = int(mapq)
-        is_rev = (strand == "-")
-
+    for refname, pos, strand, cigar, mapq, _nm in sa_entries:
         try:
-            readstart_fwd, readstart_rev, refspan, readspan = CIGAR_analyze(cigar)
+            clip_fwd, clip_rev, refspan, readspan = CIGAR_analyze(cigar)
         except Exception as e:
             util.error(f"Malformed CIGAR '{cigar}' with pos {pos} of read "
                        f"'{read.query_name}' ({e}). Skipping.")
-            return
+            return None
+        sa_start = int(pos) - 1
+        sa_qry_start = clip_rev if strand == "-" else clip_fwd
+        chain.append(Lead(
+            read_qname=read.query_name, read_id=read_id, contig=refname,
+            ref_start=sa_start, ref_end=sa_start + refspan,
+            svtype="?", qry_start=sa_qry_start, qry_end=sa_qry_start + readspan,
+            strand=strand, mapq=int(mapq), source="SPLIT_SUP", nm=read_nm,
+            hap=str(hap), phase_set=str(ps), is_sa=read.is_supplementary))
+    return chain
 
-        pos_zero = int(pos) - 1
-        split_qry_start = readstart_rev if is_rev else readstart_fwd
 
-        all_leads.append(Lead(read_id,
-                              read.query_name,
-                              refname,
-                              pos_zero,
-                              pos_zero + refspan,
-                              split_qry_start,
-                              split_qry_start + readspan,
-                              strand,
-                              mapq,
-                              read_nm,
-                              "SPLIT_SUP",
-                              "?",
-                              hap=str(read_hap), phase_set=str(read_ps), is_sa=read.is_supplementary))
+def _lead_from_hint(lead, hint, read_id, hap, ps, is_supp, config) -> Lead:
+    """Materialize one classified split hint as a lead
+    (reference: leadprov.py:275-310)."""
+    svtype, svstart, arg = hint
+    if svtype == "BND":
+        out = Lead(read_qname=lead.read_qname, read_id=lead.read_id,
+                   contig=lead.contig, ref_start=svstart, ref_end=svstart,
+                   svtype="BND", svlen=config.bnd_cluster_length,
+                   qry_start=lead.qry_start, qry_end=lead.qry_end,
+                   strand=lead.strand, mapq=lead.mapq, source=lead.source,
+                   nm=lead.nm, seq=None,
+                   hap=str(hap), phase_set=str(ps), is_sa=is_supp)
+        out.bnd_info = arg
+        return out
+    span_end = svstart + arg if (arg is not None and svtype != "INS") else svstart
+    return Lead(read_qname=lead.read_qname, read_id=lead.read_id,
+                contig=lead.contig, ref_start=svstart, ref_end=span_end,
+                svtype=svtype, svlen=arg,
+                qry_start=lead.qry_start, qry_end=lead.qry_end,
+                strand=lead.strand, mapq=lead.mapq, source=lead.source,
+                nm=lead.nm, seq=lead.seq if svtype == "INS" else None,
+                hap=str(hap), phase_set=str(ps), is_sa=is_supp)
 
-    all_leads = sv.classify_splits(read, all_leads, config, contig)
 
-    for lead_i, lead in enumerate(all_leads):
-        for svtype, svstart, arg in lead.svtypes_starts_lens:
-            min_mapq = min(lead.mapq, all_leads[max(0, lead_i - 1)].mapq)
-            if not config.dev_keep_lowqual_splits and min_mapq < config.mapq:
+def read_itersplits(read_id, read: BamRead, contig, config, read_nm,
+                    read_hap, read_ps) -> Iterator[Lead]:
+    """Leads from a primary read's supplementary alignments
+    (reference: leadprov.py:227-355)."""
+    chain = _split_alignment_chain(read_id, read, contig, config,
+                                   read_nm, read_hap, read_ps)
+    if chain is None:
+        return
+    chain = sv.classify_splits(read, chain, config, contig)
+
+    for i, lead in enumerate(chain):
+        # mapq gate over the pair that produced the hint
+        pair_mapq = min(lead.mapq, chain[max(0, i - 1)].mapq)
+        drop_lowqual = (not config.dev_keep_lowqual_splits
+                        and pair_mapq < config.mapq)
+        for hint in lead.svtypes_starts_lens:
+            if drop_lowqual or hint[0] == "NOSV":
                 continue
+            yield _lead_from_hint(lead, hint, read_id, read_hap, read_ps,
+                                  read.is_supplementary, config)
 
-            if svtype == "BND":
-                bnd = Lead(read_id=lead.read_id,
-                           read_qname=lead.read_qname,
-                           contig=lead.contig,
-                           ref_start=svstart,
-                           ref_end=svstart,
-                           qry_start=lead.qry_start,
-                           qry_end=lead.qry_end,
-                           strand=lead.strand,
-                           mapq=lead.mapq,
-                           nm=lead.nm,
-                           source=lead.source,
-                           svtype=svtype,
-                           svlen=config.bnd_cluster_length,
-                           seq=None,
-                           hap=str(read_hap), phase_set=str(read_ps), is_sa=read.is_supplementary)
-                bnd.bnd_info = arg
-                yield bnd
 
-            elif svtype != "NOSV":
-                svlen = arg
-                yield Lead(read_id=lead.read_id,
-                           read_qname=lead.read_qname,
-                           contig=lead.contig,
-                           ref_start=svstart,
-                           ref_end=svstart + svlen if svlen is not None and svtype != "INS" else svstart,
-                           qry_start=lead.qry_start,
-                           qry_end=lead.qry_end,
-                           strand=lead.strand,
-                           mapq=lead.mapq,
-                           nm=lead.nm,
-                           source=lead.source,
-                           svtype=svtype,
-                           svlen=svlen,
-                           seq=lead.seq if svtype == "INS" else None,
-                           hap=str(read_hap), phase_set=str(read_ps), is_sa=read.is_supplementary)
+# --------------------------------------------------------------------------
+# Region scanning / leadtab construction
 
 
 class LeadProvider:
@@ -317,42 +305,32 @@ class LeadProvider:
 
     def __init__(self, config, read_id_offset, contig: str):
         self.config = config
+        self.contig = contig
+        self.start = self.end = None
 
-        self.leadtab: dict[str, dict[int, list[Lead]]] = {}
-        self.leadcounts: dict[str, int] = {}
-        self.leadhapcount: dict[str, dict[int, list[int]]] = {}
-
-        for svtype in sv.ALL_TYPES:
-            self.leadtab[svtype] = {}
-            self.leadcounts[svtype] = 0
-            self.leadhapcount[svtype] = {}
+        self.leadtab = {t: {} for t in sv.ALL_TYPES}
+        self.leadcounts = {t: 0 for t in sv.ALL_TYPES}
+        self.leadhapcount = {t: {} for t in sv.ALL_TYPES}
         self.leadhapcount["REF"] = {}
 
-        self.covrtab_fwd = {}
-        self.covrtab_rev = {}
+        self.covrtab_fwd, self.covrtab_rev = {}, {}
         self.covrtab_min_bin = None
-
         self.read_id = read_id_offset
         self.read_count = 0
-
-        self.contig = contig
-        self.start = None
-        self.end = None
-
         self.overflow = 0
+
+    # -- accumulators -------------------------------------------------------
 
     def record_hap_ref(self, hp_index, pos_leadtab, end_leadtab, step):
         """Per-read scalar form of the REF haplotype bin counts
         (reference: leadprov.py:387-398); the region scans batch this via
         fold_hap_spans, which is exactness-tested against this method."""
-        leadtab_hapc = self.leadhapcount["REF"]
-        for this_pos in range(pos_leadtab, end_leadtab, step):
-            if this_pos in leadtab_hapc:
-                leadtab_hapc[this_pos][hp_index] += 1
-            else:
-                counts = [0, 0, 0]
-                counts[hp_index] = 1
-                leadtab_hapc[this_pos] = counts
+        table = self.leadhapcount["REF"]
+        for bin_pos in range(pos_leadtab, end_leadtab, step):
+            row = table.get(bin_pos)
+            if row is None:
+                row = table[bin_pos] = [0, 0, 0]
+            row[hp_index] += 1
 
     def fold_hap_spans(self, spans: list, binsize: int) -> None:
         """Batched equivalent of per-read record_hap_ref calls: `spans`
@@ -368,89 +346,91 @@ class LeadProvider:
         n_bins = int(b1.max()) + 1
         ref_hapc = self.leadhapcount["REF"]
         for hpv in np.unique(hps):
-            sel = hps == hpv
+            pick = hps == hpv
             d = np.zeros(n_bins + 1, dtype=np.int64)
-            np.add.at(d, b0[sel], 1)
-            np.add.at(d, np.minimum(b1[sel], n_bins), -1)
+            np.add.at(d, b0[pick], 1)
+            np.add.at(d, np.minimum(b1[pick], n_bins), -1)
             counts = np.cumsum(d[:n_bins])
             for b in np.nonzero(counts)[0]:
                 key = int(b) * binsize
                 row = ref_hapc.get(key)
                 if row is None:
-                    row = [0, 0, 0]
-                    ref_hapc[key] = row
+                    row = ref_hapc[key] = [0, 0, 0]
                 row[int(hpv)] += int(counts[b])
 
     def record_lead(self, ld: Lead, pos_leadtab: int) -> None:
-        leadtab_svtype = self.leadtab[ld.svtype]
-        leadtab_hapc = self.leadhapcount[ld.svtype]
-        hp_index = int(ld.hap)
-        if pos_leadtab in leadtab_svtype:
-            leadtab_svtype[pos_leadtab].append(ld)
-            lead_count = len(leadtab_svtype[pos_leadtab])
-            if lead_count > self.config.consensus_max_reads_bin:
-                ld.seq = None
-            leadtab_hapc[pos_leadtab][hp_index] += 1
+        """File one lead into its svtype/bin slot, tracking per-bin
+        haplotype counts and dropping sequences past the per-bin cap
+        (reference: leadprov.py:400-418)."""
+        by_bin = self.leadtab[ld.svtype]
+        haps = self.leadhapcount[ld.svtype]
+        hp = int(ld.hap)
+        slot = by_bin.get(pos_leadtab)
+        if slot is None:
+            by_bin[pos_leadtab] = [ld]
+            fresh = [0, 0, 0]
+            fresh[hp] = 1
+            haps[pos_leadtab] = fresh
         else:
-            leadtab_svtype[pos_leadtab] = [ld]
-            counts = [0, 0, 0]
-            counts[hp_index] = 1
-            leadtab_hapc[pos_leadtab] = counts
+            slot.append(ld)
+            if len(slot) > self.config.consensus_max_reads_bin:
+                ld.seq = None
+            haps[pos_leadtab][hp] += 1
         self.leadcounts[ld.svtype] += 1
 
     def _mask_N_coverage(self, regions: list[Region] = None) -> None:
-        """Zero coverage over N runs in the reference (reference: leadprov.py:420-443)."""
-        if self.config.reference:
-            try:
-                from sniffles_tpu.io.fasta import FastaFile
-                fasta = FastaFile(self.config.reference)
-            except Exception as e:
-                log.warning(f'Unable to mask N regions in coverage vector, reference could not '
-                            f'be opened: {e}')
-                return
-            try:
-                if regions is None:
-                    mask = np.frombuffer(fasta.fetch(self.contig).encode('ascii'), dtype=np.uint8)
-                else:
-                    mask = np.zeros(len(self.coverage), dtype=np.uint8)
-                    for region in regions:
-                        region_mask = np.frombuffer(
-                            fasta.fetch(region.contig, region.start, region.end).encode('ascii'),
-                            dtype=np.uint8)
-                        mask[region.start:region.end] = region_mask
-                self.coverage[mask == 78] = 0
-            except Exception as e:
-                log.warning(f'Unable to mask N regions in coverage vector: {e}')
+        """Zero coverage over N runs in the reference genome
+        (reference: leadprov.py:420-443)."""
+        if not self.config.reference:
+            return
+        try:
+            from sniffles_tpu.io.fasta import FastaFile
+            fasta = FastaFile(self.config.reference)
+        except Exception as e:
+            log.warning(f'Unable to mask N regions in coverage vector, reference could not '
+                        f'be opened: {e}')
+            return
+        try:
+            if regions is None:
+                bases = np.frombuffer(fasta.fetch(self.contig).encode('ascii'), dtype=np.uint8)
+            else:
+                bases = np.zeros(len(self.coverage), dtype=np.uint8)
+                for region in regions:
+                    window = np.frombuffer(
+                        fasta.fetch(region.contig, region.start, region.end).encode('ascii'),
+                        dtype=np.uint8)
+                    bases[region.start:region.end] = window
+            self.coverage[bases == ord('N')] = 0
+        except Exception as e:
+            log.warning(f'Unable to mask N regions in coverage vector: {e}')
 
     def build_leadtab(self, regions: list[Region], bam) -> list[Lead]:
-        assert self.start is None
-        assert self.end is None
-
-        externals: list[Lead] = []
-        ld_binsize = self.config.cluster_binsize
+        assert self.start is None and self.end is None
+        binsize = self.config.cluster_binsize
         self.coverage = np.zeros(bam.get_reference_length(self.contig), dtype=np.uint16)
 
+        outside: list[Lead] = []
         for region in regions:
             if self.contig != region.contig:
                 raise Exception(f"Region contig '{region.contig}' does not match LeadProvider "
                                 f"contig '{self.contig}'")
-
             self.start = region.start if self.start is None else min(region.start, self.start)
+            # NB the running max compares region *starts*, as the reference
+            # does (leadprov.py:459)
             self.end = region.end if self.end is None else max(region.start, self.end)
-            self.covrtab_min_bin = int(self.start / self.config.coverage_binsize) * self.config.coverage_binsize
+            self.covrtab_min_bin = (int(self.start / self.config.coverage_binsize)
+                                    * self.config.coverage_binsize)
 
             for ld in self.iter_region(bam, region):
-                ld_contig, ld_ref_start = ld.contig, ld.ref_start
-
-                if region.contig == ld_contig and region.start <= ld_ref_start < region.end:
-                    pos_leadtab = int(ld_ref_start / ld_binsize) * ld_binsize
-                    self.record_lead(ld, pos_leadtab)
+                if region.contig == ld.contig and region.start <= ld.ref_start < region.end:
+                    self.record_lead(ld, int(ld.ref_start / binsize) * binsize)
                 else:
-                    externals.append(ld)
+                    outside.append(ld)
 
         self._mask_N_coverage(regions)
+        return outside
 
-        return externals
+    # -- per-read scanning --------------------------------------------------
 
     def iter_region(self, bam, region: Region) -> Iterator[Lead]:
         """Per-read scan of one region (reference: leadprov.py:474-581).
@@ -467,34 +447,34 @@ class LeadProvider:
                 return
         yield from self._iter_region_python(bam, region)
 
+    def _read_passes(self, read, region, mapq_min, alen_min, exclude_flags) -> bool:
+        """Whole-read filter (reference: leadprov.py:494-503); reads are
+        assigned to the task whose region contains their start."""
+        if (read.mapping_quality < mapq_min or read.is_secondary
+                or read.query_alignment_length < alen_min):
+            return False
+        if exclude_flags is not None and read.flag & exclude_flags:
+            return False
+        return region.start <= read.reference_start < region.end
+
     def _iter_region_python(self, bam, region: Region) -> Iterator[Lead]:
         config = self.config
-        qc_nm = config.qc_nm_measure
-        phase = config.phase
-        advanced_tags = qc_nm or phase
-        mapq_min = config.mapq
-        alen_min = config.min_alignment_length
+        advanced_tags = config.qc_nm_measure or config.phase
+        mapq_min, alen_min = config.mapq, config.min_alignment_length
         exclude_flags = config.exclude_flags
-        nm_sum = 0
-        nm_count = 0
-        ld_binsize = config.cluster_binsize
-
+        binsize = config.cluster_binsize
         trace_read = config.dev_trace_read
         coverage = self.coverage
+
+        nm_sum = 0
+        nm_count = 0
         hap_spans: list[tuple[int, int, int]] = []
+
         for read in bam.fetch(region.contig, region.start, region.end):
             if trace_read and read.query_name in trace_read:
                 print(f"[DEV_TRACE_READ] [0b/4] [LeadProvider.iter_region] [{region}] "
                       f"[{read.query_name}] has been fetched and is entering pre-filtering")
-            alen = read.query_alignment_length
-            if read.mapping_quality < mapq_min or read.is_secondary or alen < alen_min:
-                continue
-
-            if exclude_flags is not None:
-                if read.flag & exclude_flags:
-                    continue
-
-            if read.reference_start < region.start or read.reference_start >= region.end:
+            if not self._read_passes(read, region, mapq_min, alen_min, exclude_flags):
                 continue
 
             hp = read.get_tag("HP") if read.has_tag("HP") else 0
@@ -502,21 +482,20 @@ class LeadProvider:
 
             self.read_id += 1
             self.read_count += 1
+            curr_read_id = self.read_id
             coverage[read.reference_start:read.reference_end] += 1
 
             has_sa = read.has_tag("SA")
             use_clips = config.detect_large_ins and not read.is_supplementary and not has_sa
 
             nm = -1
-            curr_read_id = self.read_id
-            if advanced_tags:
-                if read.has_tag("NM"):
-                    nm_raw = read.get_tag("NM")
-                    ins_sum, del_sum, *large_op = get_cigar_indels(read)
-                    # Only indel events above threshold are removed from NM
-                    nm = (nm_raw - sum(large_op)) / float(read.query_alignment_length + 1)
-                    nm_sum += nm
-                    nm_count += 1
+            if advanced_tags and read.has_tag("NM"):
+                # large indel events are SVs, not sequencing errors: remove
+                # them from the per-read mismatch rate
+                _, _, *large_ops = get_cigar_indels(read)
+                nm = (read.get_tag("NM") - sum(large_ops)) / float(read.query_alignment_length + 1)
+                nm_sum += nm
+                nm_count += 1
 
             if trace_read and read.query_name in trace_read:
                 print(f"[DEV_TRACE_READ] [0b/4] [LeadProvider.iter_region] [{region}] "
@@ -541,7 +520,6 @@ class LeadProvider:
                     if (not lead.sa_same_strand
                             or lead.bnd_info.mate_contig != lead.contig):
                         yield lead
-
                 if not read.is_supplementary:
                     yield from read_itersplits(curr_read_id, read, region.contig, config,
                                                read_nm=nm, read_hap=hp, read_ps=ps)
@@ -549,13 +527,12 @@ class LeadProvider:
             # record haplotype counts over the read's span (folded in one
             # batch after the scan; per-bin dict updates per read were a
             # top-3 cost of this loop)
-            ld_ref_start, ld_ref_end = read.reference_start, read.reference_end
-            pos_leadtab = int(ld_ref_start / ld_binsize) * ld_binsize
-            end_leadtab = int(ld_ref_end / ld_binsize) * ld_binsize
-            if region.start <= ld_ref_start < region.end:
-                hap_spans.append((hp, pos_leadtab, end_leadtab))
+            if region.start <= read.reference_start < region.end:
+                hap_spans.append((hp,
+                                  int(read.reference_start / binsize) * binsize,
+                                  int(read.reference_end / binsize) * binsize))
 
-        self.fold_hap_spans(hap_spans, ld_binsize)
+        self.fold_hap_spans(hap_spans, binsize)
         log.debug(f'Processed {self.read_count} reads in region '
                   f'{region.contig}:{region.start}-{region.end}')
 
@@ -712,34 +689,38 @@ class LeadProvider:
                     pos_ref = ev_pos_ref_l[e]
                     pos_read = ev_pos_read_l[e]
                     if op == OP_I:
-                        yield Lead(curr_read_id, qname, region.contig,
-                                   pos_ref, pos_ref, pos_read, pos_read + oplength,
-                                   strand, mapq, nm, "INLINE", "INS", oplength,
+                        yield Lead(qname, curr_read_id, region.contig,
+                                   pos_ref, pos_ref, "INS", oplength,
+                                   pos_read, pos_read + oplength,
+                                   strand, mapq, "INLINE", nm,
                                    seq=(res.seq_slice(i, pos_read, pos_read + oplength)
                                         if oplength <= seq_cache_maxlen else None),
                                    hap=str(hp), phase_set=str(ps), is_sa=is_supp,
                                    read_len=read_len)
                     elif op == OP_D:
-                        yield Lead(curr_read_id, qname, region.contig,
-                                   pos_ref + oplength, pos_ref, pos_read, pos_read,
-                                   strand, mapq, nm, "INLINE", "DEL", -oplength,
+                        yield Lead(qname, curr_read_id, region.contig,
+                                   pos_ref + oplength, pos_ref, "DEL", -oplength,
+                                   pos_read, pos_read,
+                                   strand, mapq, "INLINE", nm,
                                    hap=str(hp), phase_set=str(ps), is_sa=is_supp,
                                    read_len=read_len)
                     elif op == OP_S:
                         # hard clips carry event=0 in the reference OPTAB and
                         # never produce leads (leadprov.py:180-195)
                         if use_clips and oplength >= longinslen:
-                            yield Lead(curr_read_id, qname, region.contig,
-                                       pos_ref, pos_ref, pos_read, pos_read + oplength,
-                                       strand, mapq, nm, "INLINE", "INS", None,
-                                       seq=None, hap=str(hp), phase_set=str(ps),
+                            yield Lead(qname, curr_read_id, region.contig,
+                                       pos_ref, pos_ref, "INS", None,
+                                       pos_read, pos_read + oplength,
+                                       strand, mapq, "INLINE", nm, seq=None,
+                                       hap=str(hp), phase_set=str(ps),
                                        is_sa=is_supp, read_len=read_len)
                         else:
-                            yield Lead(curr_read_id, qname, region.contig,
-                                       pos_ref, pos_ref, pos_read, pos_read + oplength,
-                                       strand, mapq, nm, "INLINE",
+                            yield Lead(qname, curr_read_id, region.contig,
+                                       pos_ref, pos_ref,
                                        "SINGLE_LEFT" if pos_ref == ref_start else "SINGLE_RIGHT",
-                                       0, seq=None, hap=str(hp), phase_set=str(ps),
+                                       0, pos_read, pos_read + oplength,
+                                       strand, mapq, "INLINE", nm, seq=None,
+                                       hap=str(hp), phase_set=str(ps),
                                        is_sa=is_supp, read_len=read_len)
 
                 # Split reads: full Python record parse only for SA carriers
@@ -774,63 +755,48 @@ class LeadProvider:
 
     def read_iterindels(self, read_id: int, read: BamRead, contig, use_clips,
                         read_nm, read_hap, read_ps) -> Iterator[Lead]:
-        """CIGAR-indel / clip leads of one read (reference: leadprov.py:583-670)."""
+        """CIGAR-indel / clip leads of one read, walking the alignment with
+        per-op read/ref strides (reference: leadprov.py:583-670)."""
         config = self.config
-        minsvlen = config.minsvlen_screen
-        longinslen = config.long_ins_length / 2.0
-        seq_cache_maxlen = config.dev_seq_cache_maxlen
-        qname = read.query_name
-        mapq = read.mapping_quality
-        strand = "-" if read.is_reverse else "+"
+        floor = config.minsvlen_screen
+        long_clip = config.long_ins_length / 2.0
+        seq_cap = config.dev_seq_cache_maxlen
+        anchor = read.reference_start
+
+        shared = dict(read_qname=read.query_name, read_id=read_id, contig=contig,
+                      strand="-" if read.is_reverse else "+",
+                      mapq=read.mapping_quality, source="INLINE", nm=read_nm,
+                      hap=str(read_hap), phase_set=str(read_ps),
+                      is_sa=read.is_supplementary,
+                      read_len=read.query_alignment_length)
 
         pos_read = 0
-        pos_ref = read.reference_start
-        read_len = read.query_alignment_length
-
-        for op, oplength in read.cigartuples:
-            add_read, add_ref, event, dcov = OPLIST[op]
-            if event and oplength >= minsvlen:
+        pos_ref = anchor
+        for op, oplen in read.cigartuples:
+            stride_read, stride_ref, eventful, _ = OPLIST[op]
+            if eventful and oplen >= floor:
                 if op == CINS:
-                    yield Lead(read_id, qname, contig,
-                               pos_ref, pos_ref,
-                               pos_read, pos_read + oplength,
-                               strand, mapq, read_nm,
-                               "INLINE", "INS", oplength,
-                               seq=(read.query_sequence[pos_read:pos_read + oplength]
-                                    if oplength <= seq_cache_maxlen else None),
-                               hap=str(read_hap), phase_set=str(read_ps),
-                               is_sa=read.is_supplementary, read_len=read_len)
+                    yield Lead(ref_start=pos_ref, ref_end=pos_ref, svtype="INS",
+                               svlen=oplen, qry_start=pos_read, qry_end=pos_read + oplen,
+                               seq=(read.query_sequence[pos_read:pos_read + oplen]
+                                    if oplen <= seq_cap else None),
+                               **shared)
                 elif op == CDEL:
-                    yield Lead(read_id, qname, contig,
-                               pos_ref + oplength, pos_ref,
-                               pos_read, pos_read,
-                               strand, mapq, read_nm,
-                               "INLINE", "DEL", -oplength,
-                               hap=str(read_hap), phase_set=str(read_ps),
-                               is_sa=read.is_supplementary, read_len=read_len)
-                elif use_clips and op == CSOFT_CLIP and oplength >= longinslen:
-                    yield Lead(read_id, qname, contig,
-                               pos_ref, pos_ref,
-                               pos_read, pos_read + oplength,
-                               strand, mapq, read_nm,
-                               "INLINE", "INS", None,
-                               seq=None,
-                               hap=str(read_hap), phase_set=str(read_ps),
-                               is_sa=read.is_supplementary, read_len=read_len)
-                elif op in (CSOFT_CLIP, CHARD_CLIP):
-                    yield Lead(read_id, qname, contig,
-                               pos_ref, pos_ref,
-                               pos_read, pos_read + oplength,
-                               strand, mapq, read_nm,
-                               "INLINE",
-                               "SINGLE_LEFT" if pos_ref == read.reference_start else "SINGLE_RIGHT",
-                               0,
-                               seq=None,
-                               hap=str(read_hap), phase_set=str(read_ps),
-                               is_sa=read.is_supplementary, read_len=read_len)
-
-            pos_read += add_read * oplength
-            pos_ref += add_ref * oplength
+                    yield Lead(ref_start=pos_ref + oplen, ref_end=pos_ref, svtype="DEL",
+                               svlen=-oplen, qry_start=pos_read, qry_end=pos_read,
+                               **shared)
+                elif use_clips and op == CSOFT_CLIP and oplen >= long_clip:
+                    # a long soft-clip is half of a putative long insertion
+                    yield Lead(ref_start=pos_ref, ref_end=pos_ref, svtype="INS",
+                               svlen=None, qry_start=pos_read, qry_end=pos_read + oplen,
+                               seq=None, **shared)
+                elif op in _CLIP_OPS:
+                    side = "SINGLE_LEFT" if pos_ref == anchor else "SINGLE_RIGHT"
+                    yield Lead(ref_start=pos_ref, ref_end=pos_ref, svtype=side,
+                               svlen=0, qry_start=pos_read, qry_end=pos_read + oplen,
+                               seq=None, **shared)
+            pos_read += stride_read * oplen
+            pos_ref += stride_ref * oplen
 
 
 from sniffles_tpu.compat import alias_module_for_pickle
