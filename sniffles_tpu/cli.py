@@ -305,10 +305,18 @@ def _run_pool(config, tasks, processes, monitor):
     to completion (reference: sniffles:495-542)."""
     from sniffles_tpu.pipeline import runtime
     if config.threads:
+        device_server = None
+        if getattr(config, "tpu_call", False) or getattr(config, "tpu_combine", False):
+            # one shared TPU client in the parent; workers reach it over
+            # their task pipes (parallel/device_service.py). Created BEFORE
+            # any JAX import so worker forks stay clean.
+            from sniffles_tpu.parallel.device_service import DeviceServer
+            device_server = DeviceServer()
         for pnum in range(config.threads):
             processes.append(runtime.SnifflesWorker(
                 process_id=pnum, config=config, tasks=tasks,
-                recycle_hint=monitor, peers=processes))
+                recycle_hint=monitor, peers=processes,
+                device_server=device_server))
     else:
         processes.append(runtime.SnifflesParentWorker(config=config, tasks=tasks))
 

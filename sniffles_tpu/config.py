@@ -270,7 +270,7 @@ _TPU_FLAGS = (
     _f("--tpu-mesh-shape", text="Device mesh shape for multi-chip sharding, e.g. '8' for 8-way genome-bin data parallelism, or 'auto'", metavar="dp", type=str, default="auto"),
     _f("--tpu-interpret", text="Run Pallas kernels in interpreter mode (debugging)", default=False, action="store_true"),
     _f("--no-native", text="Disable the native C++ BAM decoder, use the pure-Python decoder", default=False, action="store_true"),
-    _f("--tpu-call", text="Use the device sort-and-segment clustering for candidate grouping in call_sample (single-process device path; host sweep otherwise)", default=False, action="store_true"),
+    _f("--tpu-call", text="Use the device sort-and-segment clustering for candidate grouping in call_sample. Composes with --threads N: workers decode and ship signature batches to the parent-owned TPU client (host sweep otherwise)", default=False, action="store_true"),
     _f("--tpu-combine", text="Use the device candidate-grouping kernel for multi-sample combine (single-process device path; host greedy assignment otherwise)", default=False, action="store_true"),
 )
 

@@ -26,14 +26,16 @@ log = logging.getLogger(__name__)
 _DEVICE_TYPES = ("INS", "DEL", "DUP", "INV", "BND")
 
 
-def device_clusters(lead_provider, config, tr):
+def device_clusters(lead_provider, config, tr, device=None):
     """
     Yield Cluster objects for INS/DEL/DUP/INV built from the device
     clustering assignment; the caller handles BND/single types with the
     host path.
+
+    `device`: a DeviceClient proxy when running inside a forked worker
+    (the parent owns the TPU client and answers over the task pipe);
+    None runs the kernel in-process (inline --threads 0 mode).
     """
-    import jax.numpy as jnp
-    from sniffles_tpu.ops.clustering import cluster_assign_packed
 
     # Flatten the leadtab (reference layout: leadprov.py:400-418) into a
     # signature batch; leads_long (svlen None) stay host-side per bin.
@@ -76,8 +78,7 @@ def device_clusters(lead_provider, config, tr):
         packed[4, :n] = ((idx >= 0) & (packed[0, :n] < tr_ends[np.clip(idx, 0, len(tr_ends) - 1)]))
     repeat_flags = packed[4, :n] > 0
 
-    out = np.asarray(cluster_assign_packed(
-        jnp.asarray(packed),
+    meta = dict(
         cluster_r=float(config.cluster_r),
         cluster_repeat_h=float(config.cluster_repeat_h),
         cluster_repeat_h_max=float(config.cluster_repeat_h_max),
@@ -86,7 +87,13 @@ def device_clusters(lead_provider, config, tr):
         minsvlen=int(config.minsvlen),
         binsize=int(config.cluster_binsize),
         resplit_binsize=int(config.cluster_resplit_binsize),
-    ))
+    )
+    if device is not None:
+        out = device.cluster_assign(packed, meta)
+    else:
+        import jax.numpy as jnp
+        from sniffles_tpu.ops.clustering import cluster_assign_packed
+        out = np.asarray(cluster_assign_packed(jnp.asarray(packed), **meta))
 
     cids = out[0]
     ridx = out[1]   # original lead index, permuted with the sort

@@ -5,7 +5,11 @@ parallel.py:585-807).
 
 Design note: host workers only do BAM decode + host compute; JAX device
 work stays in the parent process (a TPU client must not be forked).
-The device batch pipeline (parallel/engine.py) is fed from the parent.
+Workers reach the device through the parent-owned device service
+(parallel/device_service.py): they ship packed signature batches over
+their task pipe and block for the kernel result, so ``--threads N``
+composes with ``--tpu-call`` — host parallelism for decode/compute,
+one shared TPU client for the clustering kernels.
 """
 from __future__ import annotations
 
@@ -13,6 +17,7 @@ import gc
 import logging
 import multiprocessing
 import os
+import sys
 import threading
 import time
 from collections import deque
@@ -20,6 +25,8 @@ from typing import Union, Callable, TYPE_CHECKING
 
 from sniffles_tpu.pipeline.result import Result, ErrorResult
 from sniffles_tpu.pipeline.tasks import Task, ShutdownTask
+from sniffles_tpu.parallel.device_service import (DeviceClient, DeviceRequest,
+                                                  DeviceResponse)
 
 if TYPE_CHECKING:
     from sniffles_tpu.config import SnifflesConfig
@@ -47,7 +54,8 @@ class SnifflesWorker:
 
     def __init__(self, process_id: int, config: 'SnifflesConfig', tasks: deque,
                  recycle_hint: Union[bool, Callable] = None,
-                 peers: list['SnifflesWorker'] = None):
+                 peers: list['SnifflesWorker'] = None,
+                 device_server=None):
         self.id = process_id
         self.config = config
         self.tasks = tasks
@@ -55,6 +63,9 @@ class SnifflesWorker:
         self.task2 = None   # lookahead slot (decode-ahead; LOOKAHEAD_MODES)
         self.finished_tasks = []
         self.recycle = recycle_hint
+        # shared parent-side kernel dispatcher (parallel/device_service.py);
+        # JAX initializes lazily on the first request, after all forks
+        self.device_server = device_server
         # Peer pool visibility: an idle worker only shuts down when no peer
         # has an in-flight task, so a dead peer's requeued task still finds
         # a live worker. (The reference shuts down on an empty deque,
@@ -65,7 +76,19 @@ class SnifflesWorker:
         self.pipe_main, self.pipe_worker = multiprocessing.Pipe()
         self.heartbeat_main, self.heartbeat_worker = multiprocessing.Pipe()
 
-        self.process = multiprocessing.Process(target=self.run_worker, daemon=True)
+        self.process = self._make_process()
+
+    def _make_process(self) -> multiprocessing.Process:
+        from sniffles_tpu.parallel import device_service
+        if device_service.JAX_CLIENT_LIVE:
+            # The parent holds a live JAX/TPU client (device service); fork
+            # would copy its threads' locked state into the child. Recycled
+            # workers therefore come from a clean spawned interpreter.
+            ctx = multiprocessing.get_context("spawn")
+            return ctx.Process(target=_spawned_worker_main,
+                               args=(self.id, self.pipe_worker, self.heartbeat_worker),
+                               daemon=True)
+        return multiprocessing.Process(target=self.run_worker, daemon=True)
 
     def __str__(self):
         return f'Worker {self.id} @ process {self.pid}'
@@ -83,7 +106,7 @@ class SnifflesWorker:
         log.info(f'Recycling worker {self.id}')
         self.pipe_main.send(ShutdownTask())
         self.process.join(2)
-        self.process = multiprocessing.Process(target=self.run_worker, daemon=True)
+        self.process = self._make_process()
         self.process.start()
         self._heartbeat = time.monotonic()
 
@@ -132,7 +155,17 @@ class SnifflesWorker:
                         self.pipe_main.send(self.task2)
 
                 if self.pipe_main.poll(0.01):
-                    result: Result = self.pipe_main.recv()
+                    msg = self.pipe_main.recv()
+                    if isinstance(msg, DeviceRequest):
+                        # worker asked for a device kernel; answer inline and
+                        # keep the task in flight (the worker is blocked on
+                        # this response, so its result comes strictly later)
+                        if self.device_server is None:
+                            from sniffles_tpu.parallel.device_service import DeviceServer
+                            self.device_server = DeviceServer()
+                        self.pipe_main.send(self.device_server.handle(msg))
+                        return self.running
+                    result: Result = msg
 
                     if result.error:
                         log.error(f'Worker {self.id} received error: {result}')
@@ -197,6 +230,8 @@ class SnifflesWorker:
 
         self.pid = os.getpid()
         self._shutdown = threading.Event()
+        # proxy for device kernels; the parent answers over the same pipe
+        self.device_client = DeviceClient(self.pipe_worker)
 
         t = threading.Thread(target=self.run_worker_heartbeats, daemon=True)
         t.start()
@@ -211,6 +246,10 @@ class SnifflesWorker:
             try:
                 while not self._shutdown.is_set():
                     msg = self.pipe_worker.recv()
+                    if isinstance(msg, DeviceResponse):
+                        # kernel answer for the blocked execute thread
+                        self.device_client.deliver(msg)
+                        continue
                     if (not isinstance(msg, ShutdownTask)
                             and getattr(msg, 'lead_provider', 1) is None
                             and hasattr(msg, 'build_leadtab')):
@@ -242,6 +281,13 @@ class SnifflesWorker:
                     log.exception('Decode-ahead prefetch failed; task will decode inline')
 
             try:
+                # spawned (recycled) workers start with a fresh interpreter:
+                # re-establish the config singleton fork workers inherit
+                cfg = getattr(task, "config", None)
+                if cfg is not None:
+                    from sniffles_tpu.config import SnifflesConfig
+                    if getattr(SnifflesConfig, "GLOBAL", None) is not cfg:
+                        SnifflesConfig.GLOBAL = cfg
                 result = task.execute(self)
             except self.Shutdown:
                 self.running = False
@@ -265,6 +311,18 @@ class SnifflesWorker:
             hb += 1
             self.heartbeat_worker.send(hb)
             self._shutdown.wait(self.HEARTBEAT_INTERVAL)
+
+
+def _spawned_worker_main(worker_id: int, task_conn, heartbeat_conn) -> None:
+    """Entry point for spawn-context worker processes (used when the
+    parent already holds a JAX client and fork is unsafe). Builds a bare
+    worker shell around the inherited pipe ends and runs the loop."""
+    shell = SnifflesWorker.__new__(SnifflesWorker)
+    shell.id = worker_id
+    shell.pipe_worker = task_conn
+    shell.heartbeat_worker = heartbeat_conn
+    shell.running = True
+    shell.run_worker()
 
 
 class SnifflesParentWorker(SnifflesWorker):

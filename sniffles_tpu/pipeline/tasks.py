@@ -54,6 +54,9 @@ class Task:
 
     _prefetched: Optional[tuple] = None
     _nm_threshold: Optional[float] = None
+    # worker-local DeviceClient proxy; attached at execute time, never
+    # pickled with the task
+    device_service: object = None
 
     def __str__(self):
         return f'Task #{self.id}'
@@ -135,12 +138,21 @@ class Task:
     def _iter_clusters(self, config):
         """Device sort-and-segment clusters when enabled, host sweep for the
         rest (and as fallback)."""
+        import os
         host_types = sv.ALL_TYPES
-        if getattr(config, "tpu_call", False) and config.threads == 0:
+        # device path: in-process JAX when inline (--threads 0), or the
+        # parent-owned device service when running in a forked worker
+        service = getattr(self, "device_service", None)
+        if getattr(config, "tpu_call", False) and (config.threads == 0 or service is not None):
             try:
                 from sniffles_tpu.parallel.device_call import device_clusters, _DEVICE_TYPES
-                made = list(device_clusters(self.lead_provider, config, self.tandem_repeats))
+                made = list(device_clusters(self.lead_provider, config, self.tandem_repeats,
+                                            device=service))
             except Exception:
+                # chip CI sets this so a broken device path fails loudly
+                # instead of silently passing on the host fallback
+                if os.environ.get("SNIFFLES_TPU_REQUIRE_DEVICE"):
+                    raise
                 log.warning("device clustering unavailable; falling back to host path",
                             exc_info=True)
             else:
@@ -293,6 +305,7 @@ class CallTask(Task):
 
     def execute(self, worker=None) -> CallResult:
         config = self.config
+        self.device_service = getattr(worker, "device_client", None)
         qc = not (config.snf is not None or config.no_qc)
 
         read_count = self.build_leadtab()[1]
@@ -371,6 +384,7 @@ class GenotypeTask(Task):
 
     def execute(self, worker=None) -> Optional[GenotypeResult]:
         config = self.config
+        self.device_service = getattr(worker, "device_client", None)
         read_count = self.build_leadtab()[1]
         svcandidates = self.call_candidates(False, config=config)
         self.finalize_candidates(svcandidates, True, config=config)

@@ -11,11 +11,13 @@ from sniffles_tpu.sim import PlantedSV, write_dataset
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cli(args, cwd):
+def run_cli(args, cwd, env_extra=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # subprocess must also pin the CPU platform (axon sitecustomize)
     env["SNIFFLES_TPU_FORCE_CPU"] = "1"
+    if env_extra:
+        env.update(env_extra)
     return subprocess.run([sys.executable, "-m", "sniffles_tpu.cli"] + args,
                           capture_output=True, text=True, env=env, cwd=str(cwd), timeout=600)
 
@@ -45,6 +47,35 @@ def test_tpu_call_matches_host(tmp_path):
     assert len(host_calls) == len(dev_calls) == 5
     # identical core fields (pos/ref/alt/filter/info/genotype); IDs differ
     # (device cluster ids are numbered differently)
+    for h, d in zip(host_calls, dev_calls):
+        assert h[0] == d[0] and h[1] == d[1]
+        assert h[3] == d[3] and h[4] == d[4]
+        assert h[6] == d[6]
+        assert h[9] == d[9]
+
+
+def test_tpu_call_threaded_device_service_matches_host(tmp_path):
+    """--threads N --tpu-call: workers ship packed signature batches to the
+    parent-owned device service; output must equal the host path."""
+    svs = [PlantedSV(pos=p, svtype=t, svlen=ln)
+           for p, t, ln in [(30_000, "DEL", 120), (60_000, "INS", 150),
+                            (90_000, "DEL", 500), (120_000, "INS", 80),
+                            (150_000, "DEL", 2000)]]
+    bam, fasta = write_dataset(str(tmp_path), ref_len=200_000, depth=24,
+                               read_len=12_000, seed=11, svs=svs)
+    host_out = tmp_path / "host.vcf"
+    dev_out = tmp_path / "dev.vcf"
+    r1 = run_cli(["--input", bam, "--vcf", str(host_out), "--threads", "2"], tmp_path)
+    assert r1.returncode == 0, r1.stderr
+    env_extra = {"SNIFFLES_TPU_REQUIRE_DEVICE": "1"}
+    r2 = run_cli(["--input", bam, "--vcf", str(dev_out), "--threads", "2", "--tpu-call"],
+                 tmp_path, env_extra=env_extra)
+    assert r2.returncode == 0, r2.stderr
+    assert "falling back" not in r2.stderr
+
+    host_calls = read_calls(host_out)
+    dev_calls = read_calls(dev_out)
+    assert len(host_calls) == len(dev_calls) == 5
     for h, d in zip(host_calls, dev_calls):
         assert h[0] == d[0] and h[1] == d[1]
         assert h[3] == d[3] and h[4] == d[4]

@@ -1,0 +1,67 @@
+"""End-to-end --tpu-call on the REAL chip: the device clustering path
+must produce a byte-identical VCF body to the host path, with zero
+silent fallbacks (SNIFFLES_TPU_REQUIRE_DEVICE makes any device-path
+error fatal instead of degrading to the host sweep).
+
+This is the production acceptance for the device call pipeline
+(reference per-task compute: /root/reference/src/sniffles/parallel.py:90-201).
+"""
+import os
+import subprocess
+import sys
+
+from sniffles_tpu.sim import PlantedSV, write_dataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd, on_chip: bool):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if on_chip:
+        env.pop("SNIFFLES_TPU_FORCE_CPU", None)
+        env["SNIFFLES_TPU_REQUIRE_DEVICE"] = "1"
+    else:
+        env["SNIFFLES_TPU_FORCE_CPU"] = "1"
+    return subprocess.run([sys.executable, "-m", "sniffles_tpu.cli"] + args,
+                          capture_output=True, text=True, env=env, cwd=str(cwd),
+                          timeout=1200)
+
+
+def vcf_body(path):
+    with open(path) as f:
+        return [line for line in f if not line.startswith("##")]
+
+
+def test_chip_tpu_call_byte_identical_hg008(tmp_path, hg008_bam):
+    host_out = tmp_path / "host.vcf"
+    dev_out = tmp_path / "dev.vcf"
+    r1 = run_cli(["--input", hg008_bam, "--vcf", str(host_out), "--threads", "0"],
+                 tmp_path, on_chip=False)
+    assert r1.returncode == 0, r1.stderr
+    r2 = run_cli(["--input", hg008_bam, "--vcf", str(dev_out), "--threads", "0",
+                  "--tpu-call"], tmp_path, on_chip=True)
+    assert r2.returncode == 0, r2.stderr
+    assert "falling back" not in r2.stderr
+    assert vcf_body(host_out) == vcf_body(dev_out)
+
+
+def test_chip_tpu_call_threaded_byte_identical(tmp_path):
+    """--threads 2 --tpu-call on the chip: forked workers ship packed
+    signature batches to the parent-owned TPU client."""
+    svs = [PlantedSV(pos=p, svtype=t, svlen=ln)
+           for p, t, ln in [(30_000, "DEL", 120), (60_000, "INS", 150),
+                            (90_000, "DEL", 500), (120_000, "INS", 80),
+                            (150_000, "DEL", 2000)]]
+    bam, _ = write_dataset(str(tmp_path), ref_len=200_000, depth=24,
+                           read_len=12_000, seed=11, svs=svs)
+    host_out = tmp_path / "host.vcf"
+    dev_out = tmp_path / "dev.vcf"
+    r1 = run_cli(["--input", bam, "--vcf", str(host_out), "--threads", "2"],
+                 tmp_path, on_chip=False)
+    assert r1.returncode == 0, r1.stderr
+    r2 = run_cli(["--input", bam, "--vcf", str(dev_out), "--threads", "2",
+                  "--tpu-call"], tmp_path, on_chip=True)
+    assert r2.returncode == 0, r2.stderr
+    assert "falling back" not in r2.stderr
+    assert vcf_body(host_out) == vcf_body(dev_out)
