@@ -1,33 +1,123 @@
 #!/usr/bin/env python3
 """
-Benchmark: SV signature calling throughput on one chip.
+Benchmark: the north-star metric (BASELINE.md) plus kernel throughput.
 
-Measures the fused device pipeline (signatures -> clusters -> call
-statistics -> genotypes -> QC; parallel/engine.py) in signatures/sec on
-the default JAX device, against the host-exact Python pipeline
-(cluster.resolve + sv.call_from + genotyping) on the same workload —
-the reference implementation's architecture (per-object Python, which
-is what Sniffles2 runs per CPU core).
+1. End-to-end BAM -> VCF wall-clock on a simulated 30x multi-contig
+   dataset (sim.py), same box and same workload for every contender:
+     - ours, --threads 4 (host path)
+     - ours, --threads 4 --tpu-call (device clustering via the parent
+       device service, on the real chip when one is attached)
+     - the REAL reference Sniffles2 (tools/run_reference.py, same I/O
+       stack) with 4 worker processes
+2. Fused device-pipeline throughput (parallel/engine.py) and the
+   host-exact pipeline on the SAME workload size, mean over repeats
+   (no max-of-repeats, no asymmetric batch sizes), plus the device
+   peak at a large batch where dispatch latency is amortized.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+vs_baseline is reference_seconds / ours_seconds (>1 means faster than
+the 4-process reference on identical input).
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 import numpy as np  # noqa: E402
 
+BENCH_DIR = os.environ.get("BENCH_DIR", "/tmp/sniffles_tpu_bench")
+CONTIGS = int(os.environ.get("BENCH_CONTIGS", 6))
+REF_LEN = int(os.environ.get("BENCH_REF_LEN", 1_200_000))
+DEPTH = int(os.environ.get("BENCH_DEPTH", 30))
+THREADS = os.environ.get("BENCH_THREADS", "4")
+
+
+def build_dataset():
+    from sniffles_tpu.sim import PlantedSV, write_dataset
+
+    bam = os.path.join(BENCH_DIR, "sim.bam")
+    fa = os.path.join(BENCH_DIR, "ref.fa")
+    if os.path.exists(bam) and os.path.exists(fa):
+        return bam, fa
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    rng = np.random.default_rng(7)
+    svs = []
+    pos = 20_000
+    i = 0
+    while pos < REF_LEN - 25_000:
+        kind = ("INS", "DEL", "INS", "DEL", "DUP", "INV")[i % 6]
+        svlen = int(rng.choice((60, 120, 300, 800, 2500, 6000)))
+        vaf = float(rng.choice((1.0, 1.0, 0.55, 0.55, 0.3)))
+        if kind in ("DUP", "INV"):
+            svlen, vaf = max(svlen, 600), 1.0
+        svs.append(PlantedSV(pos=pos, svtype=kind, svlen=svlen, vaf=vaf))
+        pos += int(rng.integers(30_000, 52_000))
+        i += 1
+    return write_dataset(BENCH_DIR, ref_len=REF_LEN, svs=svs, depth=DEPTH,
+                         read_len=12_000, seed=11, n_contigs=CONTIGS)
+
+
+def timed_run(cmd, env_extra=None, timeout=3600):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if env_extra:
+        env.update(env_extra)
+    t0 = time.perf_counter()
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=timeout)
+    dt = time.perf_counter() - t0
+    if p.returncode != 0:
+        raise RuntimeError(f"bench leg failed: {' '.join(cmd)}\n{p.stderr[-2000:]}")
+    return dt
+
+
+def vcf_records(path):
+    with open(path) as f:
+        return [line for line in f if not line.startswith("#")]
+
+
+def bench_e2e():
+    bam, fa = build_dataset()
+    base = ["--input", bam, "--reference", fa, "--allow-overwrite",
+            "--threads", THREADS]
+    out = {}
+
+    ours_vcf = os.path.join(BENCH_DIR, "ours.vcf")
+    out["e2e_seconds_ours"] = timed_run(
+        [sys.executable, "-m", "sniffles_tpu", *base, "--vcf", ours_vcf],
+        env_extra={"SNIFFLES_TPU_FORCE_CPU": "1"})
+
+    try:
+        tpu_vcf = os.path.join(BENCH_DIR, "tpu.vcf")
+        out["e2e_seconds_ours_tpu"] = timed_run(
+            [sys.executable, "-m", "sniffles_tpu", *base, "--vcf", tpu_vcf,
+             "--tpu-call"])
+        out["tpu_records_identical"] = vcf_records(tpu_vcf) == vcf_records(ours_vcf)
+    except Exception as e:  # no chip attached / transient tunnel failure
+        out["e2e_seconds_ours_tpu"] = None
+        out["tpu_error"] = str(e)[:200]
+
+    try:
+        ref_vcf = os.path.join(BENCH_DIR, "ref.vcf")
+        out["e2e_seconds_reference"] = timed_run(
+            [sys.executable, os.path.join(REPO, "tools", "run_reference.py"),
+             *base, "--vcf", ref_vcf],
+            env_extra={"SNIFFLES_TPU_FORCE_CPU": "1"})
+    except Exception as e:
+        out["e2e_seconds_reference"] = None
+        out["reference_error"] = str(e)[:200]
+
+    out["e2e_bam_mb"] = round(os.path.getsize(bam) / 1e6, 1)
+    return out
+
 
 def bench_device(n_signatures: int, iters: int = 10, repeats: int = 3) -> float:
-    # importing sniffles_tpu configures the persistent XLA compile cache
-    # (~/.cache/sniffles-tpu/jax) even when jax was pre-imported by the
-    # embedding environment; without it every bench run re-compiles the
-    # fused step (minutes at 2M-signature shapes)
-    import sniffles_tpu  # noqa: F401
+    """Fused device step throughput, mean over repeats."""
+    import sniffles_tpu  # noqa: F401  (configures the XLA compile cache)
     import jax
     import jax.numpy as jnp
     from sniffles_tpu.signatures import synthetic_batch
@@ -40,27 +130,22 @@ def bench_device(n_signatures: int, iters: int = 10, repeats: int = 3) -> float:
     coverage = jnp.full((1_000_000,), 30, dtype=jnp.int32)
     params = default_params()
 
-    # compile
-    out = call_pipeline_step(sig, coverage, params)
+    out = call_pipeline_step(sig, coverage, params)   # compile
     jax.block_until_ready(out)
 
-    # best-of-N: the chip is time-shared in some environments (tunneled
-    # single-chip dev setups), so median/mean mix in cross-tenant noise;
-    # the max over repeats is the chip's actual capability
-    best = 0.0
+    rates = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = call_pipeline_step(sig, coverage, params)
         jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        best = max(best, n_signatures / dt)
-    return best
+        rates.append(n_signatures / ((time.perf_counter() - t0) / iters))
+    return float(np.mean(rates))
 
 
 def bench_host(n_signatures: int) -> float:
-    """Host-exact pipeline throughput (the reference architecture's
-    per-core speed class)."""
+    """Host-exact pipeline throughput on the same workload size (the
+    reference architecture's per-core speed class)."""
     from sniffles_tpu.signatures import synthetic_batch
     from sniffles_tpu.config import SnifflesConfig
     from sniffles_tpu import cluster as cl, svcall as sv
@@ -109,19 +194,32 @@ def bench_host(n_signatures: int) -> float:
 
 
 def main():
-    # the step is dispatch-latency-bound at small batches; 2M signatures
-    # amortizes it (measured: 93M sig/s at 2^16 vs ~4.7B sig/s at 2^21)
-    device_n = int(os.environ.get("BENCH_SIGNATURES", 1 << 21))
-    host_n = 1 << 14
+    result = bench_e2e()
 
-    device_tput = bench_device(device_n)
-    host_tput = bench_host(host_n)
+    # equal-workload kernel comparison + device peak
+    equal_n = int(os.environ.get("BENCH_SIGNATURES_EQUAL", 1 << 16))
+    peak_n = int(os.environ.get("BENCH_SIGNATURES", 1 << 21))
+    try:
+        result["device_sig_per_sec_equal"] = round(bench_device(equal_n), 1)
+        result["device_sig_per_sec_peak"] = round(bench_device(peak_n), 1)
+    except Exception as e:
+        result["device_error"] = str(e)[:200]
+    result["host_sig_per_sec_equal"] = round(bench_host(equal_n), 1)
+    result["equal_workload_signatures"] = equal_n
+
+    ours = result.get("e2e_seconds_ours_tpu") or result.get("e2e_seconds_ours")
+    ref = result.get("e2e_seconds_reference")
+    # prefer the faster of host/tpu configurations as the headline
+    if result.get("e2e_seconds_ours") and ours:
+        ours = min(ours, result["e2e_seconds_ours"])
 
     print(json.dumps({
-        "metric": "sv_signatures_per_sec_per_chip",
-        "value": round(device_tput, 1),
-        "unit": "signatures/s",
-        "vs_baseline": round(device_tput / host_tput, 2),
+        "metric": "e2e_bam_to_vcf_seconds",
+        "value": round(ours, 2) if ours else None,
+        "unit": "s",
+        "vs_baseline": round(ref / ours, 2) if (ours and ref) else None,
+        **{k: (round(v, 2) if isinstance(v, float) else v)
+           for k, v in result.items()},
     }))
 
 

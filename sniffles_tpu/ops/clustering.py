@@ -261,6 +261,12 @@ def call_statistics(clustered: dict) -> dict:
     # cluster svtype (uniform within a cluster; max is a cheap head-select)
     svtype = seg_max(jnp.where(valid, clustered["svtype"], -1), cid, n)
 
+    # element-position extent per cluster (drives shard-ownership rules in
+    # the mesh halo exchange, parallel/mesh.py)
+    INT32_MIN = jnp.int32(-(2 ** 31))
+    pos_min = seg_min(jnp.where(valid, clustered["pos"], INT32_MAX), cid, n)
+    pos_max = seg_max(jnp.where(valid, clustered["pos"], INT32_MIN), cid, n)
+
     # bounds (reference: sv.py:484-494 calculate_bounds)
     is_ins = svtype == SVTYPE_INS
     is_del = svtype == SVTYPE_DEL
@@ -274,6 +280,8 @@ def call_statistics(clustered: dict) -> dict:
         "pos": svstart.astype(jnp.int32),
         "end": svend.astype(jnp.int32),
         "raw_pos_center": pos_center.astype(jnp.int32),
+        "pos_min": pos_min.astype(jnp.int32),
+        "pos_max": pos_max.astype(jnp.int32),
         "stdev_pos": stdev_pos,
         "stdev_len": stdev_len,
         "support": support,

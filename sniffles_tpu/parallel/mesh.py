@@ -10,12 +10,21 @@ collectives (SURVEY §2.3 TPU mapping):
     the auto support threshold, regional NM mean — the reference's
     per-task coverage_average_total and average_regional_nm,
     parallel.py:126 / leadprov.py:577).
-  * a ppermute halo exchange for clusters straddling shard boundaries:
-    each shard sends its last-cluster summary to its right neighbor,
-    which decides the merge and folds the counts into its first
-    cluster; the accept decision returns by reverse ppermute and the
-    sender invalidates its last cluster. This fixes the reference's
-    dropped `externals` (leadprov.py:462-468) without host round-trips.
+  * a RAW-SIGNATURE halo exchange for clusters straddling shard
+    boundaries: each shard ppermutes the signatures (and the coverage
+    tail) of its last 2W bp to its right neighbor, which re-clusters
+    and re-computes statistics/genotype/QC over the union — merged
+    boundary clusters therefore carry exact full statistics, for every
+    svtype, not folded summary counts. Exactly-once emission uses the
+    same two-window ownership rule as the host combine scatter
+    (pipeline/tasks.py CombineTask.clone): the left shard suppresses
+    clusters touching its last W bp (the right neighbor owns them);
+    the right shard ghost-drops halo clusters that never reach within
+    W of its own start (the left neighbor owned those). This fixes the
+    reference's dropped `externals` (leadprov.py:462-468) without host
+    round-trips, and is exact whenever no single cluster spans more
+    than W bp (halo_bp; overflowing halos are reported per shard in
+    `halo_overflow` so callers can detect the bound being hit).
 """
 from __future__ import annotations
 
@@ -38,62 +47,28 @@ def make_genome_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devices), (GENOME_AXIS,))
 
 
-def _boundary_summary(out: dict) -> dict:
-    """Summary of the shard's last valid cluster for the halo exchange."""
-    ncl = out["n_clusters"]
-    last = jnp.maximum(ncl - 1, 0)
-
-    def pick(x):
-        return jnp.take(x, last)
-
-    return {
-        "svtype": pick(out["svtype"]),
-        "pos": pick(out["pos"]),
-        "end": pick(out["end"]),
-        "svlen": pick(out["svlen"]),
-        "support": pick(out["support"]),
-        "lead_count": pick(out["lead_count"]),
-        "fwd": pick(out["fwd"]),
-        "rev": pick(out["rev"]),
-        "has_cluster": ncl > 0,
-    }
-
-
-def _merge_boundary(out: dict, incoming: dict, merge_dist: int) -> tuple[dict, jnp.ndarray]:
-    """
-    Decide whether the left neighbor's last cluster continues into this
-    shard's first cluster; if so, fold its support counts in.
-    Returns (updated out, accept flag for the sender).
-    """
-    first_type = out["svtype"][0]
-    first_pos = out["pos"][0]
-    has_local = out["n_clusters"] > 0
-
-    same_type = incoming["svtype"] == first_type
-    gap = first_pos - incoming["end"]
-    accept = incoming["has_cluster"] & has_local & same_type & \
-             (gap >= -merge_dist) & (gap <= merge_dist)
-
-    def fold(field):
-        return out[field].at[0].add(jnp.where(accept, incoming[field], 0))
-
-    out = dict(out)
-    out["support"] = fold("support")
-    out["lead_count"] = fold("lead_count")
-    out["fwd"] = fold("fwd")
-    out["rev"] = fold("rev")
-    return out, accept
+_SIG_FIELDS = ("pos", "svlen", "svtype", "read_id", "strand", "mapq", "nm",
+               "repeat", "valid")
 
 
 def build_sharded_step(mesh: Mesh, params: dict | None = None,
-                       halo_merge_dist: int = 1000):
+                       halo_bp: int = 5000, halo_slots: int = 256):
     """
     Build the jitted multi-chip calling step: in/out sharded over the
-    genome axis, with psum global stats and the boundary halo exchange.
+    genome axis, with psum global stats and the raw-signature halo
+    exchange (module docstring).
+
+    Contract: shard i's signatures lie in [offset_i, offset_i + L)
+    where L is its coverage-window length; shards are contiguous along
+    the genome.  Exactness bound: halo_bp must exceed the span of any
+    single cluster plus the coverage probe reach; halo_slots bounds
+    signatures within the last 2*halo_bp bp of a shard (`halo_overflow`
+    reports when either is exceeded).
     """
     if params is None:
         params = default_params()
     n_dev = mesh.devices.size
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     def per_shard(sig: dict, coverage: jnp.ndarray, region_offset: jnp.ndarray) -> dict:
         # shard-local global stats -> mesh-wide via psum (ICI collective)
@@ -108,27 +83,55 @@ def build_sharded_step(mesh: Mesh, params: dict | None = None,
         p["coverage_global"] = coverage_global
         p["qc_nm_threshold"] = nm_global
 
-        out = call_pipeline_step(sig, coverage, p, region_offset=region_offset[0])
-
-        # Halo exchange: send last-cluster summary rightward
-        summary = _boundary_summary(out)
-        right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        left = [((i + 1) % n_dev, i) for i in range(n_dev)]
-        incoming = {k: jax.lax.ppermute(v[None] if v.ndim == 0 else v, GENOME_AXIS, right)
-                    for k, v in summary.items()}
-        incoming = {k: v.reshape(()) if v.size == 1 else v for k, v in incoming.items()}
-
-        # shard 0 must not merge from the wrap-around sender
         my_idx = jax.lax.axis_index(GENOME_AXIS)
-        incoming["has_cluster"] = incoming["has_cluster"] & (my_idx > 0)
+        cov_len = coverage.shape[0]
+        my_start = region_offset[0]
+        my_end = my_start + cov_len
 
-        out, accept = _merge_boundary(out, incoming, halo_merge_dist)
+        # ---- pack the outgoing halo: signatures in [my_end - 2W, my_end) ----
+        W = halo_bp
+        in_halo = sig["valid"] & (sig["pos"] >= my_end - 2 * W)
+        # sort halo elements first (by pos), take halo_slots of them
+        order = jnp.lexsort((sig["pos"], ~in_halo))
+        halo_out = {k: jnp.take(v, order)[:halo_slots] for k, v in sig.items()}
+        halo_out["valid"] = halo_out["valid"] & jnp.take(in_halo, order)[:halo_slots]
+        halo_count = jnp.sum(in_halo.astype(jnp.int32))
+        halo_overflow = halo_count > halo_slots
 
-        # return the accept flag to the sender; it invalidates its last cluster
-        accept_back = jax.lax.ppermute(accept[None], GENOME_AXIS, left).reshape(())
-        last = jnp.maximum(out["n_clusters"] - 1, 0)
-        out["cluster_valid"] = out["cluster_valid"].at[last].set(
-            out["cluster_valid"][last] & ~accept_back)
+        # coverage tail for cross-boundary probe lookups
+        cov_halo_len = 2 * W + 1024  # probe reach: updown_bins*binsize + slack
+        cov_tail = jax.lax.dynamic_slice(coverage, (cov_len - cov_halo_len,),
+                                         (cov_halo_len,))
+
+        # ---- exchange rightward over ICI ----
+        incoming = {k: jax.lax.ppermute(v, GENOME_AXIS, right)
+                    for k, v in halo_out.items()}
+        cov_in = jax.lax.ppermute(cov_tail, GENOME_AXIS, right)
+        # shard 0 receives the wrap-around sender; mask it off
+        incoming["valid"] = incoming["valid"] & (my_idx > 0)
+        cov_in = jnp.where(my_idx > 0, cov_in, 0)
+
+        # ---- extended batch: halo first, then own signatures ----
+        ext = {k: jnp.concatenate([incoming[k], sig[k]]) for k in _SIG_FIELDS}
+        ext_cov = jnp.concatenate([cov_in, coverage])
+        ext_offset = my_start - cov_halo_len
+
+        out = call_pipeline_step(ext, ext_cov, p, region_offset=ext_offset)
+
+        # ---- exactly-once ownership (two-window rule) ----
+        # left shard suppresses clusters touching its last W bp (unless it
+        # is the rightmost shard); halo-zone clusters that never reach
+        # within W of this shard's start belong to the left neighbor.
+        touches_tail = out["pos_max"] >= my_end - W
+        suppress_tail = touches_tail & (my_idx < n_dev - 1)
+        ghost = out["pos_max"] < my_start - W
+        out = dict(out)
+        out["cluster_valid"] = out["cluster_valid"] & ~suppress_tail & ~ghost
+        # a cluster wider than W can straddle beyond the exchanged window;
+        # report it so callers know the exactness bound was exceeded
+        span_overflow = jnp.any(out["cluster_valid"]
+                                & ((out["pos_max"] - out["pos_min"]) > W))
+        out["halo_overflow"] = jnp.broadcast_to(halo_overflow | span_overflow, (1,))
 
         out["coverage_global"] = jnp.broadcast_to(coverage_global, (1,))
         out["nm_global"] = jnp.broadcast_to(nm_global, (1,))
@@ -136,8 +139,7 @@ def build_sharded_step(mesh: Mesh, params: dict | None = None,
         out = {k: (v[None] if v.ndim == 0 else v) for k, v in out.items()}
         return out
 
-    sig_spec = {k: P(GENOME_AXIS) for k in
-                ("pos", "svlen", "svtype", "read_id", "strand", "mapq", "nm", "repeat", "valid")}
+    sig_spec = {k: P(GENOME_AXIS) for k in _SIG_FIELDS}
 
     sharded = jax.jit(
         jax.shard_map(per_shard, mesh=mesh,
@@ -147,74 +149,79 @@ def build_sharded_step(mesh: Mesh, params: dict | None = None,
     return sharded
 
 
+_CAND_FIELDS = ("pos", "svlen", "svtype", "sample_id", "support", "qc", "valid")
+
+
 def build_sharded_combine_step(mesh: Mesh, combine_match: float = 250.0,
                                combine_match_max: float = 1000.0,
-                               halo_merge_dist: int = 1000):
+                               halo_bp: int = 5000, halo_slots: int = 256):
     """
     Multi-sample combine over the mesh (BASELINE config 5 shape): each
     device groups the candidates of its genome-block shard
-    (ops/combine_groups), global per-sample candidate totals reduce via
-    psum, and boundary groups straddling shard seams are folded rightward
-    via the same ppermute halo exchange as the call step — the
-    collectives replacement for the host frontier carry-over
-    (reference: parallel.py:519-566 groups_keep).
+    (ops/combine_groups) and global per-sample candidate totals reduce
+    via psum. Boundary groups use the same RAW-candidate halo exchange
+    as the call step: candidates within 2*halo_bp of a shard's end
+    ppermute rightward, the right neighbor re-groups over the union
+    (exact medians/counts, not folded summaries), and the two-window
+    ownership rule keeps emission exactly-once — the collectives
+    replacement for the host frontier carry-over (reference:
+    parallel.py:519-566 groups_keep). Shards must be contiguous
+    genome windows; `region_offset`/`window_len` define them.
     """
     from sniffles_tpu.ops.combine_groups import group_candidates
 
     n_dev = mesh.devices.size
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
-    def per_shard(cand: dict) -> dict:
+    def per_shard(cand: dict, region_offset: jnp.ndarray,
+                  window_len: jnp.ndarray) -> dict:
         local_total = jnp.sum(cand["valid"].astype(jnp.int32))
         global_total = jax.lax.psum(local_total, GENOME_AXIS)
 
-        out = group_candidates(cand, combine_match, combine_match_max)
-
-        # halo exchange for the boundary group
-        ncl = out["n_groups"]
-        last = jnp.maximum(ncl - 1, 0)
-        summary = {
-            "svtype": jnp.take(out["svtype"], last),
-            "pos": jnp.take(out["group_pos"], last),
-            "svlen": jnp.take(out["group_svlen"], last),
-            "count": jnp.take(out["group_count"], last),
-            "sample_count": jnp.take(out["group_sample_count"], last),
-            "has_group": ncl > 0,
-        }
-        right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        left = [((i + 1) % n_dev, i) for i in range(n_dev)]
-        incoming = {k: jax.lax.ppermute(v[None], GENOME_AXIS, right).reshape(())
-                    for k, v in summary.items()}
         my_idx = jax.lax.axis_index(GENOME_AXIS)
-        incoming["has_group"] = incoming["has_group"] & (my_idx > 0)
+        my_start = region_offset[0]
+        my_end = my_start + window_len[0]
+        W = halo_bp
 
-        first_pos = out["group_pos"][0].astype(jnp.float32)
-        first_len = jnp.abs(out["group_svlen"][0]).astype(jnp.float32)
-        in_len = jnp.abs(incoming["svlen"]).astype(jnp.float32)
-        dist = jnp.abs(first_pos - incoming["pos"].astype(jnp.float32)) + \
-            jnp.abs(first_len - in_len)
-        minlen = jnp.maximum(jnp.minimum(first_len, in_len), 1.0)
-        accept = incoming["has_group"] & (ncl > 0) & \
-            (incoming["svtype"] == out["svtype"][0]) & \
-            (dist <= jnp.minimum(combine_match * jnp.sqrt(minlen), combine_match_max))
+        in_halo = cand["valid"] & (cand["pos"] >= my_end - 2 * W)
+        order = jnp.lexsort((cand["pos"], ~in_halo))
+        halo_out = {k: jnp.take(v, order)[:halo_slots] for k, v in cand.items()}
+        halo_out["valid"] = halo_out["valid"] & jnp.take(in_halo, order)[:halo_slots]
+        halo_overflow = jnp.sum(in_halo.astype(jnp.int32)) > halo_slots
+
+        incoming = {k: jax.lax.ppermute(v, GENOME_AXIS, right)
+                    for k, v in halo_out.items()}
+        incoming["valid"] = incoming["valid"] & (my_idx > 0)
+
+        ext = {k: jnp.concatenate([incoming[k], cand[k]]) for k in _CAND_FIELDS}
+        out = group_candidates(ext, combine_match, combine_match_max)
+
+        # exactly-once ownership over element extents (two-window rule)
+        n_ext = out["pos"].shape[0]
+        gid = out["group_id"]
+        valid = out["valid"]
+        INT32_MIN = jnp.int32(-(2 ** 31))
+        pos_max = jax.ops.segment_max(jnp.where(valid, out["pos"], INT32_MIN),
+                                      gid, num_segments=n_ext)
+        suppress_tail = (pos_max >= my_end - W) & (my_idx < n_dev - 1)
+        ghost = pos_max < my_start - W
+        group_valid = (jnp.arange(n_ext) < out["n_groups"]) & ~suppress_tail & ~ghost
+        span_overflow = jnp.any(group_valid & ((pos_max - jax.ops.segment_min(
+            jnp.where(valid, out["pos"], jnp.int32(2 ** 31 - 1)), gid,
+            num_segments=n_ext)) > W))
 
         out = dict(out)
-        out["group_count"] = out["group_count"].at[0].add(
-            jnp.where(accept, incoming["count"], 0))
-        out["group_sample_count"] = out["group_sample_count"].at[0].add(
-            jnp.where(accept, incoming["sample_count"], 0))
-        accept_back = jax.lax.ppermute(accept[None], GENOME_AXIS, left).reshape(())
-        group_valid = jnp.arange(out["group_id"].shape[0]) < ncl
-        group_valid = group_valid.at[jnp.maximum(ncl - 1, 0)].set(
-            group_valid[jnp.maximum(ncl - 1, 0)] & ~accept_back)
         out["group_valid"] = group_valid
+        out["halo_overflow"] = jnp.broadcast_to(halo_overflow | span_overflow, (1,))
         out["global_candidates"] = jnp.broadcast_to(global_total, (1,))
         out = {k: (v[None] if v.ndim == 0 else v) for k, v in out.items()}
         return out
 
-    cand_spec = {k: P(GENOME_AXIS) for k in
-                 ("pos", "svlen", "svtype", "sample_id", "support", "qc", "valid")}
-    return jax.jit(jax.shard_map(per_shard, mesh=mesh, in_specs=(cand_spec,),
-                                 out_specs=P(GENOME_AXIS), check_vma=False))
+    cand_spec = {k: P(GENOME_AXIS) for k in _CAND_FIELDS}
+    return jax.jit(jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(cand_spec, P(GENOME_AXIS), P(GENOME_AXIS)),
+        out_specs=P(GENOME_AXIS), check_vma=False))
 
 
 def shard_batch(batch_dict: dict, n_dev: int) -> dict:

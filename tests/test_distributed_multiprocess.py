@@ -85,8 +85,10 @@ CHILD = textwrap.dedent("""
     from sniffles_tpu.parallel.mesh import build_sharded_combine_step
     rngc = np.random.default_rng(3)
     total_c = 128 * n_dev
+    window_c = 50_000
+    base_c = np.arange(n_dev).repeat(128) * window_c
     cand_np = {{
-        "pos": rngc.integers(0, 50_000 * n_dev, size=total_c).astype(np.int32),
+        "pos": (base_c + rngc.integers(0, window_c, size=total_c)).astype(np.int32),
         "svlen": rngc.integers(60, 500, size=total_c).astype(np.int32),
         "svtype": rngc.integers(0, 4, size=total_c).astype(np.int32),
         "sample_id": rngc.integers(0, 8, size=total_c).astype(np.int32),
@@ -95,7 +97,9 @@ CHILD = textwrap.dedent("""
         "valid": np.ones(total_c, dtype=bool),
     }}
     cand = {{k: place(v) for k, v in cand_np.items()}}
-    cout = build_sharded_combine_step(mesh)(cand)
+    offs_c = place(np.arange(n_dev, dtype=np.int32) * window_c)
+    wlen_c = place(np.full((n_dev,), window_c, dtype=np.int32))
+    cout = build_sharded_combine_step(mesh)(cand, offs_c, wlen_c)
     jax.block_until_ready(cout)
     ng = multihost_utils.process_allgather(cout["n_groups"], tiled=True).reshape(-1)
     gc = multihost_utils.process_allgather(cout["global_candidates"], tiled=True).reshape(-1)
