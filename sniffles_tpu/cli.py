@@ -341,6 +341,57 @@ def _run_pool(config, tasks, processes, monitor):
     return finished_tasks
 
 
+def _maybe_init_distributed(config) -> bool:
+    """Join the multi-host runtime when the environment announces one
+    (SNIFFLES_TPU_COORDINATOR / SNIFFLES_TPU_NUM_PROCESSES, or a TPU pod
+    with autodetection). Each host then executes its own contig-shard
+    subset and results are gathered to process 0 for emission
+    (SURVEY §2.3 TPU mapping; design: parallel/distributed.py)."""
+    if not (os.environ.get("SNIFFLES_TPU_COORDINATOR")
+            or os.environ.get("SNIFFLES_TPU_NUM_PROCESSES")):
+        return False
+    from sniffles_tpu.parallel import distributed
+    return distributed.initialize()
+
+
+class _RemoteTask:
+    """Shim around a result gathered from another process: just enough
+    surface (id, result) for the ordered emission loop."""
+
+    def __init__(self, task_id, result):
+        self.id = task_id
+        self.result = result
+
+
+def _exchange_results_multihost(finished_tasks):
+    """Allgather per-process results so process 0 can emit the complete,
+    deterministically ordered output (the VCF-emission-by-allgather leg
+    of the multi-host design). Results ride the collective backend as
+    pickled uint8 tensors padded to the global maximum length."""
+    import pickle
+
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = pickle.dumps([(t.id, t.result) for t in finished_tasks],
+                           protocol=pickle.HIGHEST_PROTOCOL)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([arr.size], dtype=np.int64)).reshape(-1)
+    padded = np.zeros(int(sizes.max()), dtype=np.uint8)
+    padded[:arr.size] = arr
+    rows = multihost_utils.process_allgather(padded)
+    rows = np.asarray(rows).reshape(jax.process_count(), -1)
+
+    merged = []
+    for row, size in zip(rows, sizes):
+        for task_id, result in pickle.loads(row[:int(size)].tobytes()):
+            merged.append(_RemoteTask(task_id, result))
+    merged.sort(key=lambda t: t.id)
+    return merged
+
+
 def _merge_candidate_csvs(config, finished_tasks):
     """Concatenate per-task candidate CSVs (reference: sniffles:549-558)."""
     from shutil import copyfileobj
@@ -373,6 +424,12 @@ def main_with_config(config: SnifflesConfig, processes: list) -> int:
     log.info(f"Running {config.version}, build {config.build}")
     log.info(f"  Run Mode: {config.mode}")
 
+    multihost = _maybe_init_distributed(config)
+    emit_here = True
+    if multihost:
+        from sniffles_tpu.parallel import distributed
+        emit_here = distributed.is_emitter()
+
     monitor = ResourceMonitor(config)
     rkwargs = {}
     bam_in = None
@@ -390,10 +447,11 @@ def main_with_config(config: SnifflesConfig, processes: list) -> int:
         vcf_in, lineindex_order, genotype_contig_svs = _load_genotype_targets(config)
         rkwargs['genotype_lineindex_order'] = lineindex_order
 
-    vcf_out = _open_vcf_out(config) if config.vcf is not None else None
-    snf_out = _open_snf_out(config) if config.snf is not None else None
+    # only the emitter process touches output files
+    vcf_out = _open_vcf_out(config) if (config.vcf is not None and emit_here) else None
+    snf_out = _open_snf_out(config) if (config.snf is not None and emit_here) else None
     psnf_out = None
-    if config.dev_population_snf:
+    if config.dev_population_snf and emit_here:
         psnf_out = _open_psnf_out(config)
         rkwargs['psnf_out'] = psnf_out
 
@@ -404,12 +462,26 @@ def main_with_config(config: SnifflesConfig, processes: list) -> int:
         tasks, contigs, contig_lengths = _plan_interval_tasks(
             config, bam_in, tandem_repeats, genotype_contig_svs)
 
-    if config.mode == "genotype_vcf":
+    if config.mode == "genotype_vcf" and vcf_out is not None:
         vcf_out.rewrite_header_genotype(vcf_in.header_str)
-    elif config.vcf is not None:
+    elif vcf_out is not None:
         vcf_out.write_header(contig_lengths)
 
+    if multihost:
+        # deterministic shard ownership: every process plans the same task
+        # list and executes the slice assigned to it
+        from sniffles_tpu.parallel import distributed
+        own = set(distributed.shard_assignment(len(tasks)))
+        tasks = deque(t for i, t in enumerate(tasks) if i in own)
+
     finished_tasks = _run_pool(config, tasks, processes, monitor)
+
+    if multihost:
+        finished_tasks = _exchange_results_multihost(finished_tasks)
+        if not emit_here:
+            if monitor:
+                monitor.stop()
+            return 0
 
     for t in finished_tasks:
         t.result.emit(vcf_out=vcf_out, snf_out=snf_out, **rkwargs)

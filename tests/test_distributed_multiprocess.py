@@ -178,3 +178,52 @@ def test_two_process_sharded_call_step(tmp_path):
         assert gc == 128 * N_DEV
         assert ng == combine[0][0]
         assert len(ng) == N_DEV and all(x > 0 for x in ng)
+
+
+@pytest.mark.slow
+def test_two_process_cli_bam_to_vcf_byte_identical(tmp_path):
+    """Full BAM->VCF through the CLI across 2 jax.distributed processes:
+    each executes its contig-shard subset, results allgather to process 0,
+    and the emitted VCF body is byte-identical to a single-process run."""
+    from sniffles_tpu.sim import PlantedSV, write_dataset
+
+    svs = [PlantedSV(pos=p, svtype=("DEL" if i % 2 else "INS"),
+                     svlen=120 + 40 * (i % 5))
+           for i, p in enumerate(range(25_000, 360_000, 45_000))]
+    bam, _ = write_dataset(str(tmp_path), ref_len=400_000, depth=20,
+                           read_len=10_000, seed=23, svs=svs, n_contigs=4)
+
+    def body(path):
+        with open(path) as f:
+            return [line for line in f if not line.startswith("##")]
+
+    env_base = dict(os.environ)
+    env_base["PYTHONPATH"] = REPO + os.pathsep + env_base.get("PYTHONPATH", "")
+    env_base["SNIFFLES_TPU_FORCE_CPU"] = "1"
+
+    single = os.path.join(str(tmp_path), "single.vcf")
+    p = subprocess.run([sys.executable, "-m", "sniffles_tpu.cli", "--input", bam,
+                        "--vcf", single, "--threads", "2"],
+                       capture_output=True, text=True, env=env_base,
+                       cwd=str(tmp_path), timeout=600)
+    assert p.returncode == 0, p.stderr
+
+    multi = os.path.join(str(tmp_path), "multi.vcf")
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for pid in range(2):
+        env = dict(env_base)
+        env.update({"SNIFFLES_TPU_COORDINATOR": coord,
+                    "SNIFFLES_TPU_NUM_PROCESSES": "2",
+                    "SNIFFLES_TPU_PROCESS_ID": str(pid)})
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "sniffles_tpu.cli", "--input", bam,
+             "--vcf", multi, "--threads", "2", "--allow-overwrite"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(tmp_path)))
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out[-4000:]
+
+    assert len(body(single)) > len(svs) // 2
+    assert body(multi) == body(single)
