@@ -128,6 +128,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
             except AttributeError:
                 pass
+            try:  # stale .so builds may predate the POA engine
+                lib.poacore_consensus.restype = ctypes.c_int64
+                lib.poacore_consensus.argtypes = [
+                    ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_void_p, ctypes.c_int64]
+            except AttributeError:
+                pass
             _LIB = lib
             break
     return _LIB
@@ -306,6 +315,29 @@ def consensus_novel(best: bytes, others: list[bytes], klen: int, skip: int,
     if rc != 0:
         return None
     return out.tobytes().decode("ascii")
+
+
+def poa_consensus(sequences: list[str], match: int = 10, mismatch: int = -10,
+                  gap_open: int = -20, gap_extend: int = 0,
+                  min_coverage: int = 1, band_slack: int = 256):
+    """Graph-based partial-order alignment consensus (native/poacore.cc),
+    replacing SPOA (reference: local_asm.py:17,287-291). Returns the
+    consensus string, or None when the native library (or the symbol, in
+    stale builds) is unavailable — callers fall back to star alignment."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "poacore_consensus"):
+        return None
+    seqs = [s.encode("ascii") for s in sequences]
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    concat = b"".join(seqs)
+    out_cap = int(lens.max(initial=1)) * 2 + 64
+    out = np.empty(out_cap, dtype=np.uint8)
+    n = lib.poacore_consensus(concat, _ptr(lens), len(seqs),
+                              match, mismatch, gap_open, gap_extend,
+                              min_coverage, band_slack, _ptr(out), out_cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes().decode("ascii")
 
 
 def bgzf_inflate(raw: bytes) -> bytes:

@@ -58,23 +58,37 @@ class SPOA:
          self.gap_open2, self.gap_expand2) = _tier(_SCORE_TIERS, svlen)
 
 
-def _scan_for_gap(aln: str, target_len: int, eps: float, enabled: bool = True):
+def _scan_for_gap(aln: str, target_len: int, eps: float, enabled: bool = True,
+                  count_aln: str = None):
     """Walk an alignment string; stop at the first non-gap character that
     follows a gap run within eps of target_len.
 
-    Returns (non-gap offset at the stop point, gap-run size at the stop
-    point, number of gap runs seen, whether the walk stopped early).
-    When the walk runs off the end, the trailing gap run (if any) is
-    still reported — the caller's final verdict re-checks it, matching
-    the reference's post-loop acceptance (reference: local_asm.py:154-189,
-    217-252).
+    The offset is counted over the non-gap characters of `count_aln`
+    (default: the scanned string itself). The DEL solver passes the
+    REFERENCE row here so the recovered position is a true reference
+    coordinate even when the consensus is end-trimmed or carries
+    insertions upstream of the event — a robustness improvement over
+    the reference, which counts consensus-row characters and assumes a
+    flush, indel-free consensus prefix (reference: local_asm.py:154-189).
+
+    Returns (offset at the stop point, gap-run size at the stop point,
+    number of gap runs seen, whether the walk stopped early). When the
+    walk runs off the end, the trailing gap run (if any) is still
+    reported — the caller's final verdict re-checks it, matching the
+    reference's post-loop acceptance (local_asm.py:154-189, 217-252).
     """
+    if count_aln is None:
+        count_aln = aln
     gap_run = 0
+    run_counted = 0   # count_aln bases consumed inside the current gap run
     runs = 0
     in_gap = False
     offset = 0
-    for ch in aln:
+    for col, (ch, cch) in enumerate(zip(aln, count_aln)):
         if ch == GAP:
+            if cch != GAP:
+                offset += 1
+                run_counted += 1
             gap_run += 1
             if not in_gap:
                 runs += 1
@@ -82,18 +96,21 @@ def _scan_for_gap(aln: str, target_len: int, eps: float, enabled: bool = True):
             continue
         in_gap = False
         if gap_run > 0 and abs(gap_run - target_len) / float(target_len) <= eps and enabled:
-            return offset, gap_run, runs, True
-        offset += 1
+            return offset - run_counted, gap_run, runs, True, col
+        if cch != GAP:
+            offset += 1
         gap_run = 0
-    return offset, gap_run, runs, False
+        run_counted = 0
+    return offset, gap_run, runs, False, len(aln)
 
 
-def _slice_at(aln: str, offset: int, length: int) -> str:
-    """aln[offset:offset+length] when offset falls inside the string
-    (1-based walk semantics of the reference), else ''."""
-    if 1 <= offset <= len(aln):
-        return aln[offset:offset + length]
-    return ""
+def _run_slice(aln: str, stop_col: int, length: int) -> str:
+    """The other row's bases across the gap run that ended at alignment
+    column stop_col (exclusive): aln[stop_col-length:stop_col]."""
+    lo = stop_col - length
+    if lo < 0 or length <= 0:
+        return ""
+    return aln[lo:stop_col]
 
 
 class LocalAsm:
@@ -202,9 +219,12 @@ class LocalAsm:
         recover the deleted sequence (reference: local_asm.py:154-189)."""
         target = abs(self.sv.svlen)
         region_start, _ = self.region_pos(region)
-        offset, gap_size, n_gaps, stopped = _scan_for_gap(sv_aln, target, eps)
+        # offset counted over the reference row: a true ref coordinate,
+        # robust to consensus end-trimming (see _scan_for_gap docstring)
+        offset, gap_size, n_gaps, stopped, col = _scan_for_gap(sv_aln, target, eps,
+                                                               count_aln=ref_aln)
         del_pos = region_start + offset if stopped else 0
-        ref_seq = _slice_at(ref_aln, offset, gap_size)
+        ref_seq = _run_slice(ref_aln, col, gap_size)
         ok = (len(ref_seq) > 0 and gap_size > 0 and n_gaps <= max_gaps_aln
               and abs((gap_size - target) / float(target)) <= eps)
         return [del_pos, ref_seq, ok]
@@ -215,10 +235,10 @@ class LocalAsm:
         recover the inserted sequence (reference: local_asm.py:217-252)."""
         target = self.sv.svlen
         region_start, _ = self.region_pos(region)
-        offset, gap_size, n_gaps, stopped = _scan_for_gap(
+        offset, gap_size, n_gaps, stopped, col = _scan_for_gap(
             ref_aln, target, eps, enabled=region_start > 0)
         ins_pos = region_start + offset if stopped else 0
-        ins_seq = _slice_at(sv_aln, offset, gap_size)
+        ins_seq = _run_slice(sv_aln, col, gap_size)
         ok = (len(ins_seq) > 0 and gap_size > 0 and n_gaps <= max_gaps_aln
               and abs((gap_size - target) / target) <= eps)
         return [ins_pos, ins_seq, ok]
@@ -260,7 +280,10 @@ class LocalAsm:
         _, msa = poa(sequences=[consensus, ref_seq], algorithm=_ALGO["local"],
                      genmsa=True, min_coverage=1,
                      m=scores.match, n=scores.miss, g=scores.gap_open,
-                     e=scores.gap_expand, q=scores.gap_open2, c=scores.gap_expand2)
+                     e=scores.gap_expand, q=scores.gap_open2, c=scores.gap_expand2,
+                     # the event's gap run shifts the alignment diagonal by
+                     # svlen even when the two lengths agree
+                     slack=abs(call.svlen) + 256)
         if len(msa) != 2:
             return False
         sv_aln, ref_aln = msa

@@ -1,12 +1,15 @@
 """
-Multi-sequence consensus ("POA" work-alike).
+Multi-sequence consensus for the local-assembly rescue path.
 
-Replaces pyspoa.poa for the local-assembly rescue path (reference:
-local_asm.py:287-291): `poa(sequences, ...)` returns (consensus, msa).
-Instead of a partial-order graph this uses star alignment against a
-center sequence with the banded Gotoh kernel (ops/align.py) and
-column-wise majority voting — the same structure the device-side
-batched Pallas DP targets (many pairwise banded DPs in parallel).
+Replaces pyspoa.poa (reference: local_asm.py:287-291): `poa(sequences,
+...)` returns (consensus, msa). The production engine is a genuine
+graph-based partial-order alignment in C++ (native/poacore.cc —
+sequence-to-graph banded affine DP, aligned-node groups for
+mismatches, heaviest-bundle consensus with min-coverage trimming).
+When the native library is not built, a star-alignment fallback
+(center sequence + banded Gotoh + column majority vote) keeps the
+path functional; its consensus is weaker on indel-dense read sets,
+which is why the graph engine is the default.
 """
 from __future__ import annotations
 
@@ -25,12 +28,19 @@ def consensus_from_sequences(sequences: list[str], min_coverage: int = 1,
                              match: int = 10, mismatch: int = -10,
                              gap_open: int = -20, gap_extend: int = 0,
                              slack: int = 256) -> str:
-    """Star-alignment consensus of several sequences."""
+    """Multi-sequence consensus: graph POA (native) with star fallback."""
     sequences = [s for s in sequences if s]
     if not sequences:
         return ""
     if len(sequences) == 1:
         return sequences[0]
+
+    from sniffles_tpu.io import native
+    cons = native.poa_consensus(sequences, match=match, mismatch=mismatch,
+                                gap_open=gap_open, gap_extend=gap_extend,
+                                min_coverage=min_coverage, band_slack=slack)
+    if cons:
+        return cons
 
     ci = _pick_center(sequences)
     center = sequences[ci]
@@ -87,22 +97,27 @@ def consensus_from_sequences(sequences: list[str], min_coverage: int = 1,
 
 def poa(sequences: list[str], algorithm: int = 0, genmsa: bool = True,
         min_coverage: int = 1, m: int = 10, n: int = -10, g: int = -20,
-        e: int = 0, q: int = -10, c: int = -1) -> tuple[str, list[str]]:
+        e: int = 0, q: int = -10, c: int = -1,
+        slack: int | None = None) -> tuple[str, list[str]]:
     """
     pyspoa.poa-compatible facade (reference: local_asm.py:287-291).
 
     Returns (consensus, msa). For exactly two sequences the msa is the
     pairwise banded affine alignment; for more, alignments of each
     sequence against the consensus. The two-piece affine params (q, c)
-    are folded into a single affine model.
+    are folded into a single affine model. `slack` widens the pairwise
+    band — callers aligning a consensus across a length-L event must
+    pass slack >= L, since the event's gap shifts the alignment off the
+    main diagonal even when the sequence lengths agree.
     """
     sequences = list(sequences)
     if not sequences:
         return "", []
     if len(sequences) == 2:
+        if slack is None:
+            slack = max(256, abs(len(sequences[0]) - len(sequences[1])) // 8)
         res = banded_global_affine(sequences[0], sequences[1], match=m, mismatch=n,
-                                   gap_open=g, gap_extend=e,
-                                   slack=max(256, abs(len(sequences[0]) - len(sequences[1])) // 8))
+                                   gap_open=g, gap_extend=e, slack=slack)
         if res is None:
             return sequences[0], []
         aln_a, aln_b, _ = res

@@ -524,8 +524,44 @@ class CombineTask(Task):
                 seen += len(block[svtype])
         return bins, seen
 
+    def _prefill_ed_cache(self, svcands, keep, ed_cache, config):
+        """Batch the INS identity-gate distances for this flush on the
+        device ED kernel (ops/edit_distance_jax.py) before the greedy
+        runs. Pairs are restricted to the greedy's actual probe set —
+        (potential group lead alt x candidate alt) within the pos+len
+        match radius (reference: cluster.py:373-385) — so the batch stays
+        proportional to real work; below the device cells threshold the
+        lazy host Myers fill wins and nothing is precomputed."""
+        if ed_cache is None or not getattr(config, "tpu_combine", False):
+            return
+        from sniffles_tpu.ops.edit_distance_jax import (edit_distance_batch,
+                                                        DEVICE_MIN_CELLS)
+        max_len = 1023
+        leads = [(g.candidates[0].alt, g.pos_mean, abs(g.len_mean)) for g in keep]
+        cands = [(c.alt, c.pos, abs(c.svlen)) for c in svcands]
+        # any candidate can become a group lead for later candidates;
+        # 2x radius absorbs group-mean drift as members join
+        radius = 2.0 * config.combine_match_max
+        pairs = set()
+        for lead_alt, lead_pos, lead_len in leads + cands:
+            if not lead_alt or len(lead_alt) > max_len:
+                continue
+            for cand_alt, cand_pos, cand_len in cands:
+                if (cand_alt and cand_alt != lead_alt and len(cand_alt) <= max_len
+                        and abs(lead_pos - cand_pos) + abs(lead_len - cand_len) <= radius):
+                    pairs.add((lead_alt, cand_alt))
+        pairs = [p for p in pairs if p not in ed_cache]
+        if not pairs:
+            return
+        if sum(len(a) * len(b) for a, b in pairs) < DEVICE_MIN_CELLS:
+            return
+        dists = edit_distance_batch(pairs)
+        for pair, dist in zip(pairs, dists):
+            ed_cache[pair] = int(dist)
+
     def _group_batch(self, svtype, svcands, keep, ed_cache):
         """Greedy group assignment, on device when enabled."""
+        self._prefill_ed_cache(svcands, keep, ed_cache, self.config)
         use_device = (getattr(self.config, "tpu_combine", False)
                       and self.config.threads == 0
                       and svtype != "BND" and len(svcands) >= 4)
@@ -606,15 +642,11 @@ class CombineTask(Task):
                         span = 0
                         continue
 
-                    # memoizes host edit distances across group probes
-                    # within this batch (align_call fills it). An eager
-                    # device all-pairs prefilter was tried here and
-                    # removed: the greedy probes only a few pairs per
-                    # batch (with length-bound shortcuts), so computing
-                    # every pair ahead of time loses even before device
-                    # dispatch latency; the mesh-sharded combine step
-                    # (parallel/mesh.py) keeps its own batched DP where
-                    # whole blocks are resident on device.
+                    # memoizes edit distances across group probes within
+                    # this batch: filled eagerly by the device ED kernel
+                    # for large flushes (_prefill_ed_cache, radius-gated
+                    # to the greedy's actual probe set), lazily by the
+                    # host Myers scan below the device cells threshold
                     ed_cache = {} if (svtype == "INS" and config.combine_pctseq) else None
                     svgroups = self._group_batch(svtype, batch, keep, ed_cache)
 
