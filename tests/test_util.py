@@ -66,10 +66,50 @@ def test_stats_randomized_equivalence():
         n = rng.randint(2, 60)
         base = rng.randint(0, 250_000_000)
         xs = [base + rng.randint(-3000, 3000) for _ in range(n)]
-        assert abs(util.stdev(xs) - statistics.stdev(xs)) < 1e-6
+        ref = statistics.stdev(xs)
+        # relative tolerance near the observed worst case (~1e-12), and
+        # the property that actually matters downstream: identical VCF
+        # formatting at 3 decimals (ADVICE r1)
+        assert abs(util.stdev(xs) - ref) <= max(1e-9 * ref, 1e-9)
+        assert f"{util.stdev(xs):.3f}" == f"{ref:.3f}"
         small = [rng.randint(-80, 80) for _ in range(n)]
         assert util.most_common(small) == most_common_dict(small)
         assert util.median_modes(small) == median_modes_dict(small)
+
+
+def test_stdev_threshold_adjacent_clusters():
+    """Pinned cases constructing values whose stdev sits at the decision
+    boundaries the calling path compares against — PRECISE at
+    stdev_pos + stdev_len ~ 25 (config.precise) and the merge sweep's
+    stdev_start * cluster_r ~ integer inner distances — so any future
+    drift from statistics.stdev semantics flips a visible decision and
+    fails here (ADVICE r1)."""
+    import itertools
+
+    # stdev == 25 exactly: two points 50 apart (stdev = d/sqrt(2)*...):
+    # statistics.stdev([x, x+d]) == d / sqrt(2); choose d so stdev ~ 25
+    for base in (0, 10_000, 250_000_000):
+        for d in (35, 36):  # d/sqrt(2) brackets 25: 24.749..., 25.455...
+            xs = [base, base + d]
+            got, ref = util.stdev(xs), statistics.stdev(xs)
+            assert (got < 25.0) == (ref < 25.0), (base, d)
+            assert (got <= 25.0) == (ref <= 25.0), (base, d)
+
+    # stdev_start * cluster_r (2.5) adjacent to integer inner distances:
+    # symmetric triples with exactly representable stdev-like spreads
+    rng_cases = [(b, s) for b, s in itertools.product(
+        (0, 123_456_789, 249_999_000), (2, 4, 8, 16, 40, 80))]
+    for base, spread in rng_cases:
+        xs = [base - spread, base, base + spread]
+        got, ref = util.stdev(xs), statistics.stdev(xs)
+        for inner in (int(got * 2.5) - 1, int(got * 2.5), int(got * 2.5) + 1):
+            assert (inner <= got * 2.5) == (inner <= ref * 2.5), (base, spread, inner)
+
+    # qc_stdev_abs_max boundary (> 500)
+    for d in (707, 708):  # d/sqrt(2) brackets 500
+        xs = [1_000_000, 1_000_000 + d]
+        got, ref = util.stdev(xs), statistics.stdev(xs)
+        assert (got > 500.0) == (ref > 500.0), d
 
 
 def test_should_process_contig():
