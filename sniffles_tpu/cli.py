@@ -341,6 +341,33 @@ def _run_pool(config, tasks, processes, monitor):
     return finished_tasks
 
 
+def _attach_remote_debugger(port: int) -> None:
+    """--dev-debug PORT: attach to an IDE debug server on localhost
+    (reference: sniffles:70-81 via pydevd_pycharm). Tries pydevd_pycharm,
+    pydevd, then debugpy; logs and continues when none is importable."""
+    try:
+        try:
+            import pydevd_pycharm
+            pydevd_pycharm.settrace('localhost', port=port, stdoutToServer=True,
+                                    stderrToServer=True)
+            return
+        except ImportError:
+            pass
+        try:
+            import pydevd
+            pydevd.settrace('localhost', port=port, stdout_to_server=True,
+                            stderr_to_server=True)
+            return
+        except ImportError:
+            pass
+        import debugpy
+        debugpy.connect(("localhost", port))
+        log.info(f"Attached debugpy client to localhost:{port}")
+    except Exception as e:
+        log.warning(f"--dev-debug {port}: could not attach a remote debugger "
+                    f"(pydevd_pycharm/pydevd/debugpy): {e}")
+
+
 def _maybe_init_distributed(config) -> bool:
     """Join the multi-host runtime when the environment announces one
     (SNIFFLES_TPU_COORDINATOR / SNIFFLES_TPU_NUM_PROCESSES, or a TPU pod
@@ -409,6 +436,8 @@ def _merge_candidate_csvs(config, finished_tasks):
 def main_with_config(config: SnifflesConfig, processes: list) -> int:
     from sniffles_tpu.resmon import ResourceMonitor
 
+    if getattr(config, "dev_debug", None):
+        _attach_remote_debugger(config.dev_debug)
     if config.no_progress:
         logging.getLogger('sniffles_tpu.progress').setLevel(logging.CRITICAL)
     if config.dev_debug_log:

@@ -242,6 +242,10 @@ _DEV_FLAGS = (
     _f("--dev-monitor-memory", metavar="N", type=int, default=0),
     _f("--dev-monitor-filename", metavar="memory.csv", type=str),
     _f("--dev-debug-log", default=False, action="store_true"),
+    # remote-debug attach (reference: sniffles:70-81): connects to a
+    # pydevd/debugpy server listening on localhost:PORT when one of those
+    # packages is importable; logs and continues otherwise
+    _f("--dev-debug", metavar="PORT", type=int, default=None),
     _f("--dev-progress-log", default=False, action="store_true"),
     _f("--dev-population-snf", metavar="population.snf", type=str),
     _f("--dev-population-min-gt", default=0.75, type=float),
@@ -271,7 +275,7 @@ _TPU_FLAGS = (
     _f("--tpu-interpret", text="Run Pallas kernels in interpreter mode (debugging)", default=False, action="store_true"),
     _f("--no-native", text="Disable the native C++ BAM decoder, use the pure-Python decoder", default=False, action="store_true"),
     _f("--tpu-call", text="Use the device sort-and-segment clustering for candidate grouping in call_sample. Composes with --threads N: workers decode and ship signature batches to the parent-owned TPU client (host sweep otherwise)", default=False, action="store_true"),
-    _f("--tpu-combine", text="Use the device candidate-grouping kernel for multi-sample combine (single-process device path; host greedy assignment otherwise)", default=False, action="store_true"),
+    _f("--tpu-combine", text="Use the segmented exact greedy + device edit-distance batching for multi-sample combine (host greedy assignment otherwise). Composes with --threads N", default=False, action="store_true"),
 )
 
 _FLAG_GROUPS = (

@@ -64,7 +64,8 @@ def _cluster_body(sig: dict,
                        cluster_merge_len: float,
                        minsvlen: int,
                        binsize: int = 100,
-                       resplit_binsize: int = 20) -> dict:
+                       resplit_binsize: int = 20,
+                       do_resplit: bool = True) -> dict:
     """
     Cluster a signature batch. `sig` is a dict of equal-length arrays:
     pos (i32), svlen (i32), svtype (i32), read_id (i32), strand (i32,
@@ -142,6 +143,17 @@ def _cluster_body(sig: dict,
     *_, boundary = jax.lax.while_loop(merge_cond, merge_body, init)
 
     # --- 4. resplit by |svlen| histogram inside each segment ---
+    # (the production --tpu-call step skips this: the reference applies
+    # merge_inner BEFORE resplit, and merge_inner is host-side — the
+    # host resplits the materialized clusters in reference order)
+    if not do_resplit:
+        seg = segment_ids_from_boundaries(boundary)
+        n_clusters = jnp.max(jnp.where(s["valid"], seg, -1)) + 1
+        out = dict(s)
+        out["cluster_id"] = seg
+        out["n_clusters"] = n_clusters
+        return out
+
     seg = segment_ids_from_boundaries(boundary)
     svbin = (jnp.abs(s["svlen"]) // resplit_binsize) * resplit_binsize
     INT32_MAX2 = jnp.int32(2 ** 31 - 1)
@@ -171,8 +183,8 @@ def _cluster_body(sig: dict,
     return out
 
 
-cluster_signatures = partial(jax.jit, static_argnames=("binsize", "resplit_binsize"))(
-    _cluster_body)
+cluster_signatures = partial(jax.jit, static_argnames=("binsize", "resplit_binsize",
+                                                       "do_resplit"))(_cluster_body)
 
 
 @partial(jax.jit, static_argnames=("cluster_r", "cluster_repeat_h",
@@ -219,6 +231,82 @@ def cluster_assign_packed(packed: jnp.ndarray, *,
     return jnp.stack([out["cluster_id"].astype(jnp.int32),
                       out["read_id"].astype(jnp.int32),
                       out["valid"].astype(jnp.int32)])
+
+
+@partial(jax.jit, static_argnames=("cluster_r", "cluster_repeat_h",
+                                   "cluster_repeat_h_max", "cluster_merge_bnd",
+                                   "cluster_merge_len", "minsvlen",
+                                   "binsize", "resplit_binsize"))
+def call_task_packed(packed: jnp.ndarray, *,
+                     cluster_r: float,
+                     cluster_repeat_h: float,
+                     cluster_repeat_h_max: float,
+                     cluster_merge_bnd: int,
+                     cluster_merge_len: float,
+                     minsvlen: int,
+                     binsize: int = 100,
+                     resplit_binsize: int = 20) -> jnp.ndarray:
+    """Production --tpu-call step: cluster assignment PLUS the exact
+    per-cluster calling statistics of call_statistics (reference:
+    sv.py:497-598), one H2D and one D2H transfer.
+
+    `packed` is a (9, N) int32 matrix with rows pos, svlen, svtype,
+    orig_idx, repeat, valid, strand(+1/-1), mapq, read_id (a hash of
+    the read name — support counts unique reads, sv.py:520).
+
+    Returns an (11, N) int32 matrix:
+      rows 0-2, per element (sort-permuted): cluster_id, orig_idx, valid
+      rows 3-10, per cluster (indexed by cluster id): raw_pos_center,
+        svlen_center, support, lead_count, fwd, rev, sum_mapq,
+        single_fragment (1 when support == lead_count, i.e. no read
+        contributes more than one lead, so the host merge_inner pass is
+        a no-op and these statistics are host-exact as-is).
+    """
+    zeros = jnp.zeros_like(packed[0])
+    sig = {
+        "pos": packed[0],
+        "svlen": packed[1],
+        "svtype": packed[2],
+        "read_id": packed[8],
+        "strand": packed[6],
+        "mapq": packed[7],
+        "nm": zeros.astype(jnp.float32),
+        "repeat": packed[4] > 0,
+        "valid": packed[5] > 0,
+        # extra column: _apply_order permutes every key, so the original
+        # lead index simply rides along through both sorts
+        "orig_idx": packed[3],
+    }
+    clustered = _cluster_body(sig, cluster_r=cluster_r, cluster_repeat_h=cluster_repeat_h,
+                              cluster_repeat_h_max=cluster_repeat_h_max,
+                              cluster_merge_bnd=cluster_merge_bnd,
+                              cluster_merge_len=cluster_merge_len, minsvlen=minsvlen,
+                              binsize=binsize, resplit_binsize=resplit_binsize,
+                              # reference order is merge_inner THEN resplit
+                              # (cluster.py:330-339); merge_inner is host-side,
+                              # so the host also resplits (device_call.py)
+                              do_resplit=False)
+    stats = call_statistics(clustered)
+
+    n = clustered["pos"].shape[0]
+    cid = clustered["cluster_id"]
+    valid = clustered["valid"]
+    sum_mapq = seg_sum(jnp.where(valid, clustered["mapq"], 0), cid, n)
+    single_frag = (stats["support"] == stats["lead_count"]).astype(jnp.int32)
+
+    return jnp.stack([
+        clustered["cluster_id"].astype(jnp.int32),
+        clustered["orig_idx"].astype(jnp.int32),
+        clustered["valid"].astype(jnp.int32),
+        stats["raw_pos_center"],
+        stats["svlen"],
+        stats["support"].astype(jnp.int32),
+        stats["lead_count"].astype(jnp.int32),
+        stats["fwd"].astype(jnp.int32),
+        stats["rev"].astype(jnp.int32),
+        sum_mapq.astype(jnp.int32),
+        single_frag,
+    ])
 
 
 @jax.jit

@@ -16,7 +16,7 @@ import logging
 
 import numpy as np
 
-from sniffles_tpu.cluster import Cluster, merge_inner, resplit_bnd
+from sniffles_tpu.cluster import Cluster, merge_inner, resplit, resplit_bnd
 from sniffles_tpu.ops.clustering import SVTYPE_CODES, SVTYPE_NAMES
 
 log = logging.getLogger(__name__)
@@ -43,8 +43,14 @@ def device_clusters(lead_provider, config, tr, device=None):
     lead_bins = []
     for svtype in _DEVICE_TYPES:
         for bin_pos, bin_leads in lead_provider.leadtab[svtype].items():
-            if len(bin_leads) < config.dev_min_leads_cluster and svtype != "INS":
-                # seeds below the minimum never form clusters (cluster.py:262)
+            # seeds below the minimum never form clusters (cluster.py:262);
+            # for INS the host counts only svlen-carrying leads (soft-clip
+            # evidence is the leads_long side channel, cluster.py:231-235)
+            if svtype == "INS":
+                n_countable = sum(1 for ld in bin_leads if ld.svlen is not None)
+            else:
+                n_countable = len(bin_leads)
+            if n_countable < config.dev_min_leads_cluster:
                 continue
             for ld in bin_leads:
                 if ld.svlen is None:
@@ -63,16 +69,20 @@ def device_clusters(lead_provider, config, tr, device=None):
     tr_starts = np.array([s for s, e in tr_sorted], dtype=np.int64)
     tr_ends = np.array([e for s, e in tr_sorted], dtype=np.int64)
 
-    # single packed (6, size) int32 buffer: rows pos, svlen, svtype,
-    # read_id, repeat, valid — one H2D transfer per task (transfer
-    # latency over a tunneled chip dominates kernel time at task-sized
-    # batches, so the number of transfers is the cost that matters)
-    packed = np.zeros((6, size), dtype=np.int32)
+    # single packed (9, size) int32 buffer — one H2D transfer per task
+    # (transfer latency over a tunneled chip dominates kernel time at
+    # task-sized batches, so the number of transfers is the cost that
+    # matters). Rows: pos, svlen, svtype, orig_idx, repeat, valid,
+    # strand, mapq, read_id (name hash — support = unique reads).
+    packed = np.zeros((9, size), dtype=np.int32)
     packed[0, :n] = [ld.ref_start for ld in leads]
     packed[1, :n] = [ld.svlen for ld in leads]
     packed[2, :n] = [SVTYPE_CODES[ld.svtype] for ld in leads]
     packed[3, :n] = np.arange(n, dtype=np.int32)
     packed[5, :n] = 1
+    packed[6, :n] = [1 if ld.strand == "+" else -1 for ld in leads]
+    packed[7, :n] = [ld.mapq if ld.mapq is not None else 0 for ld in leads]
+    packed[8, :n] = [hash(ld.read_qname) & 0x7FFFFFFF for ld in leads]
     if len(tr_starts):
         idx = np.searchsorted(tr_starts, packed[0, :n], side="right") - 1
         packed[4, :n] = ((idx >= 0) & (packed[0, :n] < tr_ends[np.clip(idx, 0, len(tr_ends) - 1)]))
@@ -89,15 +99,17 @@ def device_clusters(lead_provider, config, tr, device=None):
         resplit_binsize=int(config.cluster_resplit_binsize),
     )
     if device is not None:
-        out = device.cluster_assign(packed, meta)
+        out = device.call_task(packed, meta)
     else:
         import jax.numpy as jnp
-        from sniffles_tpu.ops.clustering import cluster_assign_packed
-        out = np.asarray(cluster_assign_packed(jnp.asarray(packed), **meta))
+        from sniffles_tpu.ops.clustering import call_task_packed
+        out = np.asarray(call_task_packed(jnp.asarray(packed), **meta))
 
     cids = out[0]
     ridx = out[1]   # original lead index, permuted with the sort
     valid = out[2]
+    # per-cluster device statistics (rows 3-10; see call_task_packed)
+    dev_stats = out[3:]
 
     groups: dict[int, list[int]] = {}
     for cid, li, ok in zip(cids.tolist(), ridx.tolist(), valid.tolist()):
@@ -163,9 +175,45 @@ def device_clusters(lead_provider, config, tr, device=None):
                 yield from resplit_bnd(cluster, merge_threshold=config.cluster_merge_bnd)
             continue
 
+        # Device-computed calling statistics, consumed by call_from when
+        # single_fragment holds: no read contributed more than one lead,
+        # so the host merge_inner below is a no-op and the device values
+        # are host-exact (integer medians/counts over the same multiset).
+        # Device clusters are STAGE-1 (pre-resplit); the host applies
+        # merge_inner then resplit in reference order (cluster.py:330-339),
+        # and the stats stay attached only when both passes leave the
+        # membership unchanged.
+        (raw_pos_center, svlen_center, support, lead_count, fwd, rev,
+         sum_mapq, single_frag) = (int(dev_stats[r][cid]) for r in range(8))
+        engine = None
+        if single_frag and lead_count == len(cluster_leads):
+            engine = {
+                "raw_pos_center": raw_pos_center,
+                "svlen_center": svlen_center,
+                "support": support,
+                "lead_count": lead_count,
+                "fwd": fwd,
+                "rev": rev,
+                "qual": sum_mapq // lead_count,
+            }
+
         # per-read inner merge of fragmented INS/DEL, host-exact
         # (reference: cluster.py:337-343)
         if svtype in ("INS", "DEL"):
             threshold = -1 if cluster.repeat else config.cluster_merge_pos
             merge_inner(cluster, threshold)
-        yield cluster
+
+        # svlen-histogram resplit, host-exact and in reference order
+        # (reference: cluster.py:330-339)
+        if config.dev_no_resplit_repeat or config.dev_no_resplit:
+            children = [cluster]
+        else:
+            children = list(resplit(cluster,
+                                    prop=lambda lead: lead.svlen,
+                                    binsize=config.cluster_resplit_binsize,
+                                    merge_threshold_min=config.minsvlen,
+                                    merge_threshold_frac=config.cluster_merge_len))
+        if (engine is not None and len(children) == 1
+                and len(children[0].leads) == engine["lead_count"]):
+            children[0].engine = engine
+        yield from children

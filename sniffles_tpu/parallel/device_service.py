@@ -35,9 +35,9 @@ JAX_CLIENT_LIVE = False
 
 @dataclass
 class DeviceRequest:
-    """Worker -> parent: run one device kernel on a packed batch."""
-    kind: str                 # "cluster_assign"
-    payload: np.ndarray
+    """Worker -> parent: run one device kernel on a batch."""
+    kind: str                 # "cluster_assign" | "call_task" | "ed_batch"
+    payload: object           # packed ndarray, or a list of string pairs
     meta: dict = field(default_factory=dict)   # static kernel params
 
 
@@ -70,6 +70,15 @@ class DeviceServer:
             from sniffles_tpu.ops.clustering import cluster_assign_packed
             return np.asarray(cluster_assign_packed(
                 jnp.asarray(request.payload), **request.meta))
+        if request.kind == "call_task":
+            import jax.numpy as jnp
+            from sniffles_tpu.ops.clustering import call_task_packed
+            return np.asarray(call_task_packed(
+                jnp.asarray(request.payload), **request.meta))
+        if request.kind == "ed_batch":
+            # payload: list of (a, b) string pairs (combine identity gate)
+            from sniffles_tpu.ops.edit_distance_jax import edit_distance_batch
+            return np.asarray(edit_distance_batch(request.payload))
         raise ValueError(f"unknown device request kind: {request.kind}")
 
 
@@ -102,3 +111,6 @@ class DeviceClient:
 
     def cluster_assign(self, packed: np.ndarray, meta: dict) -> np.ndarray:
         return self.request("cluster_assign", packed, meta)
+
+    def call_task(self, packed: np.ndarray, meta: dict) -> np.ndarray:
+        return self.request("call_task", packed, meta)

@@ -555,15 +555,21 @@ class CombineTask(Task):
             return
         if sum(len(a) * len(b) for a, b in pairs) < DEVICE_MIN_CELLS:
             return
-        dists = edit_distance_batch(pairs)
+        service = getattr(self, "device_service", None)
+        if service is not None:
+            # forked workers must not claim the TPU themselves; the
+            # parent-owned device service runs the batch
+            dists = service.request("ed_batch", pairs, {})
+        else:
+            dists = edit_distance_batch(pairs)
         for pair, dist in zip(pairs, dists):
             ed_cache[pair] = int(dist)
 
     def _group_batch(self, svtype, svcands, keep, ed_cache):
-        """Greedy group assignment, on device when enabled."""
+        """Greedy group assignment: segmented exact greedy when enabled
+        (host-vectorized — works in workers and inline mode alike)."""
         self._prefill_ed_cache(svcands, keep, ed_cache, self.config)
         use_device = (getattr(self.config, "tpu_combine", False)
-                      and self.config.threads == 0
                       and svtype != "BND" and len(svcands) >= 4)
         if use_device:
             try:
@@ -599,6 +605,7 @@ class CombineTask(Task):
 
     def execute(self, worker=None):
         config = self.config
+        self.device_service = getattr(worker, "device_client", None)
         sample_snfs = self._open_sample_snfs()
         self._attach_population()
         result = self.result_class(self, [], 0)

@@ -515,7 +515,16 @@ def call_from(cluster, config, keep_qc_fails, task):
     svtype = cluster.svtype
     qc = True
 
-    svlen = util.center(ld.svlen for ld in leads)
+    # device-computed statistics from the fused --tpu-call step
+    # (parallel/device_call.py): integer-exact robust centers and counts
+    # over exactly this cluster's leads; present only when merge_inner
+    # was a no-op, so they equal the host computations below. Float
+    # statistics (stdevs, NM mean) and set-carrying fields (rnames)
+    # stay host-side: they feed formatted output and downstream object
+    # paths, and host f64 keeps them byte-stable.
+    eng = getattr(cluster, "engine", None)
+
+    svlen = eng["svlen_center"] if eng else util.center(ld.svlen for ld in leads)
     lengths = [ld.svlen for ld in leads] if config.dev_emit_sv_lengths else None
 
     if not svtype.startswith("SINGLE_") and svtype != 'BND':
@@ -531,7 +540,7 @@ def call_from(cluster, config, keep_qc_fails, task):
         supporting |= long_reads
     support = len(supporting)
 
-    ref_start = util.center(ld.ref_start for ld in leads)
+    ref_start = eng["raw_pos_center"] if eng else util.center(ld.ref_start for ld in leads)
     stdev_pos = util.stdev(util.trim(ld.ref_start for ld in leads))
     if svtype == "BND":
         stdev_len = None
@@ -541,7 +550,7 @@ def call_from(cluster, config, keep_qc_fails, task):
         precise = stdev_pos + stdev_len < config.precise
 
     svstart, svend = calculate_bounds(svtype, ref_start, svlen)
-    fwd_count = sum(ld.strand == "+" for ld in leads)
+    fwd_count = eng["fwd"] if eng else sum(ld.strand == "+" for ld in leads)
     nm_mean = util.mean(ld.nm for ld in leads) if config.qc_nm_measure else -1
 
     if not keep_qc_fails and not qc:
@@ -553,7 +562,7 @@ def call_from(cluster, config, keep_qc_fails, task):
         id=f"{svtype}.{task.sv_id:X}S{task.id:X}",
         ref="N",
         alt=f"<{svtype}>",
-        qual=int(util.mean(ld.mapq for ld in leads)),
+        qual=eng["qual"] if eng else int(util.mean(ld.mapq for ld in leads)),
         filter="PASS",
         info={},
         svtype=svtype,
@@ -562,7 +571,7 @@ def call_from(cluster, config, keep_qc_fails, task):
         end=svend,
         genotypes={},
         precise=precise,
-        support=support,
+        support=support,  # set-based (needs rnames anyway); equals eng["support"]
         # sorted, not set order: the reference emits RNAMES in hash-seed-
         # dependent set order (reference sv.py:555 via list(support_set)),
         # so its output varies run to run under --output-rnames; ours is
