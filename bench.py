@@ -31,7 +31,7 @@ sys.path.insert(0, REPO)
 import numpy as np  # noqa: E402
 
 BENCH_DIR = os.environ.get("BENCH_DIR", "/tmp/sniffles_tpu_bench")
-CONTIGS = int(os.environ.get("BENCH_CONTIGS", 6))
+CONTIGS = int(os.environ.get("BENCH_CONTIGS", 10))
 REF_LEN = int(os.environ.get("BENCH_REF_LEN", 1_200_000))
 DEPTH = int(os.environ.get("BENCH_DEPTH", 30))
 THREADS = os.environ.get("BENCH_THREADS", "4")

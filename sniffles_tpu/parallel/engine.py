@@ -118,6 +118,14 @@ def call_pipeline_step(sig: dict, coverage: jnp.ndarray, params: dict,
     n = stats["svtype"].shape[0]
     cluster_valid = jnp.arange(n) < stats["n_clusters"]
 
+    # split-read support per cluster (reference: sv.py:580-581 counts
+    # source != INLINE leads into SUPPORT_SA for the DEL genotyper)
+    from sniffles_tpu.ops.segments import seg_sum
+    sa = clustered.get("sa")
+    support_sa = (seg_sum(jnp.where(clustered["valid"] & sa, 1, 0),
+                          clustered["cluster_id"], n)
+                  if sa is not None else jnp.zeros_like(stats["support"]))
+
     # length screen (reference: sv.py:511-515)
     is_sv = (stats["svtype"] >= 0) & (stats["svtype"] <= 3)
     length_ok = ~is_sv | (jnp.abs(stats["svlen"]) >= params["minsvlen_screen"])
@@ -132,7 +140,7 @@ def call_pipeline_step(sig: dict, coverage: jnp.ndarray, params: dict,
                         cov["coverage_upstream"], cov["coverage_start"],
                         cov["coverage_center"], cov["coverage_end"],
                         cov["coverage_downstream"],
-                        support_sa=jnp.zeros_like(stats["support"]),
+                        support_sa=support_sa,
                         params=params)
 
     qc = qc_batch(stats, gt, params)

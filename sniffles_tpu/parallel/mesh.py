@@ -48,7 +48,7 @@ def make_genome_mesh(n_devices: int | None = None) -> Mesh:
 
 
 _SIG_FIELDS = ("pos", "svlen", "svtype", "read_id", "strand", "mapq", "nm",
-               "repeat", "valid")
+               "repeat", "sa", "valid")
 
 
 def build_sharded_step(mesh: Mesh, params: dict | None = None,

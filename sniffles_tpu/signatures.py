@@ -24,6 +24,7 @@ class SignatureBatch:
     mapq: np.ndarray       # int32 [N]
     nm: np.ndarray         # float32 [N]
     repeat: np.ndarray     # bool [N] (within tandem-repeat annotation)
+    sa: np.ndarray         # bool [N] (split-read evidence: lead source != INLINE)
     valid: np.ndarray      # bool [N]
 
     @property
@@ -37,7 +38,8 @@ class SignatureBatch:
     def as_dict(self) -> dict:
         return {"pos": self.pos, "svlen": self.svlen, "svtype": self.svtype,
                 "read_id": self.read_id, "strand": self.strand, "mapq": self.mapq,
-                "nm": self.nm, "repeat": self.repeat, "valid": self.valid}
+                "nm": self.nm, "repeat": self.repeat, "sa": self.sa,
+                "valid": self.valid}
 
 
 def _pad_to(n: int, batch_size: Optional[int]) -> int:
@@ -70,6 +72,7 @@ def from_leads(leads: list, tr_regions: Optional[list[tuple[int, int]]] = None,
     mapq = np.zeros(size, dtype=np.int32)
     nm = np.zeros(size, dtype=np.float32)
     repeat = np.zeros(size, dtype=bool)
+    sa = np.zeros(size, dtype=bool)
     valid = np.zeros(size, dtype=bool)
 
     tr = sorted(tr_regions) if tr_regions else []
@@ -84,6 +87,7 @@ def from_leads(leads: list, tr_regions: Optional[list[tuple[int, int]]] = None,
         strand[i] = 1 if ld.strand == "+" else -1
         mapq[i] = ld.mapq if ld.mapq is not None else 0
         nm[i] = ld.nm if ld.nm is not None and ld.nm >= 0 else 0.0
+        sa[i] = ld.source != "INLINE"
         valid[i] = True
 
     if len(tr_starts):
@@ -92,7 +96,8 @@ def from_leads(leads: list, tr_regions: Optional[list[tuple[int, int]]] = None,
         repeat[:n] = in_tr
 
     return SignatureBatch(pos=pos, svlen=svlen, svtype=svtype, read_id=read_id,
-                          strand=strand, mapq=mapq, nm=nm, repeat=repeat, valid=valid)
+                          strand=strand, mapq=mapq, nm=nm, repeat=repeat, sa=sa,
+                          valid=valid)
 
 
 def synthetic_batch(n_signatures: int, n_clusters: int, seed: int = 0,
@@ -125,6 +130,7 @@ def synthetic_batch(n_signatures: int, n_clusters: int, seed: int = 0,
         mapq=np.zeros(size, dtype=np.int32),
         nm=np.zeros(size, dtype=np.float32),
         repeat=np.zeros(size, dtype=bool),
+        sa=np.zeros(size, dtype=bool),
         valid=np.zeros(size, dtype=bool),
     )
     batch.pos[:n_signatures] = pos

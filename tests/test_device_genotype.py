@@ -84,3 +84,52 @@ def test_long_ins_rescale():
         support_sa=jnp.zeros(1, dtype=jnp.int32), params=params)
     host = host_genotype("INS", 5000, 10, 30)
     assert int(np.asarray(out["dv"])[0]) == host.genotypes[0][4]
+
+
+def test_engine_del_support_sa_flows_from_signatures():
+    """call_pipeline_step feeds per-cluster split-read counts into the
+    DEL genotyper (reference: sv.py:580-581 SUPPORT_SA + genotyping.py
+    DeletionGenotyper) instead of the round-1 support_sa=0 stub."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sniffles_tpu.parallel.engine import call_pipeline_step, default_params
+
+    n = 1024
+    base = {
+        "pos": np.zeros(n, dtype=np.int32),
+        "svlen": np.zeros(n, dtype=np.int32),
+        "svtype": np.zeros(n, dtype=np.int32),
+        "read_id": np.zeros(n, dtype=np.int32),
+        "strand": np.ones(n, dtype=np.int32),
+        "mapq": np.full(n, 60, dtype=np.int32),
+        "nm": np.zeros(n, dtype=np.float32),
+        "repeat": np.zeros(n, dtype=bool),
+        "sa": np.zeros(n, dtype=bool),
+        "valid": np.zeros(n, dtype=bool),
+    }
+    # one DEL cluster, 6 supporting reads
+    for i in range(6):
+        base["pos"][i] = 50_000 + i
+        base["svlen"][i] = -300
+        base["svtype"][i] = 1
+        base["read_id"][i] = i + 1
+        base["valid"][i] = True
+    coverage = jnp.full((100_000,), 30, dtype=jnp.int32)
+    params = default_params()
+
+    def run(sa_flags):
+        sig = dict(base)
+        sig["sa"] = sa_flags
+        out = call_pipeline_step({k: jnp.asarray(v) for k, v in sig.items()},
+                                 coverage, params)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        i = int(np.nonzero(out["cluster_valid"])[0][0])
+        return out["dr"][i], out["dv"][i]
+
+    no_sa = run(np.zeros(n, dtype=bool))
+    with_sa = np.zeros(n, dtype=bool)
+    with_sa[:6] = True
+    sa = run(with_sa)
+    # DEL coverage blends in support_sa (genotype_batch): DR must differ
+    assert sa != no_sa, (sa, no_sa)

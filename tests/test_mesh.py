@@ -98,6 +98,7 @@ def _planted_shard_batch(n_dev, per_dev, cov_per_dev, seed, straddle_types):
         "mapq": np.full(total, 60, dtype=np.int32),
         "nm": np.zeros(total, dtype=np.float32),
         "repeat": np.zeros(total, dtype=bool),
+        "sa": np.zeros(total, dtype=bool),
         "valid": np.zeros(total, dtype=bool),
     }
     next_slot = [s * per_dev for s in range(n_dev)]
@@ -265,6 +266,7 @@ def test_halo_exchange_straddling_cluster_exact_stats(mesh8):
         "mapq": np.full(total, 60, dtype=np.int32),
         "nm": np.zeros(total, dtype=np.float32),
         "repeat": np.zeros(total, dtype=bool),
+        "sa": np.zeros(total, dtype=bool),
         "valid": np.zeros(total, dtype=bool),
     }
     for i in range(10):
