@@ -61,7 +61,11 @@ def device_clusters(lead_provider, config, tr, device=None):
         return
 
     n = len(leads)
-    size = 1024
+    # floor 8192: most tasks share ONE padded size, so a whole run
+    # compiles the fused step once (remote compile over a tunneled chip
+    # costs ~minutes per distinct shape; the kernel itself is
+    # sort-bound and near-free at this size)
+    size = 8192
     while size < n:
         size *= 2
 
