@@ -145,17 +145,15 @@ def device_clusters(lead_provider, config, tr, device=None):
             for b in bins:
                 leads_long.extend(long_by_bin.get(b, []))
 
-        sv0 = sv1 = sv2 = 0
-        for ld in cluster_leads:
-            hp = min(int(ld.hap), 2)
-            if hp == 0:
-                sv0 += 1
-            elif hp == 1:
-                sv1 += 1
-            else:
-                sv2 += 1
+        # host-exact hap counts: the SEED BIN's tallies on both the SV and
+        # REF sides (reference semantics via _seed_clusters, cluster.py:238-244
+        # — the sweep does not re-fold counts when absorbing neighbors), NOT
+        # a recount over the merged cluster. rescue_phasing's in-phase ratio
+        # (tasks.py) is computed from these, so a recount flips rescues.
+        sv_h = lead_provider.leadhapcount[svtype].get(seed, (0, 0, 0))
         hp_counts = hap_ref.get(seed, [0, 0, 0])
-        hap_counts_full = (sv0, sv1, sv2, hp_counts[0], hp_counts[1], hp_counts[2])
+        hap_counts_full = (sv_h[0], sv_h[1], sv_h[2],
+                           hp_counts[0], hp_counts[1], hp_counts[2])
 
         within_repeat = any(repeat_flags[i] for i in member_idx)
         cluster = Cluster(
