@@ -304,9 +304,16 @@ def _run_pool(config, tasks, processes, monitor):
     """Run the worker pool (or the inline parent worker for --threads 0)
     to completion (reference: sniffles:495-542)."""
     from sniffles_tpu.pipeline import runtime
+    from sniffles_tpu.parallel import device_daemon
+    device_server = None
+    # a configured device daemon already holds the chip claim; this
+    # process must then never claim it itself (two claimants queue on
+    # the single chip)
+    have_daemon = bool(os.environ.get(device_daemon.ENV_SOCKET)
+                       and os.path.exists(os.environ[device_daemon.ENV_SOCKET]))
     if config.threads:
-        device_server = None
-        if getattr(config, "tpu_call", False) or getattr(config, "tpu_combine", False):
+        if ((getattr(config, "tpu_call", False) or getattr(config, "tpu_combine", False))
+                and not have_daemon):
             # one shared TPU client in the parent; workers reach it over
             # their task pipes (parallel/device_service.py). Created BEFORE
             # any JAX import so worker forks stay clean.
@@ -319,10 +326,38 @@ def _run_pool(config, tasks, processes, monitor):
                 device_server=device_server))
     else:
         processes.append(runtime.SnifflesParentWorker(config=config, tasks=tasks))
+        if getattr(config, "tpu_call", False) and not have_daemon:
+            # inline (--threads 0) tasks use in-process JAX; claim the
+            # chip + compile on a background thread while the first task
+            # decodes (zlib/C++ decode releases the GIL)
+            import threading
+
+            def _inline_warm():
+                try:
+                    import jax.numpy as jnp
+                    import numpy as np
+                    from sniffles_tpu.ops.clustering import call_task_packed
+                    from sniffles_tpu.parallel.device_call import DEVICE_BATCH_FLOOR
+                    from sniffles_tpu.parallel.device_service import standard_call_meta
+                    np.asarray(call_task_packed(
+                        jnp.zeros((9, DEVICE_BATCH_FLOOR), jnp.int32),
+                        **standard_call_meta(config)))
+                except Exception:
+                    log.debug("inline device warmup failed", exc_info=True)
+
+            threading.Thread(target=_inline_warm, daemon=True).start()
 
     started = time.monotonic()
     for p in processes:
         p.start()
+
+    if config.threads and device_server is not None:
+        # all workers are forked; claim the chip + compile the standard
+        # call-step shape on the dispatcher thread NOW, overlapping the
+        # workers' first BAM decode (the claim costs ~1s steady-state
+        # and the first task would otherwise stall on it)
+        device_server.warm_async(config if getattr(config, "tpu_call", False)
+                                 else None)
 
     while any([p.run_parent() for p in processes if p.running]):
         time.sleep(0.01)

@@ -25,20 +25,25 @@ log = logging.getLogger(__name__)
 # mate-geometry resplit stays host-exact (reference: cluster.py:164-216).
 _DEVICE_TYPES = ("INS", "DEL", "DUP", "INV", "BND")
 
+# floor 8192: most tasks share ONE padded size, so a whole run compiles
+# the fused step once (remote compile over a tunneled chip costs
+# ~minutes per distinct shape; the kernel itself is sort-bound and
+# near-free at this size). The warmup compile (device_service.py)
+# targets exactly this shape.
+DEVICE_BATCH_FLOOR = 8192
 
-def device_clusters(lead_provider, config, tr, device=None):
+
+def pack_task_batch(lead_provider, config, tr):
+    """Flatten the leadtab (reference layout: leadprov.py:400-418) into
+    the packed (9, size) int32 signature batch the call_task kernel
+    consumes, plus the host-side context needed to materialize clusters
+    from the kernel output. Returns None when the task has no
+    device-eligible leads.
+
+    Safe to run on a worker's decode-ahead thread: it only reads the
+    already-built leadtab, so the request can be POSTED to the device
+    service while the previous task's host compute is still running.
     """
-    Yield Cluster objects for INS/DEL/DUP/INV built from the device
-    clustering assignment; the caller handles BND/single types with the
-    host path.
-
-    `device`: a DeviceClient proxy when running inside a forked worker
-    (the parent owns the TPU client and answers over the task pipe);
-    None runs the kernel in-process (inline --threads 0 mode).
-    """
-
-    # Flatten the leadtab (reference layout: leadprov.py:400-418) into a
-    # signature batch; leads_long (svlen None) stay host-side per bin.
     leads = []
     lead_bins = []
     for svtype in _DEVICE_TYPES:
@@ -58,14 +63,10 @@ def device_clusters(lead_provider, config, tr, device=None):
                 leads.append(ld)
                 lead_bins.append(bin_pos)
     if not leads:
-        return
+        return None
 
     n = len(leads)
-    # floor 8192: most tasks share ONE padded size, so a whole run
-    # compiles the fused step once (remote compile over a tunneled chip
-    # costs ~minutes per distinct shape; the kernel itself is
-    # sort-bound and near-free at this size)
-    size = 8192
+    size = DEVICE_BATCH_FLOOR
     while size < n:
         size *= 2
 
@@ -90,24 +91,43 @@ def device_clusters(lead_provider, config, tr, device=None):
     if len(tr_starts):
         idx = np.searchsorted(tr_starts, packed[0, :n], side="right") - 1
         packed[4, :n] = ((idx >= 0) & (packed[0, :n] < tr_ends[np.clip(idx, 0, len(tr_ends) - 1)]))
-    repeat_flags = packed[4, :n] > 0
 
-    meta = dict(
-        cluster_r=float(config.cluster_r),
-        cluster_repeat_h=float(config.cluster_repeat_h),
-        cluster_repeat_h_max=float(config.cluster_repeat_h_max),
-        cluster_merge_bnd=int(config.cluster_merge_bnd),
-        cluster_merge_len=float(config.cluster_merge_len),
-        minsvlen=int(config.minsvlen),
-        binsize=int(config.cluster_binsize),
-        resplit_binsize=int(config.cluster_resplit_binsize),
-    )
-    if device is not None:
-        out = device.call_task(packed, meta)
+    from sniffles_tpu.parallel.device_service import standard_call_meta
+    return packed, standard_call_meta(config), leads, lead_bins
+
+
+def device_clusters(lead_provider, config, tr, device=None, posted=None):
+    """
+    Yield Cluster objects for INS/DEL/DUP/INV built from the device
+    clustering assignment; the caller handles BND/single types with the
+    host path.
+
+    `device`: a DeviceClient proxy when running inside a forked worker
+    (the parent owns the TPU client and answers over the task pipe);
+    None runs the kernel in-process (inline --threads 0 mode).
+    `posted`: optional (req_id, pack) pair from a decode-ahead thread
+    that already posted this task's batch to the device service; the
+    round trip then overlaps the previous task's host compute.
+    """
+    if posted is not None:
+        req_id, pack = posted
+        if pack is None:
+            return
+        packed, meta, leads, lead_bins = pack
+        out = device.wait(req_id)
     else:
-        import jax.numpy as jnp
-        from sniffles_tpu.ops.clustering import call_task_packed
-        out = np.asarray(call_task_packed(jnp.asarray(packed), **meta))
+        pack = pack_task_batch(lead_provider, config, tr)
+        if pack is None:
+            return
+        packed, meta, leads, lead_bins = pack
+        if device is not None:
+            out = device.call_task(packed, meta)
+        else:
+            import jax.numpy as jnp
+            from sniffles_tpu.ops.clustering import call_task_packed
+            out = np.asarray(call_task_packed(jnp.asarray(packed), **meta))
+    n = len(leads)
+    repeat_flags = packed[4, :n] > 0
 
     cids = out[0]
     ridx = out[1]   # original lead index, permuted with the sort

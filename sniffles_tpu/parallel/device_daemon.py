@@ -1,0 +1,266 @@
+"""
+Persistent device daemon: owns the TPU client across CLI runs.
+
+The chip claim over the axon tunnel costs ~1s in a quiet window and
+minutes under contention, and it is paid PER PROCESS — so a fresh
+`sniffles-tpu` invocation can lose its entire wall-clock budget to the
+claim before the first kernel runs. Production serving therefore keeps
+one long-lived daemon process that claims the chip once, compiles the
+standard kernel shapes once, and serves kernel requests to any number
+of subsequent runs over a Unix domain socket.
+
+    python -m sniffles_tpu.parallel.device_daemon --socket /tmp/st.sock &
+    SNIFFLES_TPU_DEVICE_SOCKET=/tmp/st.sock sniffles-tpu --input ... --tpu-call
+
+Every process of a run (parent and forked workers alike) opens its own
+connection; requests are serialized through the daemon's single
+dispatcher thread (one chip). The daemon exits after --idle-timeout
+seconds without a connected client so it never holds the chip claim
+indefinitely.
+
+Reference mapping: no analogue (the reference is CPU-only); this is
+the TPU-native equivalent of a persistent serving process amortizing
+accelerator acquisition, the "overlap decode/H2D/compute" economics of
+SURVEY §7.3 taken across runs.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import threading
+import time
+
+import numpy as np
+
+from sniffles_tpu.parallel.device_service import (DeviceRequest, DeviceResponse,
+                                                  DeviceServer)
+
+log = logging.getLogger(__name__)
+
+ENV_SOCKET = "SNIFFLES_TPU_DEVICE_SOCKET"
+
+_PING = "noop"
+_SHUTDOWN = "__shutdown__"
+
+
+def serve(socket_path: str, idle_timeout: float = 600.0, warm_config=None,
+          ready_event: threading.Event = None) -> None:
+    """Run the daemon until shutdown request or idle timeout."""
+    from multiprocessing.connection import Listener
+
+    server = DeviceServer()
+    if warm_config is None:
+        # reference-default kernel params (config.py defaults); runs with
+        # non-default clustering flags compile their shape on first use
+        from sniffles_tpu.config import SnifflesConfig
+        warm_config = SnifflesConfig("--input", "warm.bam", "--vcf", "warm.vcf")
+    server.warm_async(warm_config)
+
+    if os.path.exists(socket_path):
+        os.unlink(socket_path)
+    listener = Listener(socket_path, family="AF_UNIX")
+    log.info(f"device daemon listening on {socket_path}")
+    if ready_event is not None:
+        ready_event.set()
+
+    state = {"last_active": time.monotonic(), "clients": 0, "stop": False}
+    state_lock = threading.Lock()
+
+    def reaper():
+        while True:
+            time.sleep(5.0)
+            with state_lock:
+                if state["stop"]:
+                    return
+                idle = (state["clients"] == 0
+                        and time.monotonic() - state["last_active"] > idle_timeout)
+            if idle:
+                log.info("device daemon idle timeout; exiting")
+                with state_lock:
+                    state["stop"] = True
+                # unblock listener.accept()
+                try:
+                    from multiprocessing.connection import Client
+                    Client(socket_path, family="AF_UNIX").close()
+                except Exception:
+                    pass
+                return
+
+    threading.Thread(target=reaper, daemon=True).start()
+
+    def client_thread(conn):
+        send_lock = threading.Lock()
+        try:
+            while True:
+                request = conn.recv()
+                with state_lock:
+                    state["last_active"] = time.monotonic()
+                if not isinstance(request, DeviceRequest):
+                    continue
+                if request.kind == _SHUTDOWN:
+                    with state_lock:
+                        state["stop"] = True
+                    try:
+                        conn.send(DeviceResponse(payload=np.zeros(1),
+                                                 req_id=request.req_id))
+                    except Exception:
+                        pass
+                    try:
+                        from multiprocessing.connection import Client
+                        Client(socket_path, family="AF_UNIX").close()
+                    except Exception:
+                        pass
+                    return
+                # a "noop" ping answers only once warmup finished (the
+                # dispatcher thread runs warm first, then the queue), so
+                # a ping response means the chip is claimed and compiled
+                server.submit(request,
+                              lambda resp: _safe_send(conn, send_lock, resp))
+        except (EOFError, OSError):
+            pass
+        finally:
+            with state_lock:
+                state["clients"] -= 1
+                state["last_active"] = time.monotonic()
+            try:
+                conn.close()
+            except Exception:
+                pass
+
+    try:
+        while True:
+            conn = listener.accept()
+            with state_lock:
+                if state["stop"]:
+                    break
+                state["clients"] += 1
+            threading.Thread(target=client_thread, args=(conn,),
+                             daemon=True).start()
+    finally:
+        listener.close()
+        if os.path.exists(socket_path):
+            try:
+                os.unlink(socket_path)
+            except OSError:
+                pass
+
+
+def _safe_send(conn, lock, msg) -> None:
+    try:
+        with lock:
+            conn.send(msg)
+    except Exception:
+        log.debug("daemon client went away before response delivery")
+
+
+class DaemonClient:
+    """Connection to a running device daemon; same call surface as
+    device_service.DeviceClient (post/wait/request/call_task), safe for
+    concurrent use from multiple threads of one process."""
+
+    TIMEOUT = 600
+
+    def __init__(self, socket_path: str):
+        from multiprocessing.connection import Client
+        self._conn = Client(socket_path, family="AF_UNIX")
+        self._send_lock = threading.Lock()
+        self._cv = threading.Condition()
+        self._responses: dict[int, DeviceResponse] = {}
+        self._next_id = 1
+        self._recv_error: str = None
+        threading.Thread(target=self._recv_loop, daemon=True).start()
+
+    def _recv_loop(self):
+        try:
+            while True:
+                response = self._conn.recv()
+                with self._cv:
+                    self._responses[response.req_id] = response
+                    self._cv.notify_all()
+        except (EOFError, OSError) as e:
+            with self._cv:
+                self._recv_error = f"daemon connection lost: {e}"
+                self._cv.notify_all()
+
+    def post(self, kind: str, payload, meta: dict) -> int:
+        with self._cv:
+            req_id = self._next_id
+            self._next_id += 1
+        with self._send_lock:
+            self._conn.send(DeviceRequest(kind=kind, payload=payload,
+                                          meta=meta, req_id=req_id))
+        return req_id
+
+    def wait(self, req_id: int, timeout: float = None) -> np.ndarray:
+        deadline = time.monotonic() + (timeout or self.TIMEOUT)
+        with self._cv:
+            while req_id not in self._responses:
+                if self._recv_error is not None:
+                    raise RuntimeError(self._recv_error)
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self._cv.wait(timeout=remaining):
+                    raise TimeoutError(f"device daemon did not answer request "
+                                       f"{req_id} in time")
+            response = self._responses.pop(req_id)
+        if response.error is not None:
+            raise RuntimeError(f"device daemon error: {response.error}")
+        return response.payload
+
+    def request(self, kind: str, payload, meta: dict) -> np.ndarray:
+        return self.wait(self.post(kind, payload, meta))
+
+    def ping(self, timeout: float = None) -> bool:
+        """Block until the daemon has finished warmup (chip claimed and
+        standard shape compiled); False on timeout."""
+        try:
+            self.wait(self.post(_PING, None, {}), timeout=timeout)
+            return True
+        except (TimeoutError, RuntimeError):
+            return False
+
+    def shutdown(self) -> None:
+        try:
+            self.post(_SHUTDOWN, None, {})
+        except Exception:
+            pass
+
+    def close(self) -> None:
+        try:
+            self._conn.close()
+        except Exception:
+            pass
+
+    def cluster_assign(self, packed: np.ndarray, meta: dict) -> np.ndarray:
+        return self.request("cluster_assign", packed, meta)
+
+    def call_task(self, packed: np.ndarray, meta: dict) -> np.ndarray:
+        return self.request("call_task", packed, meta)
+
+
+def connect(socket_path: str = None) -> DaemonClient:
+    """DaemonClient for `socket_path` (default: $SNIFFLES_TPU_DEVICE_SOCKET);
+    None when no daemon is configured or reachable."""
+    path = socket_path or os.environ.get(ENV_SOCKET)
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        return DaemonClient(path)
+    except OSError:
+        log.warning(f"device daemon socket {path} not reachable")
+        return None
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="sniffles-tpu device daemon")
+    parser.add_argument("--socket", required=True)
+    parser.add_argument("--idle-timeout", type=float, default=600.0)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    serve(args.socket, idle_timeout=args.idle_timeout)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -6,11 +6,18 @@ A TPU client must not be forked, so with ``--threads N`` the runtime
 splits device work across the process boundary (the design promised in
 pipeline/runtime.py): workers decode BAM and build signature tensors,
 then ship each packed batch to the parent over their existing task
-pipe as a DeviceRequest; the parent lazily initializes the JAX client
-(strictly after all workers have been forked) and answers with a
-DeviceResponse.  One round trip per task — transfer latency over a
-tunneled chip is per-message, so the protocol is one request per
-task-sized batch, not per cluster.
+pipe as a DeviceRequest; the parent owns the JAX client (initialized
+strictly after all workers have been forked) and answers with a
+DeviceResponse.
+
+Dispatch economics (the round-3 lesson): the expensive parts are the
+one-time chip claim (~1s, up to minutes over a contended tunnel) and
+the per-shape compile (~1s with a warm persistent cache) — so the
+server runs them on a dedicated dispatcher thread started immediately
+after the workers fork, overlapping claim+compile with the workers'
+BAM decode, and requests are tagged with ids so a worker can keep
+several in flight (the decode-ahead prefetch posts the next task's
+batch while the current task's host compute runs).
 
 Reference mapping: this replaces nothing in the reference (which is
 CPU-only, parallel.py:585-807); it is the TPU-native equivalent of its
@@ -19,7 +26,9 @@ worker pool feeding a shared accelerator.
 from __future__ import annotations
 
 import logging
+import queue
 import threading
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -39,6 +48,7 @@ class DeviceRequest:
     kind: str                 # "cluster_assign" | "call_task" | "ed_batch"
     payload: object           # packed ndarray, or a list of string pairs
     meta: dict = field(default_factory=dict)   # static kernel params
+    req_id: int = 0           # worker-scoped correlation id
 
 
 @dataclass
@@ -46,25 +56,120 @@ class DeviceResponse:
     """Parent -> worker: kernel result (or error text)."""
     payload: np.ndarray = None
     error: str = None
+    req_id: int = 0
+
+
+def standard_call_meta(config) -> dict:
+    """The static kernel params the production --tpu-call path uses
+    (device_call.py builds the same dict per task). Warmup compiles for
+    exactly these so the first real request hits the jit cache."""
+    return dict(
+        cluster_r=float(config.cluster_r),
+        cluster_repeat_h=float(config.cluster_repeat_h),
+        cluster_repeat_h_max=float(config.cluster_repeat_h_max),
+        cluster_merge_bnd=int(config.cluster_merge_bnd),
+        cluster_merge_len=float(config.cluster_merge_len),
+        minsvlen=int(config.minsvlen),
+        binsize=int(config.cluster_binsize),
+        resplit_binsize=int(config.cluster_resplit_binsize),
+    )
 
 
 class DeviceServer:
-    """Parent-side kernel dispatcher. JAX is initialized on the first
-    request, which the caller guarantees happens after worker fork."""
+    """Parent-side kernel dispatcher.
+
+    Requests are processed on a dedicated thread (``submit``); the
+    response is handed to the per-request ``reply`` callable from that
+    thread, so the parent's poll loop never blocks on the chip.
+    ``warm_async`` starts the thread early and front-loads the chip
+    claim + the standard-shape compile so they overlap with worker BAM
+    decode instead of stalling the first task.
+
+    The synchronous ``handle`` entry is kept for inline callers/tests.
+    """
 
     def __init__(self):
-        self._kernels = {}
+        self._queue: queue.Queue = queue.Queue()
+        self._thread: threading.Thread = None
+        self._warm_meta = None
+        self.warm_stats: dict = {}
+
+    # -- threaded operation -------------------------------------------------
+
+    def warm_async(self, config=None) -> None:
+        """Start the dispatcher thread; it claims the chip and compiles
+        the standard call-step shape before serving requests."""
+        if self._thread is not None:
+            return
+        if config is not None:
+            self._warm_meta = standard_call_meta(config)
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="device-dispatch")
+        self._thread.start()
+
+    def submit(self, request: DeviceRequest, reply) -> None:
+        """Queue a request; ``reply(DeviceResponse)`` is called from the
+        dispatcher thread when done."""
+        if self._thread is None:
+            self.warm_async()
+        self._queue.put((request, reply))
+
+    def _run(self) -> None:
+        self._warm()
+        while True:
+            request, reply = self._queue.get()
+            response = self.handle(request)
+            try:
+                reply(response)
+            except Exception:
+                # requester's pipe may be gone (dead worker); its task is
+                # requeued by the heartbeat logic and re-posts elsewhere
+                log.debug("could not deliver device response", exc_info=True)
+
+    def _warm(self) -> None:
+        global JAX_CLIENT_LIVE
+        try:
+            t0 = time.perf_counter()
+            import jax
+            import jax.numpy as jnp
+            JAX_CLIENT_LIVE = True
+            # chip claim: the first dispatch in a fresh process pays the
+            # tunnel claim (1s steady, minutes under contention)
+            jnp.zeros((8,), jnp.int32).block_until_ready()
+            claim_s = time.perf_counter() - t0
+            compile_s = 0.0
+            if self._warm_meta is not None:
+                from sniffles_tpu.ops.clustering import call_task_packed
+                from sniffles_tpu.parallel.device_call import DEVICE_BATCH_FLOOR
+                t0 = time.perf_counter()
+                probe = jnp.zeros((9, DEVICE_BATCH_FLOOR), jnp.int32)
+                np.asarray(call_task_packed(probe, **self._warm_meta))
+                compile_s = time.perf_counter() - t0
+            self.warm_stats = {"claim_s": round(claim_s, 3),
+                               "compile_s": round(compile_s, 3)}
+            log.info(f"device warmup: claim {claim_s:.2f}s, "
+                     f"standard-shape compile {compile_s:.2f}s")
+        except Exception:
+            # surfaced per-request later; workers fall back to host
+            log.warning("device warmup failed", exc_info=True)
+
+    # -- kernel dispatch ----------------------------------------------------
 
     def handle(self, request: DeviceRequest) -> DeviceResponse:
         try:
-            return DeviceResponse(payload=self._dispatch(request))
+            return DeviceResponse(payload=self._dispatch(request),
+                                  req_id=request.req_id)
         except Exception as e:  # noqa: BLE001 - errors cross the pipe as text
             log.warning("device service request failed", exc_info=True)
-            return DeviceResponse(error=f"{type(e).__name__}: {e}")
+            return DeviceResponse(error=f"{type(e).__name__}: {e}",
+                                  req_id=request.req_id)
 
     def _dispatch(self, request: DeviceRequest) -> np.ndarray:
         global JAX_CLIENT_LIVE
         JAX_CLIENT_LIVE = True
+        if request.kind == "noop":
+            # liveness/warmth probe: reaching here means warmup finished
+            return np.zeros(1, dtype=np.int32)
         if request.kind == "cluster_assign":
             import jax.numpy as jnp
             from sniffles_tpu.ops.clustering import cluster_assign_packed
@@ -83,31 +188,51 @@ class DeviceServer:
 
 
 class DeviceClient:
-    """Worker-side proxy. Sends a DeviceRequest on the worker's task
-    pipe and blocks until the receive thread delivers the response."""
+    """Worker-side proxy. ``post`` sends a DeviceRequest on the worker's
+    task pipe and returns its id; ``wait`` blocks until the receive
+    thread delivers the matching response. Multiple requests can be in
+    flight (the decode-ahead prefetch posts the next task's batch while
+    the current task computes), from any worker thread."""
 
     TIMEOUT = 600  # seconds; first-compile over a tunneled chip can be slow
 
-    def __init__(self, conn):
+    def __init__(self, conn, send_lock: threading.Lock = None):
         self._conn = conn
-        self._event = threading.Event()
-        self._response: DeviceResponse = None
+        self._send_lock = send_lock or threading.Lock()
+        self._cv = threading.Condition()
+        self._responses: dict[int, DeviceResponse] = {}
+        self._next_id = 1
 
     def deliver(self, response: DeviceResponse) -> None:
         """Called from the worker's pipe receive thread."""
-        self._response = response
-        self._event.set()
+        with self._cv:
+            self._responses[response.req_id] = response
+            self._cv.notify_all()
 
-    def request(self, kind: str, payload: np.ndarray, meta: dict) -> np.ndarray:
-        self._event.clear()
-        self._response = None
-        self._conn.send(DeviceRequest(kind=kind, payload=payload, meta=meta))
-        if not self._event.wait(self.TIMEOUT):
-            raise TimeoutError(f"device service did not answer a {kind} request "
-                               f"within {self.TIMEOUT}s")
-        if self._response.error is not None:
-            raise RuntimeError(f"device service error: {self._response.error}")
-        return self._response.payload
+    def post(self, kind: str, payload, meta: dict) -> int:
+        with self._cv:
+            req_id = self._next_id
+            self._next_id += 1
+        with self._send_lock:
+            self._conn.send(DeviceRequest(kind=kind, payload=payload,
+                                          meta=meta, req_id=req_id))
+        return req_id
+
+    def wait(self, req_id: int) -> np.ndarray:
+        deadline = time.monotonic() + self.TIMEOUT
+        with self._cv:
+            while req_id not in self._responses:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self._cv.wait(timeout=remaining):
+                    raise TimeoutError(f"device service did not answer request "
+                                       f"{req_id} within {self.TIMEOUT}s")
+            response = self._responses.pop(req_id)
+        if response.error is not None:
+            raise RuntimeError(f"device service error: {response.error}")
+        return response.payload
+
+    def request(self, kind: str, payload, meta: dict) -> np.ndarray:
+        return self.wait(self.post(kind, payload, meta))
 
     def cluster_assign(self, packed: np.ndarray, meta: dict) -> np.ndarray:
         return self.request("cluster_assign", packed, meta)

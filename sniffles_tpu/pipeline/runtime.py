@@ -75,8 +75,16 @@ class SnifflesWorker:
 
         self.pipe_main, self.pipe_worker = multiprocessing.Pipe()
         self.heartbeat_main, self.heartbeat_worker = multiprocessing.Pipe()
+        # pipe_main is written by the parent poll loop (tasks) AND the
+        # device dispatcher thread (kernel responses); Connection.send
+        # is not thread-safe, so both go through this lock
+        self._send_lock = threading.Lock()
 
         self.process = self._make_process()
+
+    def send_main(self, msg) -> None:
+        with self._send_lock:
+            self.pipe_main.send(msg)
 
     def _make_process(self) -> multiprocessing.Process:
         from sniffles_tpu.parallel import device_service
@@ -104,7 +112,7 @@ class SnifflesWorker:
 
     def _do_recycle(self):
         log.info(f'Recycling worker {self.id}')
-        self.pipe_main.send(ShutdownTask())
+        self.send_main(ShutdownTask())
         self.process.join(2)
         self.process = self._make_process()
         self.process.start()
@@ -136,12 +144,12 @@ class SnifflesWorker:
                     except IndexError:
                         log.debug(f'No more tasks to do for {self.id}')
                     else:
-                        self.pipe_main.send(self.task)
+                        self.send_main(self.task)
                 else:
                     peers_busy = any(p.task is not None for p in self.peers
                                      if p is not self and p.running)
                     if not peers_busy:
-                        self.pipe_main.send(ShutdownTask())
+                        self.send_main(ShutdownTask())
                         self.running = False
             else:
                 if (self.task2 is None and len(self.tasks) > 0
@@ -152,18 +160,20 @@ class SnifflesWorker:
                     except IndexError:
                         pass
                     else:
-                        self.pipe_main.send(self.task2)
+                        self.send_main(self.task2)
 
                 if self.pipe_main.poll(0.01):
                     msg = self.pipe_main.recv()
                     if isinstance(msg, DeviceRequest):
-                        # worker asked for a device kernel; answer inline and
-                        # keep the task in flight (the worker is blocked on
-                        # this response, so its result comes strictly later)
+                        # worker asked for a device kernel; hand it to the
+                        # dispatcher thread, which sends the response back
+                        # on this worker's pipe when the kernel finishes —
+                        # the poll loop never blocks on the chip, so other
+                        # workers' results/requests keep flowing
                         if self.device_server is None:
                             from sniffles_tpu.parallel.device_service import DeviceServer
                             self.device_server = DeviceServer()
-                        self.pipe_main.send(self.device_server.handle(msg))
+                        self.device_server.submit(msg, self.send_main)
                         return self.running
                     result: Result = msg
 
@@ -230,8 +240,17 @@ class SnifflesWorker:
 
         self.pid = os.getpid()
         self._shutdown = threading.Event()
-        # proxy for device kernels; the parent answers over the same pipe
-        self.device_client = DeviceClient(self.pipe_worker)
+        # pipe_worker is written by the main loop (results) and by any
+        # thread posting device requests (decode-ahead prefetch);
+        # serialize sends through one lock shared with the DeviceClient
+        self._worker_send_lock = threading.Lock()
+        # proxy for device kernels: a persistent device daemon when one
+        # is configured (SNIFFLES_TPU_DEVICE_SOCKET — the chip claim is
+        # already paid), else the parent answers over the task pipe
+        from sniffles_tpu.parallel import device_daemon
+        self.device_client = (device_daemon.connect()
+                              or DeviceClient(self.pipe_worker,
+                                              send_lock=self._worker_send_lock))
 
         t = threading.Thread(target=self.run_worker_heartbeats, daemon=True)
         t.start()
@@ -248,12 +267,16 @@ class SnifflesWorker:
                     msg = self.pipe_worker.recv()
                     if isinstance(msg, DeviceResponse):
                         # kernel answer for the blocked execute thread
-                        self.device_client.deliver(msg)
+                        # (pipe transport only; a DaemonClient has its
+                        # own socket and receive thread)
+                        if hasattr(self.device_client, "deliver"):
+                            self.device_client.deliver(msg)
                         continue
                     if (not isinstance(msg, ShutdownTask)
                             and getattr(msg, 'lead_provider', 1) is None
                             and hasattr(msg, 'build_leadtab')):
-                        prefetched[id(msg)] = prefetch_pool.submit(msg.build_leadtab)
+                        prefetched[id(msg)] = prefetch_pool.submit(
+                            self._prefetch_task, msg)
                     with pending_cv:
                         pending.append(msg)
                         pending_cv.notify()
@@ -294,16 +317,27 @@ class SnifflesWorker:
                 self._shutdown.set()
             except Exception:
                 log.exception(msg := f'Error in worker process while executing {task}')
-                self.pipe_worker.send(ErrorResult(msg))
+                with self._worker_send_lock:
+                    self.pipe_worker.send(ErrorResult(msg))
             else:
                 if result is not None:
-                    self.pipe_worker.send(result)
+                    with self._worker_send_lock:
+                        self.pipe_worker.send(result)
 
             del task
             gc.collect()
 
         prefetch_pool.shutdown(wait=False, cancel_futures=True)
         t.join(1.0)
+
+    def _prefetch_task(self, task):
+        """Decode-ahead body: build the next task's leadtab on this
+        background thread, then POST its device batch to the parent's
+        device service so the kernel round trip overlaps the current
+        task's host compute (the execute thread later just waits for
+        the response instead of paying the full round trip)."""
+        task.build_leadtab()
+        task.maybe_post_device(self.device_client)
 
     def run_worker_heartbeats(self):
         hb = 0
@@ -336,6 +370,10 @@ class SnifflesParentWorker(SnifflesWorker):
         self.task = None
         self.config = config
         self.finished_tasks: list[Task] = []
+        # a persistent device daemon serves inline tasks too (tasks fall
+        # back to in-process JAX when this stays None)
+        from sniffles_tpu.parallel import device_daemon
+        self.device_client = device_daemon.connect()
 
     def start(self) -> None:
         ...
@@ -362,7 +400,10 @@ class SnifflesParentWorker(SnifflesWorker):
                     except Exception:
                         log.exception('Decode-ahead prefetch failed; task will decode inline')
                 if can_prefetch and i + 1 < count:
-                    next_fut = pool.submit(tasks[i + 1].build_leadtab)
+                    def _prefetch(nxt=tasks[i + 1]):
+                        nxt.build_leadtab()
+                        nxt.maybe_post_device(self.device_client)
+                    next_fut = pool.submit(_prefetch)
                 else:
                     next_fut = None
                 result = task.execute(self)

@@ -57,6 +57,9 @@ class Task:
     # worker-local DeviceClient proxy; attached at execute time, never
     # pickled with the task
     device_service: object = None
+    # (req_id, pack) of a device request posted by the decode-ahead
+    # thread (runtime._prefetch_task); worker-local, never pickled
+    _device_posted: Optional[tuple] = None
 
     def __str__(self):
         return f'Task #{self.id}'
@@ -133,6 +136,27 @@ class Task:
             self._save_cached_leadtab()
         return self._prefetched
 
+    def maybe_post_device(self, device_client) -> None:
+        """Pack this task's signature batch and post it to the parent's
+        device service ahead of execution (called from the decode-ahead
+        thread), so the kernel round trip overlaps the preceding task's
+        host compute. No-op without --tpu-call or a leadtab."""
+        config = self.config
+        if (device_client is None or self.lead_provider is None
+                or not getattr(config, "tpu_call", False)):
+            return
+        try:
+            from sniffles_tpu.parallel.device_call import pack_task_batch
+            pack = pack_task_batch(self.lead_provider, config, self.tandem_repeats)
+            if pack is None:
+                self._device_posted = (None, None)
+                return
+            req_id = device_client.post("call_task", pack[0], pack[1])
+            self._device_posted = (req_id, pack)
+        except Exception:
+            log.warning("device prefetch post failed; task will post inline",
+                        exc_info=True)
+
     # -- candidate generation ----------------------------------------------
 
     def _iter_clusters(self, config):
@@ -144,10 +168,11 @@ class Task:
         # parent-owned device service when running in a forked worker
         service = getattr(self, "device_service", None)
         if getattr(config, "tpu_call", False) and (config.threads == 0 or service is not None):
+            posted, self._device_posted = self._device_posted, None
             try:
                 from sniffles_tpu.parallel.device_call import device_clusters, _DEVICE_TYPES
                 made = list(device_clusters(self.lead_provider, config, self.tandem_repeats,
-                                            device=service))
+                                            device=service, posted=posted))
             except Exception:
                 # chip CI sets this so a broken device path fails loudly
                 # instead of silently passing on the host fallback
