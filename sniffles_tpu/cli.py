@@ -636,4 +636,11 @@ def main(args: list[str] = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # hard exit (not sys.exit): background JAX warmup/dispatcher threads
+    # may still be inside native XLA code, and interpreter finalization
+    # under a compiling daemon thread segfaults; main() has already
+    # flushed and closed every output
+    code = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(code)

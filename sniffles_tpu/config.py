@@ -276,6 +276,7 @@ _TPU_FLAGS = (
     _f("--no-native", text="Disable the native C++ BAM decoder, use the pure-Python decoder", default=False, action="store_true"),
     _f("--tpu-call", text="Use the device sort-and-segment clustering for candidate grouping in call_sample. Composes with --threads N: workers decode and ship signature batches to the parent-owned TPU client (host sweep otherwise)", default=False, action="store_true"),
     _f("--tpu-combine", text="Use the segmented exact greedy + device edit-distance batching for multi-sample combine (host greedy assignment otherwise). Composes with --threads N", default=False, action="store_true"),
+    _f("--tpu-mesh", text="Shard each call task's clustering step over N devices (jax.sharding genome mesh with raw-signature halo exchange). Requires --tpu-call; 0 = single device", metavar="N", type=int, default=0),
 )
 
 _FLAG_GROUPS = (

@@ -16,6 +16,33 @@ from sniffles_tpu.io.bgzf import BGZFWriter
 CIGAR_OP_CODE = {op: i for i, op in enumerate("MIDNSHP=X")}
 SEQ_NT16_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
 
+# byte -> 4-bit code lookup for vectorized sequence packing (case folded;
+# anything unknown encodes as N=15)
+_NT16_TABLE = None
+
+
+def _nt16_table():
+    global _NT16_TABLE
+    if _NT16_TABLE is None:
+        import numpy as np
+        table = np.full(256, 15, dtype=np.uint8)
+        for ch, code in SEQ_NT16_CODE.items():
+            table[ord(ch)] = code
+            table[ord(ch.lower())] = code
+        _NT16_TABLE = table
+    return _NT16_TABLE
+
+
+def _pack_seq(seq: str) -> bytes:
+    """4-bit-pack a sequence (two bases per byte, first base in the high
+    nibble) with a vectorized table lookup — the per-character Python
+    loop was the simulator's bottleneck (GB-scale datasets)."""
+    import numpy as np
+    codes = _nt16_table()[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
+    if len(codes) % 2:
+        codes = np.concatenate([codes, np.zeros(1, dtype=np.uint8)])
+    return ((codes[0::2] << 4) | codes[1::2]).tobytes()
+
 
 @dataclass
 class BamRecordSpec:
@@ -48,13 +75,7 @@ def _encode_record(rec: BamRecordSpec) -> bytes:
     name = rec.qname.encode("ascii") + b"\x00"
     cig = b"".join(struct.pack("<I", (ln << 4) | CIGAR_OP_CODE[op]) for op, ln in rec.cigar)
     l_seq = len(rec.seq)
-    packed = bytearray((l_seq + 1) // 2)
-    for i, ch in enumerate(rec.seq):
-        code = SEQ_NT16_CODE.get(ch.upper(), 15)
-        if i % 2 == 0:
-            packed[i // 2] |= code << 4
-        else:
-            packed[i // 2] |= code
+    packed = _pack_seq(rec.seq)
     qual = b"\xff" * l_seq  # 0xFF = quality absent
 
     tags = b""

@@ -250,17 +250,19 @@ def call_task_packed(packed: jnp.ndarray, *,
     per-cluster calling statistics of call_statistics (reference:
     sv.py:497-598), one H2D and one D2H transfer.
 
-    `packed` is a (9, N) int32 matrix with rows pos, svlen, svtype,
+    `packed` is a (10, N) int32 matrix with rows pos, svlen, svtype,
     orig_idx, repeat, valid, strand(+1/-1), mapq, read_id (a hash of
-    the read name — support counts unique reads, sv.py:520).
+    the read name — support counts unique reads, sv.py:520), is_sa
+    (lead source != INLINE — split-read evidence, sv.py:580-581).
 
-    Returns an (11, N) int32 matrix:
+    Returns a (12, N) int32 matrix:
       rows 0-2, per element (sort-permuted): cluster_id, orig_idx, valid
-      rows 3-10, per cluster (indexed by cluster id): raw_pos_center,
+      rows 3-11, per cluster (indexed by cluster id): raw_pos_center,
         svlen_center, support, lead_count, fwd, rev, sum_mapq,
         single_fragment (1 when support == lead_count, i.e. no read
         contributes more than one lead, so the host merge_inner pass is
-        a no-op and these statistics are host-exact as-is).
+        a no-op and these statistics are host-exact as-is), support_sa
+        (count of split-read leads — the DEL genotyper's SUPPORT_SA).
     """
     zeros = jnp.zeros_like(packed[0])
     sig = {
@@ -273,9 +275,10 @@ def call_task_packed(packed: jnp.ndarray, *,
         "nm": zeros.astype(jnp.float32),
         "repeat": packed[4] > 0,
         "valid": packed[5] > 0,
-        # extra column: _apply_order permutes every key, so the original
-        # lead index simply rides along through both sorts
+        # extra columns: _apply_order permutes every key, so the original
+        # lead index / sa flag simply ride along through both sorts
         "orig_idx": packed[3],
+        "sa": packed[9],
     }
     clustered = _cluster_body(sig, cluster_r=cluster_r, cluster_repeat_h=cluster_repeat_h,
                               cluster_repeat_h_max=cluster_repeat_h_max,
@@ -293,6 +296,7 @@ def call_task_packed(packed: jnp.ndarray, *,
     valid = clustered["valid"]
     sum_mapq = seg_sum(jnp.where(valid, clustered["mapq"], 0), cid, n)
     single_frag = (stats["support"] == stats["lead_count"]).astype(jnp.int32)
+    support_sa = seg_sum(jnp.where(valid & (clustered["sa"] > 0), 1, 0), cid, n)
 
     return jnp.stack([
         clustered["cluster_id"].astype(jnp.int32),
@@ -306,6 +310,7 @@ def call_task_packed(packed: jnp.ndarray, *,
         stats["rev"].astype(jnp.int32),
         sum_mapq.astype(jnp.int32),
         single_frag,
+        support_sa.astype(jnp.int32),
     ])
 
 

@@ -74,12 +74,13 @@ def pack_task_batch(lead_provider, config, tr):
     tr_starts = np.array([s for s, e in tr_sorted], dtype=np.int64)
     tr_ends = np.array([e for s, e in tr_sorted], dtype=np.int64)
 
-    # single packed (9, size) int32 buffer — one H2D transfer per task
+    # single packed (10, size) int32 buffer — one H2D transfer per task
     # (transfer latency over a tunneled chip dominates kernel time at
     # task-sized batches, so the number of transfers is the cost that
     # matters). Rows: pos, svlen, svtype, orig_idx, repeat, valid,
-    # strand, mapq, read_id (name hash — support = unique reads).
-    packed = np.zeros((9, size), dtype=np.int32)
+    # strand, mapq, read_id (name hash — support = unique reads),
+    # is_sa (split-read evidence).
+    packed = np.zeros((10, size), dtype=np.int32)
     packed[0, :n] = [ld.ref_start for ld in leads]
     packed[1, :n] = [ld.svlen for ld in leads]
     packed[2, :n] = [SVTYPE_CODES[ld.svtype] for ld in leads]
@@ -88,6 +89,7 @@ def pack_task_batch(lead_provider, config, tr):
     packed[6, :n] = [1 if ld.strand == "+" else -1 for ld in leads]
     packed[7, :n] = [ld.mapq if ld.mapq is not None else 0 for ld in leads]
     packed[8, :n] = [hash(ld.read_qname) & 0x7FFFFFFF for ld in leads]
+    packed[9, :n] = [ld.source != "INLINE" for ld in leads]
     if len(tr_starts):
         idx = np.searchsorted(tr_starts, packed[0, :n], side="right") - 1
         packed[4, :n] = ((idx >= 0) & (packed[0, :n] < tr_ends[np.clip(idx, 0, len(tr_ends) - 1)]))
@@ -96,11 +98,93 @@ def pack_task_batch(lead_provider, config, tr):
     return packed, standard_call_meta(config), leads, lead_bins
 
 
-def device_clusters(lead_provider, config, tr, device=None, posted=None):
+def pack_mesh_payload(pack, n_dev: int) -> dict:
+    """Re-shard a single-device packed batch into n_dev contiguous genome
+    windows for the multi-device assignment step (mesh.py
+    build_sharded_assign). Each shard keeps the full padded width so one
+    executable serves every task of a run."""
+    packed, meta, leads, lead_bins = pack
+    size = packed.shape[1]
+    n = len(leads)
+    pos = packed[0, :n]
+    lo = int(pos.min())
+    span = max(int(pos.max()) - lo + 1, n_dev)
+    window = -(-span // n_dev)
+    shard_of = np.minimum((pos - lo) // window, n_dev - 1)
+
+    shards = np.zeros((n_dev, packed.shape[0], size), dtype=np.int32)
+    for shard in range(n_dev):
+        sel = np.nonzero(shard_of == shard)[0]
+        shards[shard, :, :len(sel)] = packed[:, sel]
+    offsets = (lo + np.arange(n_dev, dtype=np.int32) * window).reshape(n_dev, 1)
+    window_len = np.full((n_dev, 1), window, dtype=np.int32)
+    return {"shards": shards, "offsets": offsets, "window_len": window_len,
+            "n_dev": n_dev}
+
+
+# halo width for the mesh assignment step: must exceed any cluster span +
+# merge reach; doubled (same executable — W is a runtime value) on
+# overflow before the caller falls back to the host path
+MESH_HALO_BP = 5000
+MESH_HALO_RETRIES = 3
+
+
+def run_mesh_assign(payload: dict, meta: dict) -> np.ndarray:
+    """Execute the sharded assignment step (in the process owning the JAX
+    client: device server, daemon, or inline). Retries with doubled halo
+    width when a shard reports overflow; raises if the bound still fails
+    so the worker falls back to the exact host path (seam repair)."""
+    import os
+    if os.environ.get("SNIFFLES_TPU_MESH_FORCE_OVERFLOW"):
+        # test hook: exercise the task-level host fallback path
+        raise RuntimeError("mesh halo overflow (forced); host seam repair required")
+
+    import jax.numpy as jnp
+    from sniffles_tpu.parallel import mesh as meshmod
+
+    n_dev = int(payload["n_dev"])
+    mesh = meshmod.make_genome_mesh(n_dev)
+    fn = _mesh_fn_cache.get((n_dev,) + tuple(sorted(meta.items())))
+    if fn is None:
+        fn = meshmod.build_sharded_assign(mesh, **meta)
+        _mesh_fn_cache[(n_dev,) + tuple(sorted(meta.items()))] = fn
+
+    shards = jnp.asarray(payload["shards"])
+    offsets = jnp.asarray(payload["offsets"])
+    window_len = jnp.asarray(payload["window_len"])
+    window = int(payload["window_len"][0, 0])
+    w = MESH_HALO_BP
+    for _ in range(MESH_HALO_RETRIES):
+        if 2 * w > window:
+            # the halo is a ONE-HOP ppermute: its source zone
+            # [my_end - 2W, my_end) must lie inside the sender's own
+            # window, so W cannot widen past window/2 — beyond that the
+            # exchange silently under-covers and only the host path is
+            # exact
+            break
+        halo_w = jnp.full((n_dev, 1), w, dtype=jnp.int32)
+        out = fn(shards, offsets, window_len, halo_w)
+        if not bool(np.asarray(out["halo_overflow"]).any()):
+            return np.asarray(out["rows"])
+        w *= 2
+    raise RuntimeError(f"mesh halo overflow at W={w}bp (shard window "
+                       f"{window}bp); host seam repair required")
+
+
+_mesh_fn_cache: dict = {}
+
+
+def device_clusters(lead_provider, config, tr, device=None, posted=None,
+                    counters=None):
     """
     Yield Cluster objects for INS/DEL/DUP/INV built from the device
     clustering assignment; the caller handles BND/single types with the
     host path.
+
+    `counters`: optional dict accumulating the engine-stat consumption
+    split per task — clusters_total, engine_consumed, and the fallback
+    reasons (fb_bnd, fb_multi_fragment, fb_resplit) — reported via
+    --dev-debug-log and asserted by the chip CI.
 
     `device`: a DeviceClient proxy when running inside a forked worker
     (the parent owns the TPU client and answers over the task pipe);
@@ -109,6 +193,7 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None):
     that already posted this task's batch to the device service; the
     round trip then overlaps the previous task's host compute.
     """
+    mesh_n = int(getattr(config, "tpu_mesh", 0) or 0)
     if posted is not None:
         req_id, pack = posted
         if pack is None:
@@ -120,7 +205,11 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None):
         if pack is None:
             return
         packed, meta, leads, lead_bins = pack
-        if device is not None:
+        if mesh_n > 1:
+            payload = pack_mesh_payload(pack, mesh_n)
+            out = (device.request("call_task_mesh", payload, meta)
+                   if device is not None else run_mesh_assign(payload, meta))
+        elif device is not None:
             out = device.call_task(packed, meta)
         else:
             import jax.numpy as jnp
@@ -129,16 +218,41 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None):
     n = len(leads)
     repeat_flags = packed[4, :n] > 0
 
-    cids = out[0]
-    ridx = out[1]   # original lead index, permuted with the sort
-    valid = out[2]
-    # per-cluster device statistics (rows 3-10; see call_task_packed)
-    dev_stats = out[3:]
-
-    groups: dict[int, list[int]] = {}
-    for cid, li, ok in zip(cids.tolist(), ridx.tolist(), valid.tolist()):
-        if ok:
-            groups.setdefault(cid, []).append(li)
+    if out.ndim == 3:
+        # mesh output (parallel/mesh.py build_sharded_assign):
+        # (n_dev, 13, N_ext) — normalize owned groups across shards and
+        # restore the host's cluster order (svtype-major, then seed bin;
+        # the exactly-once ownership guarantees each element appears
+        # owned in exactly one shard)
+        ordered = []
+        for shard in range(out.shape[0]):
+            rows = out[shard]
+            shard_groups: dict[int, list[int]] = {}
+            for cid, li, ok in zip(rows[0].tolist(), rows[1].tolist(),
+                                   rows[2].tolist()):
+                if ok:
+                    shard_groups.setdefault(cid, []).append(li)
+            for cid, member_idx in shard_groups.items():
+                stats9 = tuple(int(rows[3 + r][cid]) for r in range(9))
+                svcode = SVTYPE_CODES[leads[member_idx[0]].svtype]
+                seed = min(lead_bins[i] for i in member_idx)
+                ordered.append(((svcode, seed), member_idx, stats9))
+        ordered.sort(key=lambda item: item[0])
+        normalized = [(m, s) for _, m, s in ordered]
+    else:
+        cids = out[0]
+        ridx = out[1]   # original lead index, permuted with the sort
+        valid = out[2]
+        # per-cluster device statistics (rows 3-11; see call_task_packed)
+        dev_stats = out[3:]
+        groups: dict[int, list[int]] = {}
+        for cid, li, ok in zip(cids.tolist(), ridx.tolist(), valid.tolist()):
+            if ok:
+                groups.setdefault(cid, []).append(li)
+        # ascending cluster id == (svtype, pos) sort order == the host
+        # sweep's cluster order (seed bins ascending per svtype)
+        normalized = [(groups[cid], tuple(int(dev_stats[r][cid]) for r in range(9)))
+                      for cid in sorted(groups)]
 
     # leads_long per INS cluster: long-INS soft clips from the bins the
     # cluster's leads came from (reference: cluster.py:248-250)
@@ -150,8 +264,7 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None):
 
     hap_ref = lead_provider.leadhapcount["REF"]
 
-    for cid in sorted(groups):
-        member_idx = groups[cid]
+    for member_idx, stats9 in normalized:
         cluster_leads = [leads[i] for i in member_idx]
         if len(cluster_leads) < config.dev_min_leads_cluster:
             continue
@@ -177,7 +290,7 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None):
 
         within_repeat = any(repeat_flags[i] for i in member_idx)
         cluster = Cluster(
-            id=f"CL.{svtype}.{lead_provider.contig}.{lead_provider.start}.D{cid}",
+            id=f"CL.{svtype}.{lead_provider.contig}.{lead_provider.start}.D{seed}",
             svtype=svtype,
             contig=lead_provider.contig,
             start=seed,
@@ -191,11 +304,16 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None):
 
         if svtype == "BND":
             # host-exact resplit by (mate contig, orientation, mate pos bin)
+            if counters is not None:
+                counters["clusters_total"] = counters.get("clusters_total", 0) + 1
+                counters["fb_bnd"] = counters.get("fb_bnd", 0) + 1
             if config.dev_no_resplit:
                 yield cluster
             else:
                 yield from resplit_bnd(cluster, merge_threshold=config.cluster_merge_bnd)
             continue
+        if counters is not None:
+            counters["clusters_total"] = counters.get("clusters_total", 0) + 1
 
         # Device-computed calling statistics, consumed by call_from when
         # single_fragment holds: no read contributed more than one lead,
@@ -206,7 +324,7 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None):
         # and the stats stay attached only when both passes leave the
         # membership unchanged.
         (raw_pos_center, svlen_center, support, lead_count, fwd, rev,
-         sum_mapq, single_frag) = (int(dev_stats[r][cid]) for r in range(8))
+         sum_mapq, single_frag, support_sa) = stats9
         engine = None
         if single_frag and lead_count == len(cluster_leads):
             engine = {
@@ -217,7 +335,11 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None):
                 "fwd": fwd,
                 "rev": rev,
                 "qual": sum_mapq // lead_count,
+                # DEL genotyper split-read support (reference: sv.py:580-581)
+                "support_sa": support_sa,
             }
+        elif counters is not None:
+            counters["fb_multi_fragment"] = counters.get("fb_multi_fragment", 0) + 1
 
         # per-read inner merge of fragmented INS/DEL, host-exact
         # (reference: cluster.py:337-343)
@@ -238,4 +360,8 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None):
         if (engine is not None and len(children) == 1
                 and len(children[0].leads) == engine["lead_count"]):
             children[0].engine = engine
+            if counters is not None:
+                counters["engine_consumed"] = counters.get("engine_consumed", 0) + 1
+        elif engine is not None and counters is not None:
+            counters["fb_resplit"] = counters.get("fb_resplit", 0) + 1
         yield from children

@@ -142,7 +142,7 @@ class DeviceServer:
                 from sniffles_tpu.ops.clustering import call_task_packed
                 from sniffles_tpu.parallel.device_call import DEVICE_BATCH_FLOOR
                 t0 = time.perf_counter()
-                probe = jnp.zeros((9, DEVICE_BATCH_FLOOR), jnp.int32)
+                probe = jnp.zeros((10, DEVICE_BATCH_FLOOR), jnp.int32)
                 np.asarray(call_task_packed(probe, **self._warm_meta))
                 compile_s = time.perf_counter() - t0
             self.warm_stats = {"claim_s": round(claim_s, 3),
@@ -180,6 +180,9 @@ class DeviceServer:
             from sniffles_tpu.ops.clustering import call_task_packed
             return np.asarray(call_task_packed(
                 jnp.asarray(request.payload), **request.meta))
+        if request.kind == "call_task_mesh":
+            from sniffles_tpu.parallel.device_call import run_mesh_assign
+            return run_mesh_assign(request.payload, request.meta)
         if request.kind == "ed_batch":
             # payload: list of (a, b) string pairs (combine identity gate)
             from sniffles_tpu.ops.edit_distance_jax import edit_distance_batch

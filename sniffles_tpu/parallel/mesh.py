@@ -149,6 +149,131 @@ def build_sharded_step(mesh: Mesh, params: dict | None = None,
     return sharded
 
 
+def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: float,
+                         cluster_repeat_h_max: float, cluster_merge_bnd: int,
+                         cluster_merge_len: float, minsvlen: int,
+                         binsize: int = 100, resplit_binsize: int = 20,
+                         halo_slots: int = 512):
+    """
+    Multi-device version of the PRODUCTION --tpu-call kernel
+    (ops/clustering.call_task_packed): stage-1 cluster assignment plus
+    exact per-cluster calling statistics, sharded over the genome axis
+    with the raw-signature halo exchange and two-window exactly-once
+    ownership (module docstring). The host materializes Cluster objects
+    from the gathered assignment exactly as in the single-device path
+    (parallel/device_call.py), so output semantics stay host-exact —
+    unlike the fused engine step, whose device-side resplit is a
+    documented divergence on adversarial chains.
+
+    Inputs (per shard): packed (10, S) int32 in call_task_packed row
+    layout, region_offset (1,) int32 (window start), window_len (1,)
+    int32, and halo_w (1,) int32 — the halo width W as a RUNTIME value,
+    so an overflow retry with doubled W reuses the same executable.
+
+    Output rows per shard (13, halo_slots + S):
+      0 cluster_id (shard-local), 1 orig_idx, 2 owned_valid (element in
+      a cluster this shard owns), 3-11 per-cluster stats rows as in
+      call_task_packed, 12 cluster_owned (1 when this shard owns the
+      cluster id). Plus halo_overflow (1,) per shard.
+
+    Exactness bound: W must exceed every cluster span and 2W-zone
+    signature count must fit halo_slots; `halo_overflow` reports either
+    bound being hit so the caller can retry with doubled W or fall back
+    to the host/single-device path.
+    """
+    from sniffles_tpu.ops.clustering import _cluster_body, call_statistics
+    from sniffles_tpu.ops.segments import seg_sum
+
+    n_dev = mesh.devices.size
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def per_shard(packed: jnp.ndarray, region_offset: jnp.ndarray,
+                  window_len: jnp.ndarray, halo_w: jnp.ndarray) -> dict:
+        # shard_map keeps the sharded leading axis (length 1 per shard)
+        packed = packed[0]
+        my_idx = jax.lax.axis_index(GENOME_AXIS)
+        my_start = region_offset[0, 0]
+        my_end = my_start + window_len[0, 0]
+        W = halo_w[0, 0]
+
+        pos = packed[0]
+        valid = packed[5] > 0
+        in_halo = valid & (pos >= my_end - 2 * W)
+        order = jnp.lexsort((pos, ~in_halo))
+        halo_out = jnp.take(packed, order, axis=1)[:, :halo_slots]
+        halo_valid = (halo_out[5] > 0) & jnp.take(in_halo, order)[:halo_slots]
+        halo_out = halo_out.at[5].set(halo_valid.astype(jnp.int32))
+        halo_overflow = jnp.sum(in_halo.astype(jnp.int32)) > halo_slots
+
+        incoming = jax.lax.ppermute(halo_out, GENOME_AXIS, right)
+        # shard 0 receives the wrap-around sender; mask it off
+        incoming = incoming.at[5].set(
+            jnp.where(my_idx > 0, incoming[5], 0))
+
+        ext = jnp.concatenate([incoming, packed], axis=1)
+
+        zeros = jnp.zeros_like(ext[0])
+        sig = {
+            "pos": ext[0], "svlen": ext[1], "svtype": ext[2],
+            "read_id": ext[8], "strand": ext[6], "mapq": ext[7],
+            "nm": zeros.astype(jnp.float32),
+            "repeat": ext[4] > 0, "valid": ext[5] > 0,
+            "orig_idx": ext[3], "sa": ext[9],
+        }
+        clustered = _cluster_body(
+            sig, cluster_r=cluster_r, cluster_repeat_h=cluster_repeat_h,
+            cluster_repeat_h_max=cluster_repeat_h_max,
+            cluster_merge_bnd=cluster_merge_bnd,
+            cluster_merge_len=cluster_merge_len, minsvlen=minsvlen,
+            binsize=binsize, resplit_binsize=resplit_binsize,
+            do_resplit=False)
+        stats = call_statistics(clustered)
+
+        n = clustered["pos"].shape[0]
+        cid = clustered["cluster_id"]
+        cvalid = clustered["valid"]
+        sum_mapq = seg_sum(jnp.where(cvalid, clustered["mapq"], 0), cid, n)
+        single_frag = (stats["support"] == stats["lead_count"]).astype(jnp.int32)
+        support_sa = seg_sum(jnp.where(cvalid & (clustered["sa"] > 0), 1, 0), cid, n)
+
+        # two-window exactly-once ownership over cluster extents
+        is_cluster = jnp.arange(n) < stats["n_clusters"]
+        touches_tail = stats["pos_max"] >= my_end - W
+        suppress_tail = touches_tail & (my_idx < n_dev - 1)
+        ghost = stats["pos_max"] < my_start - W
+        cluster_owned = is_cluster & ~suppress_tail & ~ghost
+        span_overflow = jnp.any(cluster_owned
+                                & ((stats["pos_max"] - stats["pos_min"]) > W))
+
+        owned_valid = cvalid & jnp.take(cluster_owned, jnp.clip(cid, 0, n - 1))
+
+        out_rows = jnp.stack([
+            cid.astype(jnp.int32),
+            clustered["orig_idx"].astype(jnp.int32),
+            owned_valid.astype(jnp.int32),
+            stats["raw_pos_center"],
+            stats["svlen"],
+            stats["support"].astype(jnp.int32),
+            stats["lead_count"].astype(jnp.int32),
+            stats["fwd"].astype(jnp.int32),
+            stats["rev"].astype(jnp.int32),
+            sum_mapq.astype(jnp.int32),
+            single_frag,
+            support_sa.astype(jnp.int32),
+            cluster_owned.astype(jnp.int32),
+        ])
+        return {
+            "rows": out_rows[None],     # rank+1 for the mesh axis concat
+            "halo_overflow": jnp.broadcast_to(halo_overflow | span_overflow, (1,)),
+        }
+
+    return jax.jit(jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(GENOME_AXIS), P(GENOME_AXIS), P(GENOME_AXIS), P(GENOME_AXIS)),
+        out_specs=P(GENOME_AXIS),
+        check_vma=False))
+
+
 _CAND_FIELDS = ("pos", "svlen", "svtype", "sample_id", "support", "qc", "valid")
 
 

@@ -43,6 +43,9 @@ class CallResult(Result):
 
     coverage_average_total: float
     candidate_filename = None
+    # per-task device engine-stat consumption split (--tpu-call), set by
+    # CallTask.execute; None on host-only runs
+    engine_counters: dict = None
 
     # temp-SNF part metadata (set by CallTask when --snf is active)
     has_snf = False

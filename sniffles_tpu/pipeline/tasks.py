@@ -146,12 +146,18 @@ class Task:
                 or not getattr(config, "tpu_call", False)):
             return
         try:
-            from sniffles_tpu.parallel.device_call import pack_task_batch
+            from sniffles_tpu.parallel.device_call import (pack_task_batch,
+                                                           pack_mesh_payload)
             pack = pack_task_batch(self.lead_provider, config, self.tandem_repeats)
             if pack is None:
                 self._device_posted = (None, None)
                 return
-            req_id = device_client.post("call_task", pack[0], pack[1])
+            mesh_n = int(getattr(config, "tpu_mesh", 0) or 0)
+            if mesh_n > 1:
+                req_id = device_client.post("call_task_mesh",
+                                            pack_mesh_payload(pack, mesh_n), pack[1])
+            else:
+                req_id = device_client.post("call_task", pack[0], pack[1])
             self._device_posted = (req_id, pack)
         except Exception:
             log.warning("device prefetch post failed; task will post inline",
@@ -169,10 +175,12 @@ class Task:
         service = getattr(self, "device_service", None)
         if getattr(config, "tpu_call", False) and (config.threads == 0 or service is not None):
             posted, self._device_posted = self._device_posted, None
+            counters = self.engine_counters = {}
             try:
                 from sniffles_tpu.parallel.device_call import device_clusters, _DEVICE_TYPES
                 made = list(device_clusters(self.lead_provider, config, self.tandem_repeats,
-                                            device=service, posted=posted))
+                                            device=service, posted=posted,
+                                            counters=counters))
             except Exception:
                 # chip CI sets this so a broken device path fails loudly
                 # instead of silently passing on the host fallback
@@ -183,6 +191,13 @@ class Task:
             else:
                 yield from made
                 host_types = [t for t in sv.ALL_TYPES if t not in _DEVICE_TYPES]
+                total = counters.get("clusters_total", 0)
+                consumed = counters.get("engine_consumed", 0)
+                log.debug(
+                    f"{self}: device engine stats consumed by {consumed}/{total} "
+                    f"clusters (fallbacks: bnd={counters.get('fb_bnd', 0)}, "
+                    f"multi_fragment={counters.get('fb_multi_fragment', 0)}, "
+                    f"resplit={counters.get('fb_resplit', 0)})")
         for svtype in host_types:
             yield from cluster.resolve(svtype, self.lead_provider, config, self.tandem_repeats)
 
@@ -342,6 +357,7 @@ class CallTask(Task):
             svcalls.sort(key=lambda call: call.pos)
 
         result = CallResult(self, svcalls, read_count)
+        result.engine_counters = getattr(self, "engine_counters", None)
         if config.dev_output_candidates:
             result.store_candidates(svcandidates)
         if config.snf is not None:

@@ -586,7 +586,10 @@ def call_from(cluster, config, keep_qc_fails, task):
     type_extras = {
         "BND": lambda: resolve_bnd(svcall, cluster, config),
         "INS": lambda: svcall.set_info("SUPPORT_LONG", support_long),
+        # split-read support for the DEL genotyper; the device counts it
+        # per cluster in the fused step (sa flag row, call_task_packed)
         "DEL": lambda: svcall.set_info("SUPPORT_SA",
+                                       eng["support_sa"] if eng else
                                        sum(ld.source != "INLINE" for ld in leads)),
     }
     if svtype in type_extras:

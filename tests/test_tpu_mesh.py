@@ -1,0 +1,187 @@
+"""--tpu-mesh N: the production call path sharded over an N-device
+genome mesh (parallel/mesh.py build_sharded_assign) must be
+byte-identical to the host path — the raw-signature halo exchange and
+two-window exactly-once ownership make shard seams exact, and the host
+materialization (merge_inner -> resplit -> call_from) is shared with
+the single-device --tpu-call path.
+
+Overflow semantics: a cluster wider than the halo W retries with
+doubled W on the same executable; when the bound still fails the
+device path raises and the task falls back to the exact host sweep
+(run_mesh_assign / Task._iter_clusters)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from sniffles_tpu.config import SnifflesConfig  # noqa: E402
+from sniffles_tpu.leads import Lead, LeadProvider  # noqa: E402
+from sniffles_tpu.sim import PlantedSV, write_dataset  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd, env_extra=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["SNIFFLES_TPU_FORCE_CPU"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if env_extra:
+        env.update(env_extra)
+    return subprocess.run([sys.executable, "-m", "sniffles_tpu.cli"] + args,
+                          capture_output=True, text=True, env=env, cwd=str(cwd),
+                          timeout=600)
+
+
+def read_calls(vcf_path):
+    with open(vcf_path) as f:
+        return [l for l in f if not l.startswith("#")]
+
+
+def _sim(tmp_path):
+    svs = [PlantedSV(pos=p, svtype=t, svlen=ln)
+           for p, t, ln in [(30_000, "DEL", 120), (60_000, "INS", 150),
+                            (90_000, "DEL", 500), (120_000, "INS", 80),
+                            (150_000, "DEL", 2000), (180_000, "DUP", 900)]]
+    return write_dataset(str(tmp_path), ref_len=230_000, depth=24,
+                         read_len=12_000, seed=11, svs=svs)
+
+
+def test_mesh_cli_matches_host(tmp_path):
+    bam, _ = _sim(tmp_path)
+    host_out = tmp_path / "host.vcf"
+    mesh_out = tmp_path / "mesh.vcf"
+    r1 = run_cli(["--input", bam, "--vcf", str(host_out), "--threads", "0"], tmp_path)
+    assert r1.returncode == 0, r1.stderr
+    r2 = run_cli(["--input", bam, "--vcf", str(mesh_out), "--threads", "0",
+                  "--tpu-call", "--tpu-mesh", "8"], tmp_path,
+                 env_extra={"SNIFFLES_TPU_REQUIRE_DEVICE": "1"})
+    assert r2.returncode == 0, r2.stderr
+    assert "falling back" not in r2.stderr
+    assert read_calls(host_out) == read_calls(mesh_out)
+
+
+def test_mesh_cli_threaded_matches_host(tmp_path):
+    """Workers ship mesh payloads to the parent device service."""
+    bam, _ = _sim(tmp_path)
+    host_out = tmp_path / "host.vcf"
+    mesh_out = tmp_path / "mesh.vcf"
+    r1 = run_cli(["--input", bam, "--vcf", str(host_out), "--threads", "2"], tmp_path)
+    assert r1.returncode == 0, r1.stderr
+    r2 = run_cli(["--input", bam, "--vcf", str(mesh_out), "--threads", "2",
+                  "--tpu-call", "--tpu-mesh", "8"], tmp_path,
+                 env_extra={"SNIFFLES_TPU_REQUIRE_DEVICE": "1"})
+    assert r2.returncode == 0, r2.stderr
+    assert "falling back" not in r2.stderr
+    assert read_calls(host_out) == read_calls(mesh_out)
+
+
+# --------------------------------------------------------------------------
+# halo overflow: wide-cluster retry and exhausted-retry fallback
+
+
+def _wide_cluster_provider(config, span_bp, far_pos=800_000):
+    """Contiguous occupied 100bp bins (>= dev_min_leads_cluster leads
+    each) merge into ONE stage-1 cluster: the inter-bin gap is 0, which
+    always satisfies the stdev-scaled criterion. span_bp controls the
+    cluster's width. A far-away normal cluster stretches the task span
+    so mesh shard windows stay wide (the halo W retry ladder is bounded
+    by window/2)."""
+    provider = LeadProvider(config, 0, "chr1")
+    binsize = config.cluster_binsize
+
+    i = 0
+
+    def add(pos, svlen=-200):
+        nonlocal i
+        ld = Lead(read_id=i, read_qname=f"r{i}", contig="chr1",
+                  ref_start=pos, ref_end=pos, qry_start=0, qry_end=0,
+                  strand="+", mapq=40, nm=0.0, source="INLINE",
+                  svtype="DEL", svlen=svlen)
+        provider.record_lead(ld, pos // binsize * binsize)
+        i += 1
+
+    for bin_start in range(20_000, 20_000 + span_bp, binsize):
+        for off in (5, 35, 65):
+            add(bin_start + off)
+    for k in range(4):   # isolated normal cluster far to the right
+        add(far_pos + k, svlen=-500)
+    provider.start = 0
+    provider.end = 1_000_000
+    return provider
+
+
+@pytest.fixture
+def config():
+    cfg = SnifflesConfig("--input", "x.bam", "--vcf", "y.vcf")
+    cfg.tpu_call = True
+    return cfg
+
+
+def _cluster_keyset(clusters):
+    return sorted((c.svtype, tuple(sorted(ld.read_qname for ld in c.leads)))
+                  for c in clusters)
+
+
+def test_mesh_wide_cluster_retries_with_doubled_halo(config):
+    """A 14kb cluster exceeds W=5000; the retry ladder (10k, 20k) must
+    recover it exactly — mesh output == single-device output."""
+    from sniffles_tpu.parallel.device_call import device_clusters
+
+    provider = _wide_cluster_provider(config, span_bp=14_000)
+    single = list(device_clusters(provider, config, None))
+
+    provider2 = _wide_cluster_provider(config, span_bp=14_000)
+    config.tpu_mesh = 8
+    try:
+        mesh = list(device_clusters(provider2, config, None))
+    finally:
+        config.tpu_mesh = 0
+    assert _cluster_keyset(mesh) == _cluster_keyset(single)
+    assert len(mesh) >= 1
+
+
+def test_mesh_overflow_exhausted_raises(config):
+    """A cluster wider than the last-retry W raises so the task-level
+    caller (Task._iter_clusters) falls back to the exact host path."""
+    from sniffles_tpu.parallel.device_call import (device_clusters,
+                                                   MESH_HALO_BP,
+                                                   MESH_HALO_RETRIES)
+
+    max_w = MESH_HALO_BP * (2 ** (MESH_HALO_RETRIES - 1))
+    # far_pos=160k keeps shard windows ~18kb, so the 50kb cluster crosses
+    # several shard boundaries and no admissible W (2W <= window) covers it
+    provider = _wide_cluster_provider(config, span_bp=2 * max_w + 10_000,
+                                      far_pos=160_000)
+    config.tpu_mesh = 8
+    try:
+        with pytest.raises(RuntimeError, match="halo overflow"):
+            list(device_clusters(provider, config, None))
+    finally:
+        config.tpu_mesh = 0
+
+
+def test_mesh_overflow_task_falls_back_to_host(tmp_path):
+    """End-to-end: with an overflowing device path the CLI still emits
+    the host-exact VCF (silent fallback allowed when REQUIRE_DEVICE is
+    unset)."""
+    from unittest import mock
+
+    bam, _ = _sim(tmp_path)
+    host_out = tmp_path / "host.vcf"
+    mesh_out = tmp_path / "mesh.vcf"
+    r1 = run_cli(["--input", bam, "--vcf", str(host_out), "--threads", "0"], tmp_path)
+    assert r1.returncode == 0, r1.stderr
+    # zero retries => any halo pressure raises => host fallback
+    r2 = run_cli(["--input", bam, "--vcf", str(mesh_out), "--threads", "0",
+                  "--tpu-call", "--tpu-mesh", "8"], tmp_path,
+                 env_extra={"SNIFFLES_TPU_MESH_FORCE_OVERFLOW": "1"})
+    assert r2.returncode == 0, r2.stderr
+    assert read_calls(host_out) == read_calls(mesh_out)

