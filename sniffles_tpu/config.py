@@ -277,6 +277,7 @@ _TPU_FLAGS = (
     _f("--tpu-call", text="Use the device sort-and-segment clustering for candidate grouping in call_sample. Composes with --threads N: workers decode and ship signature batches to the parent-owned TPU client (host sweep otherwise)", default=False, action="store_true"),
     _f("--tpu-combine", text="Use the segmented exact greedy + device edit-distance batching for multi-sample combine (host greedy assignment otherwise). Composes with --threads N", default=False, action="store_true"),
     _f("--tpu-mesh", text="Shard each call task's clustering step over N devices (jax.sharding genome mesh with raw-signature halo exchange). Requires --tpu-call; 0 = single device", metavar="N", type=int, default=0),
+    _f("--no-tpu", text="Never use the device, even when a TPU and a device daemon are present (the device is on by default in that case)", default=False, action="store_true"),
 )
 
 _FLAG_GROUPS = (
@@ -485,6 +486,17 @@ class SnifflesConfig(argparse.Namespace):
         if self.dev_min_leads_cluster == -1:
             self.dev_min_leads_cluster = 1 if self.no_qc else 2
 
+        # Device-by-default: a bare run uses the TPU when one is present
+        # AND a warm device daemon is reachable (without a daemon, the
+        # per-process chip claim costs 1s quiet / minutes under tunnel
+        # contention — auto-claiming would be a footgun; --tpu-call
+        # opts in regardless, --no-tpu forces the host path).
+        if self.no_tpu:
+            self.tpu_call = False
+            self.tpu_combine = False
+        elif not self.tpu_call and _tpu_device_default():
+            self.tpu_call = True
+
         if self.dev_trace_read or not isinstance(self.dev_trace_read, bool):
             wanted = [name for name in self.dev_trace_read.split(",") if name]
             self.dev_trace_read = wanted if wanted else False
@@ -492,6 +504,22 @@ class SnifflesConfig(argparse.Namespace):
         # Per-task mutable QC state (reference: leadprov.py:577-578 mutates these)
         self.average_regional_nm = 0.0
         self.qc_nm_threshold = 0.0
+
+
+def _tpu_device_default() -> bool:
+    """True when a bare run should use the device: a TPU-class JAX
+    platform is configured (cheap env check — importing jax here would
+    cost seconds on every host-only run) and a device daemon socket is
+    reachable (the chip claim is already paid)."""
+    import os
+    if os.environ.get("SNIFFLES_TPU_FORCE_CPU"):
+        return False
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if not any(p in platforms for p in ("axon", "tpu", "proxy")):
+        return False
+    from sniffles_tpu.parallel.device_daemon import ENV_SOCKET
+    socket_path = os.environ.get(ENV_SOCKET)
+    return bool(socket_path and os.path.exists(socket_path))
 
 
 def from_cmdline(cmdline: str) -> SnifflesConfig:

@@ -116,8 +116,17 @@ class DeviceServer:
 
     def _run(self) -> None:
         self._warm()
+        # larger batch shapes (tasks above the 8192 floor double the padded
+        # size) compile lazily in idle gaps so a big task mid-run never
+        # stalls on a tunnel compile; real requests always take priority
+        pending_shapes = [2 * self._floor(), 4 * self._floor()]
         while True:
-            request, reply = self._queue.get()
+            try:
+                request, reply = self._queue.get(
+                    timeout=0.05 if pending_shapes else None)
+            except queue.Empty:
+                self._warm_shape(pending_shapes.pop(0))
+                continue
             response = self.handle(request)
             try:
                 reply(response)
@@ -125,6 +134,25 @@ class DeviceServer:
                 # requester's pipe may be gone (dead worker); its task is
                 # requeued by the heartbeat logic and re-posts elsewhere
                 log.debug("could not deliver device response", exc_info=True)
+
+    @staticmethod
+    def _floor() -> int:
+        from sniffles_tpu.parallel.device_call import DEVICE_BATCH_FLOOR
+        return DEVICE_BATCH_FLOOR
+
+    def _warm_shape(self, size: int) -> None:
+        if self._warm_meta is None:
+            return
+        try:
+            import jax.numpy as jnp
+            from sniffles_tpu.ops.clustering import call_task_packed
+            t0 = time.perf_counter()
+            np.asarray(call_task_packed(jnp.zeros((10, size), jnp.int32),
+                                        **self._warm_meta))
+            log.info(f"device idle-compiled batch shape {size} "
+                     f"({time.perf_counter() - t0:.2f}s)")
+        except Exception:
+            log.debug("idle shape warmup failed", exc_info=True)
 
     def _warm(self) -> None:
         global JAX_CLIENT_LIVE

@@ -80,3 +80,58 @@ def test_chip_tpu_call_threaded_byte_identical(tmp_path):
     assert total > 0, "no consumption counters in debug log"
     non_bnd = total - bnd
     assert non_bnd > 0 and consumed / non_bnd >= 0.8, (consumed, total, bnd)
+
+
+def test_chip_bare_run_uses_device_via_daemon(tmp_path):
+    """Device-by-default: with a warm device daemon present, a BARE run
+    (no --tpu-call) must take the device path (consumption counters
+    present) and stay byte-identical to --no-tpu."""
+    import re
+    import subprocess as sp
+    import time
+
+    from sniffles_tpu.parallel.device_daemon import DaemonClient
+
+    svs = [PlantedSV(pos=p, svtype=t, svlen=ln)
+           for p, t, ln in [(30_000, "DEL", 120), (60_000, "INS", 150),
+                            (90_000, "DEL", 500)]]
+    bam, _ = write_dataset(str(tmp_path), ref_len=120_000, depth=24,
+                           read_len=12_000, seed=11, svs=svs)
+    sock = str(tmp_path / "daemon.sock")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("SNIFFLES_TPU_FORCE_CPU", None)
+    daemon = sp.Popen([sys.executable, "-m", "sniffles_tpu.parallel.device_daemon",
+                       "--socket", sock, "--idle-timeout", "300"],
+                      stdout=sp.DEVNULL, stderr=sp.DEVNULL, env=env)
+    try:
+        deadline = time.monotonic() + 60
+        while not os.path.exists(sock) and time.monotonic() < deadline:
+            time.sleep(0.2)
+        client = DaemonClient(sock)
+        assert client.ping(timeout=900), "daemon failed to warm"
+
+        host_out = tmp_path / "host.vcf"
+        dev_out = tmp_path / "dev.vcf"
+        r1 = run_cli(["--input", bam, "--vcf", str(host_out), "--threads", "0",
+                      "--no-tpu"], tmp_path, on_chip=False)
+        assert r1.returncode == 0, r1.stderr
+        env2 = {"SNIFFLES_TPU_DEVICE_SOCKET": sock}
+        e = dict(os.environ)
+        e["PYTHONPATH"] = REPO + os.pathsep + e.get("PYTHONPATH", "")
+        e.pop("SNIFFLES_TPU_FORCE_CPU", None)
+        e.update(env2)
+        r2 = sp.run([sys.executable, "-m", "sniffles_tpu.cli",
+                     "--input", bam, "--vcf", str(dev_out), "--threads", "0",
+                     "--dev-debug-log"],
+                    capture_output=True, text=True, env=e, cwd=str(tmp_path),
+                    timeout=1200)
+        assert r2.returncode == 0, r2.stderr
+        assert re.search(r"device engine stats consumed by \d+/\d+",
+                         r2.stdout + r2.stderr), "bare run did not use the device"
+        assert vcf_body(host_out) == vcf_body(dev_out)
+        client.shutdown()
+        client.close()
+    finally:
+        daemon.terminate()
+        daemon.wait(10)
