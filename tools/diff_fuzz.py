@@ -86,7 +86,7 @@ def _diff(tmpdir, flags, label, seed):
     return None
 
 
-def fuzz_seed(seed, tpu=False):
+def fuzz_seed(seed, tpu=False, mesh=False):
     with tempfile.TemporaryDirectory() as tmpdir:
         bam, flags = gen_dataset(tmpdir, seed)
         args = ["--input", bam, "--threads", "0"] + flags
@@ -94,12 +94,17 @@ def fuzz_seed(seed, tpu=False):
                 + args + ["--vcf", "ref.vcf"], tmpdir)
         if r.returncode != 0:
             return f"seed {seed}: REFERENCE FAILED ({flags})\n{r.stderr[-2000:]}"
-        ours_args = args + (["--tpu-call"] if tpu else [])
+        ours_args = list(args)
+        if mesh:
+            ours_args += ["--tpu-call", "--tpu-mesh", "8"]
+        elif tpu:
+            ours_args += ["--tpu-call"]
         o = run([sys.executable, "-m", "sniffles_tpu.cli"]
                 + ours_args + ["--vcf", "ours.vcf"], tmpdir)
         if o.returncode != 0:
             return f"seed {seed}: OURS FAILED ({flags})\n{o.stderr[-2000:]}"
-        return _diff(tmpdir, flags, "tpu-call" if tpu else "call", seed)
+        label = "tpu-mesh" if mesh else ("tpu-call" if tpu else "call")
+        return _diff(tmpdir, flags, label, seed)
 
 
 def fuzz_seed_genotype(seed):
@@ -165,10 +170,11 @@ def fuzz_seed_combine(seed):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a not in ("--combine", "--tpu", "--genotype")]
+    argv = [a for a in sys.argv[1:] if a not in ("--combine", "--tpu", "--genotype", "--mesh")]
     combine = "--combine" in sys.argv
     genotype = "--genotype" in sys.argv
     tpu = "--tpu" in sys.argv  # ours runs with --tpu-call (device clustering)
+    mesh = "--mesh" in sys.argv  # ours runs with --tpu-call --tpu-mesh 8
     n = int(argv[0]) if argv else 10
     start = int(argv[1]) if len(argv) > 1 else 1000
     failures = []
@@ -178,7 +184,7 @@ def main():
         elif genotype:
             msg = fuzz_seed_genotype(seed)
         else:
-            msg = fuzz_seed(seed, tpu=tpu)
+            msg = fuzz_seed(seed, tpu=tpu, mesh=mesh)
         if msg:
             print(msg, flush=True)
             failures.append(seed)
