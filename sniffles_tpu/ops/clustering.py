@@ -33,7 +33,7 @@ compute_metrics sampling (max_n=100) uses all elements.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +65,8 @@ def _cluster_body(sig: dict,
                        minsvlen: int,
                        binsize: int = 100,
                        resplit_binsize: int = 20,
-                       do_resplit: bool = True) -> dict:
+                       do_resplit: bool = True,
+                       head_freeze=True) -> dict:
     """
     Cluster a signature batch. `sig` is a dict of equal-length arrays:
     pos (i32), svlen (i32), svtype (i32), read_id (i32), strand (i32,
@@ -95,7 +96,7 @@ def _cluster_body(sig: dict,
     boundary = jnp.concatenate([first, change])
 
     # --- 3. iterative merge relaxation ---
-    def merge_step(boundary):
+    def merge_step(boundary, frozen):
         seg = segment_ids_from_boundaries(boundary)
         # segment extent in bin coordinates (reference cluster start/end:
         # seed bin start .. last bin end + binsize)
@@ -121,10 +122,41 @@ def _cluster_body(sig: dict,
         m3 = (svtype == SVTYPE_BND) & (inner <= cluster_merge_bnd)
         same_type_prev = jnp.concatenate([jnp.zeros((1,), dtype=bool),
                                           svtype[1:] == svtype[:-1]])
-        can_merge = boundary & same_type_prev & valid & (m1 | m2 | m3)
+        can_merge = boundary & same_type_prev & valid & (m1 | m2 | m3) & ~frozen
         # the very first element always starts a segment
         keep_first = jnp.concatenate([jnp.ones((1,), dtype=bool), jnp.zeros((n - 1,), dtype=bool)])
         return jnp.where(can_merge & ~keep_first, False, boundary)
+
+    # --- reference head-boundary freeze (sweep quirk) ---
+    # The host sweep's backtracking is `i = max(0, i-2) + 1`, so i can
+    # never return to 0: the boundary after a svtype's FIRST seed
+    # cluster is examined exactly once, with pristine single-bin
+    # metrics, and the head cluster is frozen at c0 alone (pristine
+    # criteria fail) or c0+c1 (pass) — it can never absorb a third
+    # seed. The relaxation computes the full closure, which merges
+    # more (caught by diff fuzzing on BND chains, seed 516: the flat
+    # 1000bp BND criterion makes head chains common). Reproduce the
+    # sweep exactly: evaluate the pristine decision per svtype, then
+    # pin the matching boundary so no relaxation round can clear it.
+    same_type_prev0 = jnp.concatenate([jnp.zeros((1,), dtype=bool),
+                                       svtype[1:] == svtype[:-1]])
+    # pristine (round-1) merge decisions on the seed segmentation:
+    # merge_step with nothing frozen, diffed against the seeds
+    no_freeze = jnp.zeros((n,), dtype=bool)
+    round1 = merge_step(boundary, no_freeze)
+    round1_can = boundary & ~round1          # boundary cleared in round 1
+    seg0 = segment_ids_from_boundaries(boundary)
+    t_clip = jnp.where(valid, jnp.clip(svtype, 0, 6), 7)
+    INT32_MAX_F = jnp.int32(2 ** 31 - 1)
+    fseg = jax.ops.segment_min(jnp.where(valid, seg0, INT32_MAX_F), t_clip,
+                               num_segments=8)
+    fseg_here = jnp.take(fseg, t_clip)
+    start1 = boundary & valid & same_type_prev0 & (seg0 == fseg_here + 1)
+    start2 = boundary & valid & same_type_prev0 & (seg0 == fseg_here + 2)
+    d_by_type = jax.ops.segment_max(
+        jnp.where(start1 & round1_can, 1, 0), t_clip, num_segments=8) > 0
+    d_here = jnp.take(d_by_type, t_clip)
+    frozen = ((start1 & ~d_here) | (start2 & d_here)) & head_freeze
 
     # Iterate to the relaxation fixed point. Each round only clears
     # boundaries (merges), so "changed" is simply a count decrease and
@@ -136,7 +168,7 @@ def _cluster_body(sig: dict,
 
     def merge_body(state):
         it, n_bounds, _, boundary = state
-        new = merge_step(boundary)
+        new = merge_step(boundary, frozen)
         return (it + 1, jnp.sum(new), n_bounds, new)
 
     init = (jnp.int32(0), jnp.sum(boundary), jnp.int32(-1), boundary)
@@ -312,6 +344,24 @@ def call_task_packed(packed: jnp.ndarray, *,
         single_frag,
         support_sa.astype(jnp.int32),
     ])
+
+
+@lru_cache(maxsize=32)
+def batched_call_task(meta_items: tuple):
+    """jitted vmap of call_task_packed over stacked task batches
+    (k, 10, N) -> (k, 12, N): the device service drains same-shape
+    requests from its queue and dispatches them as ONE kernel call, so
+    k tasks pay one round-trip latency instead of k (the per-dispatch
+    latency over a tunneled chip dwarfs kernel time at task-sized
+    batches). `meta_items` is the sorted tuple of the static kernel
+    params (one compile per distinct config, as for the single-task
+    kernel)."""
+    meta = dict(meta_items)
+
+    def one(packed):
+        return call_task_packed(packed, **meta)
+
+    return jax.jit(jax.vmap(one))
 
 
 @jax.jit

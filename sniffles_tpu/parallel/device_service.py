@@ -114,42 +114,112 @@ class DeviceServer:
             self.warm_async()
         self._queue.put((request, reply))
 
+    # max call_task requests fused into one vmapped dispatch; padded to
+    # 2 or 4 so at most two extra shapes ever compile
+    MAX_FUSED = 4
+
     def _run(self) -> None:
         self._warm()
-        # larger batch shapes (tasks above the 8192 floor double the padded
-        # size) compile lazily in idle gaps so a big task mid-run never
-        # stalls on a tunnel compile; real requests always take priority
-        pending_shapes = [2 * self._floor(), 4 * self._floor()]
+        # extra shapes compile lazily in idle gaps so neither a big task
+        # (above the 8192 floor the padded size doubles) nor the first
+        # fused multi-task dispatch stalls on a tunnel compile; real
+        # requests always take priority
+        floor = self._floor()
+        pending_shapes = [(2, floor), (4, floor), (1, 2 * floor), (1, 4 * floor)]
+        # idle compiles can take ~30s over a cold tunnel and the
+        # dispatcher cannot preempt them; require a real quiet period so
+        # a run connecting right now doesn't queue its first requests
+        # behind a speculative compile
+        IDLE_BEFORE_COMPILE = 5.0
+        last_request = time.monotonic()
         while True:
             try:
                 request, reply = self._queue.get(
-                    timeout=0.05 if pending_shapes else None)
+                    timeout=1.0 if pending_shapes else None)
             except queue.Empty:
-                self._warm_shape(pending_shapes.pop(0))
+                if time.monotonic() - last_request >= IDLE_BEFORE_COMPILE:
+                    self._warm_shape(*pending_shapes.pop(0))
                 continue
-            response = self.handle(request)
-            try:
-                reply(response)
-            except Exception:
-                # requester's pipe may be gone (dead worker); its task is
-                # requeued by the heartbeat logic and re-posts elsewhere
-                log.debug("could not deliver device response", exc_info=True)
+            last_request = time.monotonic()
+
+            # adaptive request fusion: drain same-shape/same-meta
+            # call_task requests already waiting and dispatch them as ONE
+            # vmapped kernel call — k tasks, one round-trip latency
+            batch = [(request, reply)]
+            leftover = None
+            if request.kind == "call_task":
+                while len(batch) < self.MAX_FUSED:
+                    try:
+                        nxt = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if (nxt[0].kind == "call_task"
+                            and nxt[0].meta == request.meta
+                            and np.shape(nxt[0].payload) == np.shape(request.payload)):
+                        batch.append(nxt)
+                    else:
+                        leftover = nxt
+                        break
+
+            if len(batch) > 1:
+                self._handle_fused(batch)
+            else:
+                self._safe_reply(reply, self.handle(request))
+            if leftover is not None:
+                self._safe_reply(leftover[1], self.handle(leftover[0]))
+
+    @staticmethod
+    def _safe_reply(reply, response) -> None:
+        try:
+            reply(response)
+        except Exception:
+            # requester's pipe may be gone (dead worker); its task is
+            # requeued by the heartbeat logic and re-posts elsewhere
+            log.debug("could not deliver device response", exc_info=True)
+
+    def _handle_fused(self, batch) -> None:
+        global JAX_CLIENT_LIVE
+        try:
+            import jax.numpy as jnp
+            from sniffles_tpu.ops.clustering import batched_call_task
+            JAX_CLIENT_LIVE = True
+            k = len(batch)
+            kp = 2 if k <= 2 else 4   # pad slots carry valid=0 rows only
+            stacked = np.zeros((kp,) + np.shape(batch[0][0].payload),
+                               dtype=np.int32)
+            for j, (req, _) in enumerate(batch):
+                stacked[j] = req.payload
+            meta_items = tuple(sorted(batch[0][0].meta.items()))
+            out = np.asarray(batched_call_task(meta_items)(jnp.asarray(stacked)))
+            for j, (req, reply) in enumerate(batch):
+                self._safe_reply(reply, DeviceResponse(payload=out[j],
+                                                       req_id=req.req_id))
+        except Exception as e:  # noqa: BLE001
+            log.warning("fused device dispatch failed", exc_info=True)
+            for req, reply in batch:
+                self._safe_reply(reply, DeviceResponse(
+                    error=f"{type(e).__name__}: {e}", req_id=req.req_id))
 
     @staticmethod
     def _floor() -> int:
         from sniffles_tpu.parallel.device_call import DEVICE_BATCH_FLOOR
         return DEVICE_BATCH_FLOOR
 
-    def _warm_shape(self, size: int) -> None:
+    def _warm_shape(self, k: int, size: int) -> None:
         if self._warm_meta is None:
             return
         try:
             import jax.numpy as jnp
-            from sniffles_tpu.ops.clustering import call_task_packed
             t0 = time.perf_counter()
-            np.asarray(call_task_packed(jnp.zeros((10, size), jnp.int32),
-                                        **self._warm_meta))
-            log.info(f"device idle-compiled batch shape {size} "
+            if k == 1:
+                from sniffles_tpu.ops.clustering import call_task_packed
+                np.asarray(call_task_packed(jnp.zeros((10, size), jnp.int32),
+                                            **self._warm_meta))
+            else:
+                from sniffles_tpu.ops.clustering import batched_call_task
+                fn = batched_call_task(tuple(sorted(self._warm_meta.items())))
+                np.asarray(fn(jnp.zeros((k, 10, size), jnp.int32)))
+            log.info(f"device idle-compiled batch shape {k}x{size} "
                      f"({time.perf_counter() - t0:.2f}s)")
         except Exception:
             log.debug("idle shape warmup failed", exc_info=True)

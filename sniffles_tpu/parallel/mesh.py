@@ -226,7 +226,11 @@ def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: floa
             cluster_merge_bnd=cluster_merge_bnd,
             cluster_merge_len=cluster_merge_len, minsvlen=minsvlen,
             binsize=binsize, resplit_binsize=resplit_binsize,
-            do_resplit=False)
+            do_resplit=False,
+            # the sweep's head-boundary freeze is a TASK-level quirk:
+            # only shard 0's local head is the task head (clusters near
+            # later shard starts are interior and relax normally)
+            head_freeze=(my_idx == 0))
         stats = call_statistics(clustered)
 
         n = clustered["pos"].shape[0]

@@ -125,3 +125,33 @@ def test_call_from_consumes_engine_stats(config):
             without_eng.append((svc.svtype, svc.pos, svc.svlen, svc.end, svc.qual,
                                 svc.support, svc.fwd, svc.rev))
     assert with_eng and with_eng == without_eng
+
+
+def test_fused_multi_task_dispatch_matches_single(config):
+    """The device service fuses same-shape call_task requests into one
+    vmapped dispatch; each slice must equal the single-task kernel."""
+    from sniffles_tpu.ops.clustering import call_task_packed, batched_call_task
+    from sniffles_tpu.parallel.device_call import pack_task_batch
+    from sniffles_tpu.parallel.device_service import (DeviceServer,
+                                                      DeviceRequest)
+
+    rng = np.random.default_rng(33)
+    packs = []
+    for s in range(3):
+        provider = _provider(config, rng, n_sites=10, frag_reads=2)
+        packs.append(pack_task_batch(provider, config, None))
+    singles = [np.asarray(call_task_packed(jnp.asarray(p[0]), **p[1]))
+               for p in packs]
+
+    server = DeviceServer()
+    got = {}
+    batch = [(DeviceRequest(kind="call_task", payload=p[0], meta=p[1],
+                            req_id=i), None) for i, p in enumerate(packs)]
+    batch = [(req, (lambda i: (lambda resp: got.__setitem__(i, resp)))(i))
+             for i, (req, _) in enumerate(batch)]
+    server._handle_fused(batch)
+
+    assert sorted(got) == [0, 1, 2]
+    for i in range(3):
+        assert got[i].error is None
+        np.testing.assert_array_equal(got[i].payload, singles[i])

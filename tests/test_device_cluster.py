@@ -122,7 +122,17 @@ def _merge_cascade_positions():
     return pos
 
 
-def test_merge_chain_reaches_fixed_point(config):
+def test_merge_chain_matches_host_sweep(config):
+    """The adversarial cascade through the device relaxation now matches
+    the host sweep EXACTLY (6 clusters), because the relaxation
+    reproduces the sweep's head-boundary freeze: `i = max(0, i-2) + 1`
+    can never return to i=0, so the boundary after a svtype's first
+    seed cluster is decided once, pristine, and the head can never
+    absorb a third seed — which on this cascade stops the whole chain.
+    (Round 2 documented the closure's 1-cluster result as an accepted
+    divergence; round-3 diff fuzzing caught the same quirk on real BND
+    chains — seed 516 — so the freeze is now emulated on device.)
+    """
     from sniffles_tpu.ops.clustering import cluster_assign_packed
 
     pos = _merge_cascade_positions()
@@ -139,25 +149,12 @@ def test_merge_chain_reaches_fixed_point(config):
         cluster_repeat_h_max=1000, cluster_merge_bnd=1500,
         cluster_merge_len=0.33, minsvlen=35))
     cluster_ids = out[0][out[2] > 0]
-    assert len(set(cluster_ids.tolist())) == 1, sorted(set(cluster_ids.tolist()))
+    assert len(set(cluster_ids.tolist())) == 6, sorted(set(cluster_ids.tolist()))
 
 
-def test_merge_chain_host_sweep_documented_divergence(config):
-    """The same cascade through the host sequential sweep.
-
-    The sweep (reference: cluster.py:277-308) advances with
-    `i = max(0, i-2); i += 1` after each merge, so the boundary between
-    clusters[0] and clusters[1] is examined exactly once, at the start —
-    `max(0, i-2) + 1 >= 1` can never return to i=0. On this cascade the
-    first span therefore stays split (bins absorbed into clusters[1]
-    after i moved on), its stdev stays small, and no gap boundary ever
-    merges: 6 clusters. The device relaxation re-evaluates every
-    boundary each round and reaches the true fixed point (1 cluster, a
-    superset of the sweep's merges — every sweep merge only becomes
-    easier as stdevs grow). This test pins the host behavior so any
-    change to either side is visible; differential tests on realistic
-    data show the two agree away from adversarial chains.
-    """
+def test_merge_chain_host_sweep_pinned(config):
+    """The same cascade through the host sequential sweep (pinned so a
+    change to either side stays visible): 6 clusters."""
     from sniffles_tpu import cluster as cl
     from sniffles_tpu.leads import Lead, LeadProvider
 
