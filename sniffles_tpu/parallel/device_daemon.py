@@ -45,17 +45,26 @@ _SHUTDOWN = "__shutdown__"
 
 
 def serve(socket_path: str, idle_timeout: float = 600.0, warm_config=None,
-          ready_event: threading.Event = None) -> None:
-    """Run the daemon until shutdown request or idle timeout."""
+          ready_event: threading.Event = None, warm_compile: bool = True) -> None:
+    """Run the daemon until shutdown request or idle timeout.
+
+    warm_compile=False claims the chip but skips the standard-shape
+    compiles (kernels then compile lazily on first use) — for tests,
+    where several short-lived daemons would otherwise contend on
+    minute-scale compiles."""
     from multiprocessing.connection import Listener
 
     server = DeviceServer()
-    if warm_config is None:
-        # reference-default kernel params (config.py defaults); runs with
-        # non-default clustering flags compile their shape on first use
-        from sniffles_tpu.config import SnifflesConfig
-        warm_config = SnifflesConfig("--input", "warm.bam", "--vcf", "warm.vcf")
-    server.warm_async(warm_config)
+    if warm_compile:
+        if warm_config is None:
+            # reference-default kernel params (config.py defaults); runs
+            # with non-default clustering flags compile their shape on
+            # first use
+            from sniffles_tpu.config import SnifflesConfig
+            warm_config = SnifflesConfig("--input", "warm.bam", "--vcf", "warm.vcf")
+        server.warm_async(warm_config)
+    else:
+        server.warm_async(None)
 
     if os.path.exists(socket_path):
         os.unlink(socket_path)
@@ -255,12 +264,22 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="sniffles-tpu device daemon")
     parser.add_argument("--socket", required=True)
     parser.add_argument("--idle-timeout", type=float, default=600.0)
+    parser.add_argument("--no-warm-compile", action="store_true",
+                        help="claim the chip but compile kernels lazily")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
-    serve(args.socket, idle_timeout=args.idle_timeout)
+    serve(args.socket, idle_timeout=args.idle_timeout,
+          warm_compile=not args.no_warm_compile)
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    # hard exit: the dispatcher thread may still be inside an XLA
+    # compile (idle shape warmup) when serve() returns; interpreter
+    # finalization under a compiling daemon thread segfaults
+    import sys
+    code = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(code)

@@ -1,0 +1,147 @@
+"""Device daemon (parallel/device_daemon.py): claim-once serving over a
+Unix socket. CPU-platform coverage of the full loop — warmup, ping,
+CLI runs through the socket (including device-by-default gating),
+request fusion, shutdown, and the idle timeout."""
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from sniffles_tpu.sim import PlantedSV, write_dataset  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _daemon_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["SNIFFLES_TPU_FORCE_CPU"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+@pytest.fixture
+def daemon(tmp_path):
+    sock = str(tmp_path / "daemon.sock")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sniffles_tpu.parallel.device_daemon",
+         "--socket", sock, "--idle-timeout", "300", "--no-warm-compile"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=_daemon_env())
+    deadline = time.monotonic() + 60
+    while not os.path.exists(sock) and time.monotonic() < deadline:
+        time.sleep(0.1)
+    assert os.path.exists(sock), "daemon socket never appeared"
+    yield sock
+    proc.terminate()
+    proc.wait(10)
+
+
+def test_daemon_ping_and_kernel(daemon):
+    from sniffles_tpu.parallel.device_daemon import DaemonClient
+    from sniffles_tpu.parallel.device_service import standard_call_meta
+    from sniffles_tpu.config import SnifflesConfig
+
+    client = DaemonClient(daemon)
+    assert client.ping(timeout=300)
+
+    config = SnifflesConfig("--input", "x.bam", "--vcf", "y.vcf")
+    meta = standard_call_meta(config)
+    packed = np.zeros((10, 8192), dtype=np.int32)
+    packed[0, :4] = [1000, 1010, 5000, 5020]
+    packed[1, :4] = [100, 100, -200, -200]
+    packed[2, :4] = [0, 0, 1, 1]
+    packed[3, :4] = np.arange(4)
+    packed[5, :4] = 1
+    packed[8, :4] = [1, 2, 3, 4]
+    out = client.call_task(packed, meta)
+    assert out.shape[0] == 12
+    cids = out[0][out[2] > 0]
+    assert len(set(cids.tolist())) == 2  # one INS + one DEL cluster
+
+    # concurrent posts from one client resolve by req_id
+    ids = [client.post("call_task", packed, meta) for _ in range(3)]
+    for rid in ids:
+        assert client.wait(rid).shape[0] == 12
+    client.close()
+
+
+def test_cli_device_by_default_through_daemon(daemon, tmp_path):
+    """A bare CLI run (no --tpu-call) with the daemon socket configured
+    takes the device path and emits records identical to --no-tpu."""
+    svs = [PlantedSV(pos=p, svtype=t, svlen=ln)
+           for p, t, ln in [(30_000, "DEL", 120), (60_000, "INS", 150),
+                            (90_000, "DEL", 500)]]
+    bam, _ = write_dataset(str(tmp_path), ref_len=120_000, depth=24,
+                           read_len=12_000, seed=11, svs=svs)
+    env = _daemon_env()
+    # device-by-default requires a TPU-class platform name; the kernels
+    # still execute on CPU via FORCE_CPU's platform pin inside the daemon
+    env["JAX_PLATFORMS"] = "tpu,cpu"
+    env["SNIFFLES_TPU_DEVICE_SOCKET"] = daemon
+    del env["SNIFFLES_TPU_FORCE_CPU"]
+
+    host_out = tmp_path / "host.vcf"
+    dev_out = tmp_path / "dev.vcf"
+    r1 = subprocess.run([sys.executable, "-m", "sniffles_tpu.cli", "--input", bam,
+                         "--vcf", str(host_out), "--threads", "0", "--no-tpu"],
+                        capture_output=True, text=True, env=env, timeout=600)
+    assert r1.returncode == 0, r1.stderr
+    r2 = subprocess.run([sys.executable, "-m", "sniffles_tpu.cli", "--input", bam,
+                         "--vcf", str(dev_out), "--threads", "0",
+                         "--dev-debug-log"],
+                        capture_output=True, text=True, env=env, timeout=600)
+    assert r2.returncode == 0, r2.stderr
+    assert "device engine stats consumed by" in (r2.stdout + r2.stderr), \
+        "bare run did not take the device path"
+
+    def records(p):
+        with open(p) as f:
+            return [l for l in f if not l.startswith("#")]
+
+    assert records(host_out) == records(dev_out)
+
+
+def test_daemon_idle_timeout(tmp_path):
+    sock = str(tmp_path / "idle.sock")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sniffles_tpu.parallel.device_daemon",
+         "--socket", sock, "--idle-timeout", "2", "--no-warm-compile"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=_daemon_env())
+    try:
+        deadline = time.monotonic() + 60
+        while not os.path.exists(sock) and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert os.path.exists(sock)
+        proc.wait(60)
+        assert proc.returncode == 0
+        assert not os.path.exists(sock), "socket not cleaned up on idle exit"
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            proc.wait(10)
+
+
+def test_daemon_shutdown_request(tmp_path):
+    from sniffles_tpu.parallel.device_daemon import DaemonClient
+    sock = str(tmp_path / "shut.sock")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sniffles_tpu.parallel.device_daemon",
+         "--socket", sock, "--idle-timeout", "300", "--no-warm-compile"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=_daemon_env())
+    try:
+        deadline = time.monotonic() + 60
+        while not os.path.exists(sock) and time.monotonic() < deadline:
+            time.sleep(0.1)
+        client = DaemonClient(sock)
+        client.shutdown()
+        proc.wait(30)
+        assert proc.returncode == 0
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            proc.wait(10)
