@@ -62,7 +62,7 @@ def serve(socket_path: str, idle_timeout: float = 600.0, warm_config=None,
             # first use
             from sniffles_tpu.config import SnifflesConfig
             warm_config = SnifflesConfig("--input", "warm.bam", "--vcf", "warm.vcf")
-        server.warm_async(warm_config)
+        server.warm_async(warm_config, full=True)
     else:
         server.warm_async(None)
 

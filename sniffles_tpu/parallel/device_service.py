@@ -92,17 +92,27 @@ class DeviceServer:
         self._queue: queue.Queue = queue.Queue()
         self._thread: threading.Thread = None
         self._warm_meta = None
+        self._warm_full = False
+        # (k, batch_size) shapes compiled during warmup; request fusion
+        # only engages when its padded shape is already compiled (a
+        # mid-run tunnel compile would stall every queued request)
+        self._ready_shapes: set = set()
         self.warm_stats: dict = {}
 
     # -- threaded operation -------------------------------------------------
 
-    def warm_async(self, config=None) -> None:
+    def warm_async(self, config=None, full: bool = False) -> None:
         """Start the dispatcher thread; it claims the chip and compiles
-        the standard call-step shape before serving requests."""
+        the standard call-step shape before serving requests. full=True
+        (the persistent daemon) also compiles the fused 2x/4x shapes and
+        the next batch size up, so no production dispatch ever compiles
+        mid-run; the in-CLI service warms only the standard shape (a
+        one-shot run cannot amortize the extra compiles)."""
         if self._thread is not None:
             return
         if config is not None:
             self._warm_meta = standard_call_meta(config)
+        self._warm_full = full
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="device-dispatch")
         self._thread.start()
@@ -120,34 +130,17 @@ class DeviceServer:
 
     def _run(self) -> None:
         self._warm()
-        # extra shapes compile lazily in idle gaps so neither a big task
-        # (above the 8192 floor the padded size doubles) nor the first
-        # fused multi-task dispatch stalls on a tunnel compile; real
-        # requests always take priority
-        floor = self._floor()
-        pending_shapes = [(2, floor), (4, floor), (1, 2 * floor), (1, 4 * floor)]
-        # idle compiles can take ~30s over a cold tunnel and the
-        # dispatcher cannot preempt them; require a real quiet period so
-        # a run connecting right now doesn't queue its first requests
-        # behind a speculative compile
-        IDLE_BEFORE_COMPILE = 5.0
-        last_request = time.monotonic()
         while True:
-            try:
-                request, reply = self._queue.get(
-                    timeout=1.0 if pending_shapes else None)
-            except queue.Empty:
-                if time.monotonic() - last_request >= IDLE_BEFORE_COMPILE:
-                    self._warm_shape(*pending_shapes.pop(0))
-                continue
-            last_request = time.monotonic()
+            request, reply = self._queue.get()
 
             # adaptive request fusion: drain same-shape/same-meta
             # call_task requests already waiting and dispatch them as ONE
             # vmapped kernel call — k tasks, one round-trip latency
             batch = [(request, reply)]
             leftover = None
-            if request.kind == "call_task":
+            fusable = (request.kind == "call_task"
+                       and (2, np.shape(request.payload)[-1]) in self._ready_shapes)
+            if fusable:
                 while len(batch) < self.MAX_FUSED:
                     try:
                         nxt = self._queue.get_nowait()
@@ -200,30 +193,6 @@ class DeviceServer:
                 self._safe_reply(reply, DeviceResponse(
                     error=f"{type(e).__name__}: {e}", req_id=req.req_id))
 
-    @staticmethod
-    def _floor() -> int:
-        from sniffles_tpu.parallel.device_call import DEVICE_BATCH_FLOOR
-        return DEVICE_BATCH_FLOOR
-
-    def _warm_shape(self, k: int, size: int) -> None:
-        if self._warm_meta is None:
-            return
-        try:
-            import jax.numpy as jnp
-            t0 = time.perf_counter()
-            if k == 1:
-                from sniffles_tpu.ops.clustering import call_task_packed
-                np.asarray(call_task_packed(jnp.zeros((10, size), jnp.int32),
-                                            **self._warm_meta))
-            else:
-                from sniffles_tpu.ops.clustering import batched_call_task
-                fn = batched_call_task(tuple(sorted(self._warm_meta.items())))
-                np.asarray(fn(jnp.zeros((k, 10, size), jnp.int32)))
-            log.info(f"device idle-compiled batch shape {k}x{size} "
-                     f"({time.perf_counter() - t0:.2f}s)")
-        except Exception:
-            log.debug("idle shape warmup failed", exc_info=True)
-
     def _warm(self) -> None:
         global JAX_CLIENT_LIVE
         try:
@@ -237,11 +206,29 @@ class DeviceServer:
             claim_s = time.perf_counter() - t0
             compile_s = 0.0
             if self._warm_meta is not None:
-                from sniffles_tpu.ops.clustering import call_task_packed
+                # compile BEFORE the ready ping — a mid-run compile over
+                # the tunnel (up to ~30s) stalls queued requests, and a
+                # speculative "idle" compile races the next run's
+                # arrival (measured: a bench TPU leg queued behind one).
+                # The daemon (full) warms every production shape; the
+                # in-CLI one-shot service warms only the standard shape.
+                from sniffles_tpu.ops.clustering import (batched_call_task,
+                                                         call_task_packed)
                 from sniffles_tpu.parallel.device_call import DEVICE_BATCH_FLOOR
                 t0 = time.perf_counter()
-                probe = jnp.zeros((10, DEVICE_BATCH_FLOOR), jnp.int32)
-                np.asarray(call_task_packed(probe, **self._warm_meta))
+                sizes = [DEVICE_BATCH_FLOOR]
+                if self._warm_full:
+                    sizes.append(2 * DEVICE_BATCH_FLOOR)
+                for size in sizes:
+                    np.asarray(call_task_packed(jnp.zeros((10, size), jnp.int32),
+                                                **self._warm_meta))
+                    self._ready_shapes.add((1, size))
+                if self._warm_full:
+                    fused = batched_call_task(tuple(sorted(self._warm_meta.items())))
+                    for k in (2, 4):
+                        np.asarray(fused(jnp.zeros((k, 10, DEVICE_BATCH_FLOOR),
+                                                   jnp.int32)))
+                        self._ready_shapes.add((k, DEVICE_BATCH_FLOOR))
                 compile_s = time.perf_counter() - t0
             self.warm_stats = {"claim_s": round(claim_s, 3),
                                "compile_s": round(compile_s, 3)}
