@@ -78,6 +78,20 @@ def test_cli_device_by_default_through_daemon(daemon, tmp_path):
                             (90_000, "DEL", 500)]]
     bam, _ = write_dataset(str(tmp_path), ref_len=120_000, depth=24,
                            read_len=12_000, seed=11, svs=svs)
+    # pre-compile the production kernel shape through the daemon (the
+    # test daemon skips warm compiles; under CPU contention a lazy
+    # compile inside the CLI's request window can outlast its timeout
+    # and silently fall back to the host path)
+    from sniffles_tpu.config import SnifflesConfig
+    from sniffles_tpu.parallel.device_daemon import DaemonClient
+    from sniffles_tpu.parallel.device_service import standard_call_meta
+    warm_client = DaemonClient(daemon)
+    warm_packed = np.zeros((10, 8192), dtype=np.int32)
+    warm_meta = standard_call_meta(SnifflesConfig("--input", "x.bam",
+                                                  "--vcf", "y.vcf"))
+    assert warm_client.call_task(warm_packed, warm_meta).shape[0] == 12
+    warm_client.close()
+
     env = _daemon_env()
     # device-by-default requires a TPU-class platform name; the kernels
     # still execute on CPU via FORCE_CPU's platform pin inside the daemon
