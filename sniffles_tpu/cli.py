@@ -334,13 +334,13 @@ def _run_pool(config, tasks, processes, monitor):
 
             def _inline_warm():
                 try:
+                    import jax
                     import jax.numpy as jnp
-                    import numpy as np
                     from sniffles_tpu.ops.clustering import call_task_packed
                     from sniffles_tpu.parallel.device_call import DEVICE_BATCH_FLOOR
                     from sniffles_tpu.parallel.device_service import standard_call_meta
-                    np.asarray(call_task_packed(
-                        jnp.zeros((9, DEVICE_BATCH_FLOOR), jnp.int32),
+                    jax.block_until_ready(call_task_packed(
+                        jnp.zeros((10, DEVICE_BATCH_FLOOR), jnp.int32),
                         **standard_call_meta(config)))
                 except Exception:
                     log.debug("inline device warmup failed", exc_info=True)

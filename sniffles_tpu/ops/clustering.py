@@ -16,11 +16,12 @@ pipeline is fully static-shaped and jit-compatible:
      relaxation is iterated to ITS fixed point (boundary vector stops
      changing; capped at MERGE_ITERS_MAX rounds). Merging only grows
      segment stdevs, so every merge the sweep performs the relaxation
-     also performs (m1 only gets easier); the relaxation can merge
-     MORE than the sweep on adversarial chains, because the sweep's
-     `i = max(0, i-2) + 1` backtracking never re-examines the boundary
-     between the first two clusters and is otherwise order-dependent
-     (see test_merge_chain_host_sweep_documented_divergence)
+     also performs (m1 only gets easier). The sweep's
+     `i = max(0, i-2) + 1` backtracking can never return to i=0, so
+     the boundary after a svtype's first seed cluster is decided once,
+     pristine — the relaxation reproduces that head-boundary freeze
+     exactly (see test_merge_chain_matches_host_sweep; caught by diff
+     fuzzing on BND chains, seed 516)
   4. resplit by |svlen| histogram bins (cluster.py:125-161), single
      chain pass
   5. per-cluster robust statistics (ops/stats.py) and support counting
@@ -287,14 +288,24 @@ def call_task_packed(packed: jnp.ndarray, *,
     the read name — support counts unique reads, sv.py:520), is_sa
     (lead source != INLINE — split-read evidence, sv.py:580-581).
 
-    Returns a (12, N) int32 matrix:
-      rows 0-2, per element (sort-permuted): cluster_id, orig_idx, valid
-      rows 3-11, per cluster (indexed by cluster id): raw_pos_center,
-        svlen_center, support, lead_count, fwd, rev, sum_mapq,
-        single_fragment (1 when support == lead_count, i.e. no read
-        contributes more than one lead, so the host merge_inner pass is
-        a no-op and these statistics are host-exact as-is), support_sa
-        (count of split-read leads — the DEL genotyper's SUPPORT_SA).
+    Returns ONE flat int32 array shaped for minimal D2H transfer (the
+    per-dispatch cost over a tunneled chip is ~22ms fixed + ~1.9ms per
+    100KB moved, and per-cluster statistics stored at N element slots
+    were ~75% of the bytes for ~2% real content; a single buffer pays
+    the fixed latency once). split_call_task_output unpacks it into:
+
+      elements: (3, N) int32, per element (sort-permuted):
+        cluster_id, orig_idx, valid
+      stats: (10, SLOTS) int32 with SLOTS = max(1024, N//8), per
+        cluster (indexed by cluster id): raw_pos_center, svlen_center,
+        support, lead_count, fwd, rev, sum_mapq, single_fragment
+        (1 when support == lead_count, i.e. no read contributes more
+        than one lead, so the host merge_inner pass is a no-op and
+        these statistics are host-exact as-is), support_sa (count of
+        split-read leads — the DEL genotyper's SUPPORT_SA); row 9
+        carries n_clusters in slot 0. A task with more than SLOTS
+        stage-1 clusters reports n_clusters > SLOTS and the caller
+        falls back to the exact host sweep (capacity, not correctness).
     """
     zeros = jnp.zeros_like(packed[0])
     sig = {
@@ -330,10 +341,13 @@ def call_task_packed(packed: jnp.ndarray, *,
     single_frag = (stats["support"] == stats["lead_count"]).astype(jnp.int32)
     support_sa = seg_sum(jnp.where(valid & (clustered["sa"] > 0), 1, 0), cid, n)
 
-    return jnp.stack([
+    elements = jnp.stack([
         clustered["cluster_id"].astype(jnp.int32),
         clustered["orig_idx"].astype(jnp.int32),
         clustered["valid"].astype(jnp.int32),
+    ])
+    slots = max(1024, n // 8)
+    full = jnp.stack([
         stats["raw_pos_center"],
         stats["svlen"],
         stats["support"].astype(jnp.int32),
@@ -343,7 +357,19 @@ def call_task_packed(packed: jnp.ndarray, *,
         sum_mapq.astype(jnp.int32),
         single_frag,
         support_sa.astype(jnp.int32),
+        jnp.zeros((n,), jnp.int32).at[0].set(stats["n_clusters"].astype(jnp.int32)),
     ])
+    # ONE flat buffer: every D2H transfer pays ~22ms of tunnel latency,
+    # so two result arrays would double the fixed cost per dispatch
+    return jnp.concatenate([elements.reshape(-1), full[:, :slots].reshape(-1)])
+
+
+def split_call_task_output(flat: np.ndarray, n: int):
+    """Split the flat call_task_packed result back into (elements (3, N),
+    stats (10, SLOTS))."""
+    elements = flat[:3 * n].reshape(3, n)
+    stats = flat[3 * n:].reshape(10, -1)
+    return elements, stats
 
 
 @lru_cache(maxsize=32)

@@ -35,7 +35,7 @@ DEVICE_BATCH_FLOOR = 8192
 
 def pack_task_batch(lead_provider, config, tr):
     """Flatten the leadtab (reference layout: leadprov.py:400-418) into
-    the packed (9, size) int32 signature batch the call_task kernel
+    the packed (10, size) int32 signature batch the call_task kernel
     consumes, plus the host-side context needed to materialize clusters
     from the kernel output. Returns None when the task has no
     device-eligible leads.
@@ -240,11 +240,19 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
         ordered.sort(key=lambda item: item[0])
         normalized = [(m, s) for _, m, s in ordered]
     else:
-        cids = out[0]
-        ridx = out[1]   # original lead index, permuted with the sort
-        valid = out[2]
-        # per-cluster device statistics (rows 3-11; see call_task_packed)
-        dev_stats = out[3:]
+        from sniffles_tpu.ops.clustering import split_call_task_output
+        elements, dev_stats = split_call_task_output(out, packed.shape[1])
+        # the compacted stats block holds max(1024, N//8) cluster slots
+        # (a ~4x D2H cut; see call_task_packed) — a task with more
+        # stage-1 clusters than slots falls back to the exact host sweep
+        n_clusters = int(dev_stats[9][0])
+        if n_clusters > dev_stats.shape[1]:
+            raise RuntimeError(
+                f"device stats capacity exceeded ({n_clusters} clusters > "
+                f"{dev_stats.shape[1]} slots); host sweep fallback")
+        cids = elements[0]
+        ridx = elements[1]   # original lead index, permuted with the sort
+        valid = elements[2]
         groups: dict[int, list[int]] = {}
         for cid, li, ok in zip(cids.tolist(), ridx.tolist(), valid.tolist()):
             if ok:

@@ -220,14 +220,14 @@ class DeviceServer:
                 if self._warm_full:
                     sizes.append(2 * DEVICE_BATCH_FLOOR)
                 for size in sizes:
-                    np.asarray(call_task_packed(jnp.zeros((10, size), jnp.int32),
-                                                **self._warm_meta))
+                    jax.block_until_ready(call_task_packed(
+                        jnp.zeros((10, size), jnp.int32), **self._warm_meta))
                     self._ready_shapes.add((1, size))
                 if self._warm_full:
                     fused = batched_call_task(tuple(sorted(self._warm_meta.items())))
                     for k in (2, 4):
-                        np.asarray(fused(jnp.zeros((k, 10, DEVICE_BATCH_FLOOR),
-                                                   jnp.int32)))
+                        jax.block_until_ready(fused(
+                            jnp.zeros((k, 10, DEVICE_BATCH_FLOOR), jnp.int32)))
                         self._ready_shapes.add((k, DEVICE_BATCH_FLOOR))
                 compile_s = time.perf_counter() - t0
             self.warm_stats = {"claim_s": round(claim_s, 3),

@@ -140,8 +140,8 @@ def test_fused_multi_task_dispatch_matches_single(config):
     for s in range(3):
         provider = _provider(config, rng, n_sites=10, frag_reads=2)
         packs.append(pack_task_batch(provider, config, None))
-    singles = [np.asarray(call_task_packed(jnp.asarray(p[0]), **p[1]))
-               for p in packs]
+    singles = [np.asarray(call_task_packed(jnp.asarray(pk[0]), **pk[1]))
+               for pk in packs]
 
     server = DeviceServer()
     got = {}

@@ -58,15 +58,18 @@ def test_daemon_ping_and_kernel(daemon):
     packed[3, :4] = np.arange(4)
     packed[5, :4] = 1
     packed[8, :4] = [1, 2, 3, 4]
-    out = client.call_task(packed, meta)
-    assert out.shape[0] == 12
-    cids = out[0][out[2] > 0]
+    from sniffles_tpu.ops.clustering import split_call_task_output
+    elements, stats = split_call_task_output(client.call_task(packed, meta), 8192)
+    assert elements.shape[0] == 3 and stats.shape[0] == 10
+    cids = elements[0][elements[2] > 0]
     assert len(set(cids.tolist())) == 2  # one INS + one DEL cluster
+    assert int(stats[9][0]) == 2         # n_clusters rides the stats block
 
     # concurrent posts from one client resolve by req_id
     ids = [client.post("call_task", packed, meta) for _ in range(3)]
     for rid in ids:
-        assert client.wait(rid).shape[0] == 12
+        el, st = split_call_task_output(client.wait(rid), 8192)
+        assert el.shape[0] == 3 and st.shape[0] == 10
     client.close()
 
 
@@ -89,7 +92,7 @@ def test_cli_device_by_default_through_daemon(daemon, tmp_path):
     warm_packed = np.zeros((10, 8192), dtype=np.int32)
     warm_meta = standard_call_meta(SnifflesConfig("--input", "x.bam",
                                                   "--vcf", "y.vcf"))
-    assert warm_client.call_task(warm_packed, warm_meta).shape[0] == 12
+    assert warm_client.call_task(warm_packed, warm_meta).ndim == 1
     warm_client.close()
 
     env = _daemon_env()
