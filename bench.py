@@ -88,6 +88,14 @@ def timed_run(cmd, env_extra=None, timeout=3600):
     return dt
 
 
+def timed_run2(cmd, env_extra=None, timeout=3600):
+    """min over two runs: a single tunnel hiccup (one dispatch can stall
+    tens of seconds under transient contention) must not poison a
+    recorded steady-state leg; both raw values are reported."""
+    runs = [timed_run(cmd, env_extra, timeout) for _ in range(2)]
+    return min(runs), [round(r, 2) for r in runs]
+
+
 def vcf_records(path):
     with open(path) as f:
         return [line for line in f if not line.startswith("#")]
@@ -162,13 +170,13 @@ def bench_scale(out, daemon):
     base = ["--input", bam, "--reference", fa, "--allow-overwrite",
             "--threads", THREADS]
     ours_vcf = os.path.join(SCALE_DIR, "ours.vcf")
-    out["e2e_scale_seconds_ours"] = timed_run(
+    out["e2e_scale_seconds_ours"], out["e2e_scale_ours_runs"] = timed_run2(
         [sys.executable, "-m", "sniffles_tpu", *base, "--vcf", ours_vcf],
         env_extra={"SNIFFLES_TPU_FORCE_CPU": "1"})
     if daemon is not None:
         try:
             tpu_vcf = os.path.join(SCALE_DIR, "tpu.vcf")
-            out["e2e_scale_seconds_ours_tpu"] = timed_run(
+            out["e2e_scale_seconds_ours_tpu"], out["e2e_scale_tpu_runs"] = timed_run2(
                 [sys.executable, "-m", "sniffles_tpu", *base, "--vcf", tpu_vcf,
                  "--tpu-call"], env_extra=daemon.env())
             out["scale_tpu_records_identical"] = (vcf_records(tpu_vcf)
@@ -200,14 +208,14 @@ def bench_e2e():
         out.update(daemon.stats)
 
     ours_vcf = os.path.join(BENCH_DIR, "ours.vcf")
-    out["e2e_seconds_ours"] = timed_run(
+    out["e2e_seconds_ours"], out["e2e_ours_runs"] = timed_run2(
         [sys.executable, "-m", "sniffles_tpu", *base, "--vcf", ours_vcf],
         env_extra={"SNIFFLES_TPU_FORCE_CPU": "1"})
 
     if daemon_ok:
         try:
             tpu_vcf = os.path.join(BENCH_DIR, "tpu.vcf")
-            out["e2e_seconds_ours_tpu"] = timed_run(
+            out["e2e_seconds_ours_tpu"], out["e2e_tpu_runs"] = timed_run2(
                 [sys.executable, "-m", "sniffles_tpu", *base, "--vcf", tpu_vcf,
                  "--tpu-call"], env_extra=daemon.env())
             out["tpu_records_identical"] = vcf_records(tpu_vcf) == vcf_records(ours_vcf)
