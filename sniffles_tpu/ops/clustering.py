@@ -157,7 +157,16 @@ def _cluster_body(sig: dict,
     d_by_type = jax.ops.segment_max(
         jnp.where(start1 & round1_can, 1, 0), t_clip, num_segments=8) > 0
     d_here = jnp.take(d_by_type, t_clip)
-    frozen = ((start1 & ~d_here) | (start2 & d_here)) & head_freeze
+    # head_freeze: scalar bool (apply to every svtype, the single-device
+    # case) or an (8,) per-svtype vector indexed by t_clip — the mesh
+    # path freezes a svtype only on the shard whose batch contains that
+    # svtype's task-globally first element (parallel/mesh.py).
+    if isinstance(head_freeze, (bool, int)):
+        freeze_sel = jnp.bool_(head_freeze)
+    else:
+        hf = jnp.asarray(head_freeze)
+        freeze_sel = hf if hf.ndim == 0 else jnp.take(hf, t_clip)
+    frozen = ((start1 & ~d_here) | (start2 & d_here)) & freeze_sel
 
     # Iterate to the relaxation fixed point. Each round only clears
     # boundaries (merges), so "changed" is simply a count decrease and

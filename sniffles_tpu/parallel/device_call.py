@@ -139,10 +139,17 @@ def run_mesh_assign(payload: dict, meta: dict) -> np.ndarray:
         # test hook: exercise the task-level host fallback path
         raise RuntimeError("mesh halo overflow (forced); host seam repair required")
 
+    import jax
     import jax.numpy as jnp
     from sniffles_tpu.parallel import mesh as meshmod
 
     n_dev = int(payload["n_dev"])
+    if len(jax.devices()) < n_dev:
+        # a smaller mesh would shard_map a size-n_dev payload over fewer
+        # devices and SILENTLY drop the excess shards' signatures
+        raise RuntimeError(
+            f"--tpu-mesh {n_dev} requested but only {len(jax.devices())} "
+            f"device(s) visible; host fallback")
     mesh = meshmod.make_genome_mesh(n_dev)
     fn = _mesh_fn_cache.get((n_dev,) + tuple(sorted(meta.items())))
     if fn is None:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import logging
 import os
+import sys
 import threading
 import time
 
@@ -67,6 +68,22 @@ def serve(socket_path: str, idle_timeout: float = 600.0, warm_config=None,
         server.warm_async(None)
 
     if os.path.exists(socket_path):
+        # a LIVE daemon may own this path: unlinking it would orphan a
+        # process that keeps the chip claim until its idle timeout —
+        # exactly the two-claimant tunnel contention this module exists
+        # to prevent. Probe before unlinking and refuse to start over a
+        # daemon that answers.
+        from multiprocessing.connection import Client
+        try:
+            Client(socket_path, family="AF_UNIX").close()
+            alive = True
+        except (ConnectionRefusedError, FileNotFoundError, OSError):
+            alive = False
+        if alive:
+            raise RuntimeError(
+                f"a live device daemon already answers on {socket_path}; "
+                f"refusing to start a second claimant (shut it down first "
+                f"or use a different --socket)")
         os.unlink(socket_path)
     listener = Listener(socket_path, family="AF_UNIX")
     log.info(f"device daemon listening on {socket_path}")
@@ -175,7 +192,8 @@ class DaemonClient:
         self._conn = Client(socket_path, family="AF_UNIX")
         self._send_lock = threading.Lock()
         self._cv = threading.Condition()
-        self._responses: dict[int, DeviceResponse] = {}
+        self._responses: dict[int, tuple] = {}   # req_id -> (response, t_arrived)
+        self._abandoned: dict[int, float] = {}
         self._next_id = 1
         self._recv_error: str = None
         threading.Thread(target=self._recv_loop, daemon=True).start()
@@ -184,13 +202,29 @@ class DaemonClient:
         try:
             while True:
                 response = self._conn.recv()
+                now = time.monotonic()
                 with self._cv:
-                    self._responses[response.req_id] = response
+                    if self._abandoned.pop(response.req_id, None) is None:
+                        self._responses[response.req_id] = (response, now)
+                    # prune responses for posted-but-abandoned requests
+                    # (see DeviceClient.deliver): a long-lived client
+                    # must not accumulate orphaned payloads
+                    for d in (self._responses, self._abandoned):
+                        stale = [rid for rid, v in d.items()
+                                 if now - (v[1] if isinstance(v, tuple) else v) > self.TIMEOUT]
+                        for rid in stale:
+                            del d[rid]
                     self._cv.notify_all()
         except (EOFError, OSError) as e:
             with self._cv:
                 self._recv_error = f"daemon connection lost: {e}"
                 self._cv.notify_all()
+
+    def discard(self, req_id: int) -> None:
+        """Drop the response of a posted request the caller abandoned."""
+        with self._cv:
+            if self._responses.pop(req_id, None) is None:
+                self._abandoned[req_id] = time.monotonic()
 
     def post(self, kind: str, payload, meta: dict) -> int:
         with self._cv:
@@ -211,7 +245,7 @@ class DaemonClient:
                 if remaining <= 0 or not self._cv.wait(timeout=remaining):
                     raise TimeoutError(f"device daemon did not answer request "
                                        f"{req_id} in time")
-            response = self._responses.pop(req_id)
+            response, _ = self._responses.pop(req_id)
         if response.error is not None:
             raise RuntimeError(f"device daemon error: {response.error}")
         return response.payload
@@ -269,8 +303,12 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
-    serve(args.socket, idle_timeout=args.idle_timeout,
-          warm_compile=not args.no_warm_compile)
+    try:
+        serve(args.socket, idle_timeout=args.idle_timeout,
+              warm_compile=not args.no_warm_compile)
+    except RuntimeError as e:
+        print(f"sniffles-tpu device daemon: {e}", file=sys.stderr)
+        return 1
     return 0
 
 

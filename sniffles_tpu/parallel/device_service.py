@@ -288,14 +288,32 @@ class DeviceClient:
         self._conn = conn
         self._send_lock = send_lock or threading.Lock()
         self._cv = threading.Condition()
-        self._responses: dict[int, DeviceResponse] = {}
+        self._responses: dict[int, tuple] = {}   # req_id -> (response, t_arrived)
+        self._abandoned: dict[int, float] = {}   # req_id -> t_abandoned
         self._next_id = 1
 
     def deliver(self, response: DeviceResponse) -> None:
         """Called from the worker's pipe receive thread."""
+        now = time.monotonic()
         with self._cv:
-            self._responses[response.req_id] = response
+            if self._abandoned.pop(response.req_id, None) is None:
+                self._responses[response.req_id] = (response, now)
+            # prune responses nobody will ever wait() for (a task that
+            # errored or fell back after posting) — without this a
+            # long-lived worker leaks ~300KB+ per orphaned payload
+            for d in (self._responses, self._abandoned):
+                stale = [rid for rid, v in d.items()
+                         if now - (v[1] if isinstance(v, tuple) else v) > self.TIMEOUT]
+                for rid in stale:
+                    del d[rid]
             self._cv.notify_all()
+
+    def discard(self, req_id: int) -> None:
+        """Drop the response of a posted request the caller abandoned
+        (fallback/error paths); a late arrival is dropped on delivery."""
+        with self._cv:
+            if self._responses.pop(req_id, None) is None:
+                self._abandoned[req_id] = time.monotonic()
 
     def post(self, kind: str, payload, meta: dict) -> int:
         with self._cv:
@@ -314,7 +332,7 @@ class DeviceClient:
                 if remaining <= 0 or not self._cv.wait(timeout=remaining):
                     raise TimeoutError(f"device service did not answer request "
                                        f"{req_id} within {self.TIMEOUT}s")
-            response = self._responses.pop(req_id)
+            response, _ = self._responses.pop(req_id)
         if response.error is not None:
             raise RuntimeError(f"device service error: {response.error}")
         return response.payload

@@ -126,11 +126,19 @@ def build_sharded_step(mesh: Mesh, params: dict | None = None,
         suppress_tail = touches_tail & (my_idx < n_dev - 1)
         ghost = out["pos_max"] < my_start - W
         out = dict(out)
-        out["cluster_valid"] = out["cluster_valid"] & ~suppress_tail & ~ghost
+        cluster_valid0 = out["cluster_valid"]
+        out["cluster_valid"] = cluster_valid0 & ~suppress_tail & ~ghost
         # a cluster wider than W can straddle beyond the exchanged window;
-        # report it so callers know the exactness bound was exceeded
-        span_overflow = jnp.any(out["cluster_valid"]
+        # report it so callers know the exactness bound was exceeded —
+        # including on the SENDER for suppressed tail clusters (the
+        # receiver only sees their truncated remainder) and for owned
+        # clusters touching the received halo's truncation edge
+        span_overflow = jnp.any((out["cluster_valid"]
+                                 | (cluster_valid0 & suppress_tail))
                                 & ((out["pos_max"] - out["pos_min"]) > W))
+        span_overflow |= (jnp.any(out["cluster_valid"]
+                                  & (out["pos_min"] < my_start - 2 * W + 100))
+                          & (my_idx > 0))
         out["halo_overflow"] = jnp.broadcast_to(halo_overflow | span_overflow, (1,))
 
         out["coverage_global"] = jnp.broadcast_to(coverage_global, (1,))
@@ -220,6 +228,22 @@ def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: floa
             "repeat": ext[4] > 0, "valid": ext[5] > 0,
             "orig_idx": ext[3], "sa": ext[9],
         }
+        # The sweep's head-boundary freeze is a TASK-level quirk: it
+        # applies to the svtype's task-globally FIRST cluster. That head
+        # lives wherever the svtype's lowest-position element is — not
+        # necessarily shard 0 (a svtype can be absent there) — and when
+        # it sits inside a sender's 2W tail, the receiving neighbor
+        # re-clusters it too and must freeze it identically. So: freeze
+        # a svtype on every shard whose EXTENDED batch (own + incoming
+        # halo) contains that svtype's global minimum position (pmin
+        # over the mesh; min is idempotent, halo duplicates are safe).
+        valid_ext = ext[5] > 0
+        t_ext = jnp.where(valid_ext, jnp.clip(ext[2], 0, 6), 7)
+        INT32_MAX = jnp.int32(2 ** 31 - 1)
+        ext_min = jax.ops.segment_min(jnp.where(valid_ext, ext[0], INT32_MAX),
+                                      t_ext, num_segments=8)
+        gmin = jax.lax.pmin(ext_min, GENOME_AXIS)
+        head_freeze_vec = (ext_min == gmin) & (ext_min < INT32_MAX)
         clustered = _cluster_body(
             sig, cluster_r=cluster_r, cluster_repeat_h=cluster_repeat_h,
             cluster_repeat_h_max=cluster_repeat_h_max,
@@ -227,10 +251,7 @@ def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: floa
             cluster_merge_len=cluster_merge_len, minsvlen=minsvlen,
             binsize=binsize, resplit_binsize=resplit_binsize,
             do_resplit=False,
-            # the sweep's head-boundary freeze is a TASK-level quirk:
-            # only shard 0's local head is the task head (clusters near
-            # later shard starts are interior and relax normally)
-            head_freeze=(my_idx == 0))
+            head_freeze=head_freeze_vec)
         stats = call_statistics(clustered)
 
         n = clustered["pos"].shape[0]
@@ -246,8 +267,22 @@ def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: floa
         suppress_tail = touches_tail & (my_idx < n_dev - 1)
         ghost = stats["pos_max"] < my_start - W
         cluster_owned = is_cluster & ~suppress_tail & ~ghost
-        span_overflow = jnp.any(cluster_owned
-                                & ((stats["pos_max"] - stats["pos_min"]) > W))
+        span = stats["pos_max"] - stats["pos_min"]
+        # invariant violations must ALWAYS force the retry/host path:
+        # (a) a suppressed tail cluster whose visible span already
+        #     exceeds W gets truncated at the receiver's 2W halo edge,
+        #     where its remaining span can look legal — flag it on the
+        #     sender, where the overflow is visible;
+        # (b) an owned cluster whose pos_min touches the first seed bin
+        #     of the received halo window may extend past the truncation
+        #     edge the sender could not see — treat edge contact as
+        #     overflow (false positives only cost a doubled-W retry,
+        #     which moves the edge away and converges).
+        span_overflow = jnp.any((cluster_owned | (is_cluster & suppress_tail))
+                                & (span > W))
+        trunc_edge = my_start - 2 * W + binsize
+        span_overflow |= (jnp.any(cluster_owned & (stats["pos_min"] < trunc_edge))
+                          & (my_idx > 0))
 
         owned_valid = cvalid & jnp.take(cluster_owned, jnp.clip(cid, 0, n - 1))
 
@@ -334,10 +369,18 @@ def build_sharded_combine_step(mesh: Mesh, combine_match: float = 250.0,
                                       gid, num_segments=n_ext)
         suppress_tail = (pos_max >= my_end - W) & (my_idx < n_dev - 1)
         ghost = pos_max < my_start - W
-        group_valid = (jnp.arange(n_ext) < out["n_groups"]) & ~suppress_tail & ~ghost
-        span_overflow = jnp.any(group_valid & ((pos_max - jax.ops.segment_min(
+        is_group = jnp.arange(n_ext) < out["n_groups"]
+        group_valid = is_group & ~suppress_tail & ~ghost
+        pos_min = jax.ops.segment_min(
             jnp.where(valid, out["pos"], jnp.int32(2 ** 31 - 1)), gid,
-            num_segments=n_ext)) > W))
+            num_segments=n_ext)
+        # sender-side check for suppressed tail groups + receiver-side
+        # truncation-edge sentinel (same soundness argument as the call
+        # step above): violations always force the caller's fallback
+        span_overflow = jnp.any((group_valid | (is_group & suppress_tail))
+                                & ((pos_max - pos_min) > W))
+        span_overflow |= (jnp.any(group_valid & (pos_min < my_start - 2 * W + 100))
+                          & (my_idx > 0))
 
         out = dict(out)
         out["group_valid"] = group_valid

@@ -171,8 +171,19 @@ class SnifflesWorker:
                         # the poll loop never blocks on the chip, so other
                         # workers' results/requests keep flowing
                         if self.device_server is None:
+                            # lazily create ONE fallback dispatcher and
+                            # share it across the whole pool: per-worker
+                            # servers would each warm the chip and defeat
+                            # the request-fusion queue (one claimant per
+                            # chip is the invariant the daemon exists for)
                             from sniffles_tpu.parallel.device_service import DeviceServer
-                            self.device_server = DeviceServer()
+                            server = next((p.device_server for p in self.peers
+                                           if p.device_server is not None), None)
+                            server = server or DeviceServer()
+                            for p in self.peers:
+                                if p.device_server is None:
+                                    p.device_server = server
+                            self.device_server = server
                         self.device_server.submit(msg, self.send_main)
                         return self.running
                     result: Result = msg

@@ -182,6 +182,14 @@ class Task:
                                             device=service, posted=posted,
                                             counters=counters))
             except Exception:
+                # a posted request we will never wait() for: tell the
+                # client to drop its (possibly late) response so a
+                # long-lived worker does not leak the payload
+                if posted and posted[0] is not None and service is not None:
+                    try:
+                        service.discard(posted[0])
+                    except Exception:
+                        pass
                 # chip CI sets this so a broken device path fails loudly
                 # instead of silently passing on the host fallback
                 if os.environ.get("SNIFFLES_TPU_REQUIRE_DEVICE"):

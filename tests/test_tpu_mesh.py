@@ -185,3 +185,107 @@ def test_mesh_overflow_task_falls_back_to_host(tmp_path):
                  env_extra={"SNIFFLES_TPU_MESH_FORCE_OVERFLOW": "1"})
     assert r2.returncode == 0, r2.stderr
     assert read_calls(host_out) == read_calls(mesh_out)
+
+
+# --------------------------------------------------------------------------
+# ADVICE r3 regressions: per-svtype head freeze + sender-side span overflow
+
+
+def _chain_provider(config, add_specs):
+    """Provider from explicit (pos, svtype, svlen) lead specs."""
+    provider = LeadProvider(config, 0, "chr1")
+    binsize = config.cluster_binsize
+    for i, (pos, svtype, svlen) in enumerate(add_specs):
+        ld = Lead(read_id=i, read_qname=f"r{i}", contig="chr1",
+                  ref_start=pos, ref_end=pos, qry_start=0, qry_end=0,
+                  strand="+", mapq=40, nm=0.0, source="INLINE",
+                  svtype=svtype, svlen=svlen)
+        provider.record_lead(ld, pos // binsize * binsize)
+    provider.start = 0
+    provider.end = 1_000_000
+    return provider
+
+
+def _head_freeze_specs():
+    """A DEL head chain where the host sweep's head-boundary freeze
+    matters, placed so DEL's task-globally FIRST element is NOT in
+    shard 0 (an INS cluster occupies the low coordinates): c0 spread
+    (sd~50), one-bin gap to tight c1, adjacent spread c2 — pristine
+    c0-c1 fails (min sd is c1's ~0.5), c1+c2 merge inflates the pair
+    sd, and an unfrozen relaxation closure would then merge c0 as well
+    while the sweep never revisits the head boundary."""
+    specs = [(20_000 + o, "INS", 150) for o in (0, 1, 2, 3)]
+    specs += [(600_000 + o, "DEL", -200) for o in (0, 0, 99, 99)]       # c0 spread
+    specs += [(600_250 + o, "DEL", -200) for o in (0, 0, 1, 1)]         # c1 tight
+    specs += [(600_300 + o, "DEL", -200) for o in (0, 0, 99, 99)]       # c2 spread
+    specs += [(900_000 + o, "DEL", -500) for o in (0, 1, 2, 3)]         # span stretch
+    return specs
+
+
+def test_mesh_head_freeze_applies_off_shard_zero(config):
+    """The head freeze must fire in whichever shard holds a svtype's
+    task-globally first element (here DEL's head lands in a middle
+    shard of the 8-mesh), keeping mesh == single-device."""
+    from sniffles_tpu.parallel.device_call import device_clusters
+
+    single = list(device_clusters(_chain_provider(config, _head_freeze_specs()),
+                                  config, None))
+    config.tpu_mesh = 8
+    try:
+        mesh = list(device_clusters(_chain_provider(config, _head_freeze_specs()),
+                                    config, None))
+    finally:
+        config.tpu_mesh = 0
+    assert _cluster_keyset(mesh) == _cluster_keyset(single)
+    # guard against vacuity: the single-device path must actually freeze
+    # the head — c0 (reads r4..r7) stays a separate cluster while c1+c2
+    # merge; an unfrozen closure would fold all three together
+    keys = _cluster_keyset(single)
+    assert ("DEL", ("r10", "r11", "r12", "r13", "r14", "r15", "r8", "r9")) in keys
+    assert ("DEL", ("r4", "r5", "r6", "r7")) in keys
+
+
+def _sender_span_specs():
+    """A cluster chain that spans > W and ends inside the sender's last
+    W: the sender suppresses it (right neighbor owns it), and at W=5000
+    the receiver's 2W-truncated halo view re-clusters into a legal-
+    looking fragment (an 800bp interior gap that only merges when the
+    full left run's stdev is visible) — the ADVICE r3 silent-truncation
+    scenario. The sender-side span check must flag it so the doubled-W
+    retry restores the exact membership."""
+    specs = [(500 + o, "DEL", -300) for o in (0, 1, 2, 3)]
+    # left run 28.0k-31.0k: contiguous 100bp bins, 3 leads each
+    for bin_start in range(28_000, 31_100, 100):
+        for off in (5, 35, 65):
+            specs.append((bin_start + off, "DEL", -200))
+    # 1.2kb gap, then right run 32.3k-36.4k (the gap merges only when
+    # the full 3kb left run's stdev is visible; the receiver's
+    # truncated 1kb view fails the criterion and splits legal-looking)
+    for bin_start in range(32_300, 36_400, 100):
+        for off in (5, 35, 65):
+            specs.append((bin_start + off, "DEL", -200))
+    specs += [(79_500 + o, "DEL", -500) for o in (0, 1, 2, 3)]
+    return specs
+
+
+def test_mesh_sender_span_overflow_forces_retry(config):
+    """Pre-fix, the truncated receiver fragment passed the span check
+    and --tpu-mesh silently emitted wrong cluster membership; the
+    sender-side check now forces the retry and mesh == single-device."""
+    from sniffles_tpu.parallel.device_call import device_clusters
+
+    single = list(device_clusters(_chain_provider(config, _sender_span_specs()),
+                                  config, None))
+    config.tpu_mesh = 2
+    try:
+        mesh = list(device_clusters(_chain_provider(config, _sender_span_specs()),
+                                    config, None))
+    finally:
+        config.tpu_mesh = 0
+    assert _cluster_keyset(mesh) == _cluster_keyset(single)
+    # vacuity guard: on the full view the 1.2kb gap merges, so the two
+    # runs form ONE 216-lead cluster spanning ~8.4kb (> W=5000); the
+    # pre-fix mesh silently dropped the 93-lead left run (probe:
+    # owned_total 131 of 224, halo_overflow all-False)
+    big = [k for k in _cluster_keyset(single) if len(k[1]) > 200]
+    assert len(big) == 1
