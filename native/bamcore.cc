@@ -15,6 +15,7 @@
 //
 // Build: make -C native   (produces libbamcore.so)
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -1132,6 +1133,545 @@ int bamcore_consensus_novel(const uint8_t* best, int64_t lb,
         for (int k = 0; k < ns; ++k) cnt[seen[k]] = 0;
     }
     return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Split-read chain parsing + classification.
+//
+// Native equivalent of the per-read Python around SA tags (the largest
+// remaining per-read host cost after the columnar record scan): the SA
+// chain walk and query-order sort (reference: leadprov.py:227-265), the
+// adjacent-pair geometry classification (reference: sv.py:649-782) and
+// the BND mate extraction (reference: leadprov.py:57-132). Emits flat
+// hint/BND columns; Python materializes Lead objects from them
+// (sniffles_tpu/leads.py _iter_region_native). Any parse anomaly sets a
+// per-read error flag and Python re-runs its exact fallback for that
+// read, reproducing the reference's error messages.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// CIGAR-string analysis for SA entries; replicates leads.CIGAR_analyze
+// (reference: leadprov.py:144-176) including its quirks: trailing bare
+// digits are silently accepted, any non-[A-Z=] op or malformed structure
+// is an error, and the leading clip is the clip total seen before the
+// first clip op that FOLLOWS aligned ops.
+static int sa_cigar_analyze(const uint8_t* s, int64_t n, int64_t* lead_clip,
+                            int64_t* trail_clip, int64_t* refspan,
+                            int64_t* readspan) {
+    int64_t rs = 0, qs = 0, clip_total = 0, leading = -1;
+    int64_t i = 0;
+    while (i < n) {
+        if (!(s[i] >= '0' && s[i] <= '9')) return -1;
+        int64_t v = 0;
+        while (i < n && s[i] >= '0' && s[i] <= '9') { v = v * 10 + (s[i] - '0'); i++; }
+        if (i >= n) break;  // trailing digits without an op: accepted
+        char op = (char)s[i];
+        i++;
+        switch (op) {
+            case 'M': case '=': case 'X': qs += v; rs += v; break;
+            case 'I': qs += v; break;
+            case 'D': case 'N': rs += v; break;
+            case 'S': case 'H':
+                if (leading < 0 && qs + rs > 0) leading = clip_total;
+                clip_total += v;
+                break;
+            default: return -1;  // unknown (incl. lowercase / P)
+        }
+    }
+    if (leading < 0) leading = clip_total;
+    *lead_clip = leading;
+    *trail_clip = clip_total - leading;
+    *refspan = rs;
+    *readspan = qs;
+    return 0;
+}
+
+struct SplitRecInfo {
+    int32_t pos = 0, flag = 0, mapq = 0, l_seq = 0;
+    int32_t ref_len = 0, qstart = 0, qalen = 0, qlen = 0;  // qlen incl. soft clips
+    int32_t first_op = -1, first_len = 0, last_op = -1, last_len = 0;
+    int32_t nm = -1;
+    int64_t sa_off = -1;
+    int32_t sa_len = 0;
+};
+
+// Re-parse one record body for the split path (geometry + SA/NM tags).
+// `off` is the record BODY offset (after block_size), `blen` the body
+// length — exactly what bamcore_scan_records published per record.
+static int split_parse_rec(const uint8_t* data, int64_t off, int32_t blen,
+                           SplitRecInfo* ri) {
+    const uint8_t* r = data + off;
+    std::memcpy(&ri->pos, r + 4, 4);
+    uint8_t l_read_name = r[8];
+    ri->mapq = r[9];
+    uint16_t n_cigar, flag;
+    std::memcpy(&n_cigar, r + 12, 2);
+    std::memcpy(&flag, r + 14, 2);
+    ri->flag = flag;
+    std::memcpy(&ri->l_seq, r + 16, 4);
+
+    const uint8_t* cig = r + 32 + l_read_name;
+    int32_t ref_len = 0, qstart = 0, qalen = 0, qlen = 0;
+    bool seen_aligned = false;
+    for (uint32_t ci = 0; ci < n_cigar; ci++) {
+        uint32_t cv;
+        std::memcpy(&cv, cig + 4ll * ci, 4);
+        uint32_t op = cv & 0xF;
+        int32_t oplen = (int32_t)(cv >> 4);
+        if (op > 8) continue;
+        if (ci == 0) { ri->first_op = (int32_t)op; ri->first_len = oplen; }
+        ri->last_op = (int32_t)op;
+        ri->last_len = oplen;
+        ref_len += CONSUME_REF[op] * oplen;
+        qlen += CONSUME_READ[op] * oplen;
+        if (op == OP_M || op == OP_I || op == OP_EQ || op == OP_X) {
+            qalen += oplen;
+            seen_aligned = true;
+        } else if (op == OP_S && !seen_aligned) {
+            qstart += oplen;
+        }
+    }
+    ri->ref_len = ref_len;
+    ri->qstart = qstart;
+    ri->qalen = qalen;
+    ri->qlen = qlen;
+
+    int64_t seq_bytes = ((int64_t)ri->l_seq + 1) / 2;
+    const uint8_t* tags = cig + 4ll * n_cigar + seq_bytes + ri->l_seq;
+    const uint8_t* rec_end = r + blen;
+    const uint8_t* t = tags;
+    while (t + 3 <= rec_end) {
+        char t0 = (char)t[0], t1 = (char)t[1], typ = (char)t[2];
+        const uint8_t* v = t + 3;
+        int64_t vlen = 0, ival = 0;
+        bool is_int = false;
+        switch (typ) {
+            case 'A': vlen = 1; break;
+            case 'c': { int8_t x; std::memcpy(&x, v, 1); ival = x; is_int = true; vlen = 1; break; }
+            case 'C': { uint8_t x = *v; ival = x; is_int = true; vlen = 1; break; }
+            case 's': { int16_t x; std::memcpy(&x, v, 2); ival = x; is_int = true; vlen = 2; break; }
+            case 'S': { uint16_t x; std::memcpy(&x, v, 2); ival = x; is_int = true; vlen = 2; break; }
+            case 'i': { int32_t x; std::memcpy(&x, v, 4); ival = x; is_int = true; vlen = 4; break; }
+            case 'I': { uint32_t x; std::memcpy(&x, v, 4); ival = (int64_t)x; is_int = true; vlen = 4; break; }
+            case 'f': vlen = 4; break;
+            case 'Z': case 'H': {
+                const uint8_t* z = v;
+                while (z < rec_end && *z != 0) z++;
+                vlen = (z - v) + 1;
+                break;
+            }
+            case 'B': {
+                char sub = (char)v[0];
+                uint32_t cnt;
+                std::memcpy(&cnt, v + 1, 4);
+                int esz = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
+                vlen = 5 + (int64_t)cnt * esz;
+                break;
+            }
+            default:
+                vlen = rec_end - v;
+        }
+        if (t0 == 'N' && t1 == 'M' && is_int) ri->nm = (int32_t)ival;
+        else if (t0 == 'S' && t1 == 'A' && typ == 'Z') {
+            ri->sa_off = (v - data);
+            ri->sa_len = (int32_t)(vlen - 1);
+        }
+        t = v + vlen;
+    }
+    return 0;
+}
+
+struct SaEntry {
+    int64_t ctg_off;
+    int32_t ctg_len;
+    int64_t pos;        // 1-based from the tag
+    int8_t strand;      // +1 / -1
+    int64_t cig_off;
+    int32_t cig_len;
+    int64_t mapq;
+    int64_t nm;
+};
+
+static int split_atoi(const uint8_t* s, int32_t n, int64_t* out) {
+    if (n <= 0) return -1;
+    int64_t v = 0, i = 0, sign = 1;
+    if (s[0] == '-') { sign = -1; i = 1; if (n == 1) return -1; }
+    for (; i < n; i++) {
+        if (s[i] < '0' || s[i] > '9') return -1;
+        v = v * 10 + (s[i] - '0');
+    }
+    *out = sign * v;
+    return 0;
+}
+
+// Parse the SA tag string into entries; returns count, or -1 on a
+// malformed entry (wrong field count / non-numeric pos/mapq — the
+// Python path would raise there, so the caller falls back to it).
+static int64_t parse_sa_entries(const uint8_t* data, int64_t sa_off,
+                                int32_t sa_len, std::vector<SaEntry>* out) {
+    const uint8_t* s = data + sa_off;
+    int64_t i = 0;
+    while (i < sa_len) {
+        int64_t e = i;
+        while (e < sa_len && s[e] != ';') e++;
+        if (e > i) {  // non-empty entry
+            // six comma-separated fields
+            int64_t f_start[6], f_len[6];
+            int nf = 0;
+            int64_t fs = i;
+            for (int64_t j = i; j <= e; j++) {
+                if (j == e || s[j] == ',') {
+                    if (nf >= 6) { nf = 7; break; }
+                    f_start[nf] = fs;
+                    f_len[nf] = j - fs;
+                    nf++;
+                    fs = j + 1;
+                }
+            }
+            if (nf != 6) return -1;
+            SaEntry ent;
+            ent.ctg_off = sa_off + f_start[0];
+            ent.ctg_len = (int32_t)f_len[0];
+            if (split_atoi(s + f_start[1], (int32_t)f_len[1], &ent.pos) != 0) return -1;
+            ent.strand = (f_len[2] == 1 && s[f_start[2]] == '-') ? -1 : 1;
+            ent.cig_off = sa_off + f_start[3];
+            ent.cig_len = (int32_t)f_len[3];
+            if (split_atoi(s + f_start[4], (int32_t)f_len[4], &ent.mapq) != 0) return -1;
+            if (split_atoi(s + f_start[5], (int32_t)f_len[5], &ent.nm) != 0) ent.nm = 0;
+            out->push_back(ent);
+        }
+        i = e + 1;
+    }
+    return (int64_t)out->size();
+}
+
+struct ChainAln {
+    int64_t ctg_off;    // -1: the region contig (primary alignment)
+    int32_t ctg_len;
+    int32_t ref_start, ref_end, qry_start, qry_end, mapq;
+    int8_t strand;      // +1 / -1
+    int8_t is_prim;
+};
+
+struct ChainHint {
+    int32_t type = -1;  // 0 INS, 1 DEL, 2 DUP, 3 INV, 4 INS-with-None-svlen
+    int32_t start = 0;
+    int32_t svlen = 0;
+    int32_t seq_a = -1, seq_b = -1;
+};
+
+static bool same_contig(const uint8_t* data, const char* region_contig,
+                        int64_t region_contig_len,
+                        const ChainAln& a, const ChainAln& b) {
+    const uint8_t* pa = (a.ctg_off < 0) ? (const uint8_t*)region_contig : data + a.ctg_off;
+    int64_t la = (a.ctg_off < 0) ? region_contig_len : a.ctg_len;
+    const uint8_t* pb = (b.ctg_off < 0) ? (const uint8_t*)region_contig : data + b.ctg_off;
+    int64_t lb = (b.ctg_off < 0) ? region_contig_len : b.ctg_len;
+    return la == lb && std::memcmp(pa, pb, (size_t)la) == 0;
+}
+
+// Adjacent-pair classification (reference: sv.py:665-755). Writes the
+// hint for `curr`; returns true when one was produced.
+static bool classify_pair(const ChainAln& last, const ChainAln& curr,
+                          int32_t minlen, int32_t seq_cap, bool same_strand,
+                          ChainHint* h) {
+    if (same_strand) {
+        const bool forward = curr.strand != -1;
+        const int64_t qry_gap = (int64_t)curr.qry_start - last.qry_end;
+        const int64_t ref_gap = forward ? ((int64_t)curr.ref_start - last.ref_end)
+                                        : ((int64_t)last.ref_start - curr.ref_end);
+        const int64_t anchor = forward ? curr.ref_start : last.ref_start;
+        if (qry_gap >= minlen && qry_gap - ref_gap >= minlen) {
+            h->type = 0;
+            h->start = (int32_t)anchor;
+            h->svlen = (int32_t)qry_gap;
+            if (qry_gap <= seq_cap) { h->seq_a = last.qry_end; h->seq_b = curr.qry_start; }
+            return true;
+        }
+        if (ref_gap >= minlen && ref_gap - qry_gap >= minlen) {
+            h->type = 1;
+            h->start = (int32_t)anchor;
+            h->svlen = (int32_t)(-ref_gap);
+            return true;
+        }
+        if (forward && curr.ref_start <= last.ref_end) {
+            const int64_t span = (int64_t)last.ref_end - curr.ref_start;
+            if (span >= minlen) {
+                h->type = 2;
+                h->start = curr.ref_start;
+                h->svlen = (int32_t)span;
+                return true;
+            }
+        } else if (!forward && last.ref_start <= curr.ref_end) {
+            const int64_t span = (int64_t)curr.ref_end - last.ref_start;
+            if (span >= minlen) {
+                h->type = 2;
+                h->start = last.ref_start;
+                h->svlen = (int32_t)span;
+                return true;
+            }
+        }
+        return false;
+    }
+    // strand flip -> INV (reference: sv.py:723-755)
+    int64_t a, b;
+    if (curr.strand != -1) { a = curr.ref_start; b = last.ref_start; }
+    else { a = curr.ref_end; b = last.ref_end; }
+    const int64_t span = (a > b) ? (a - b) : (b - a);
+    if (span >= minlen) {
+        h->type = 3;
+        h->start = (int32_t)((a < b) ? a : b);
+        h->svlen = (int32_t)span;
+        return true;
+    }
+    return false;
+}
+
+// classify_splits on one chain (reference: sv.py:649-782): sort by query
+// start, head long-INS hint, pair hints, and the short-pseudo-BND
+// refilter retry. Fills `hints` positionally for the FINAL chain and
+// returns its length (the chain vector is reordered/filtered in place).
+static int64_t classify_chain(std::vector<ChainAln>* chain,
+                              std::vector<ChainHint>* hints,
+                              const uint8_t* data, const char* region_contig,
+                              int64_t region_contig_len,
+                              int32_t minlen, double long_ins_half,
+                              int32_t seq_cap) {
+    for (int attempt = 0; attempt < 2; attempt++) {
+        std::stable_sort(chain->begin(), chain->end(),
+                         [](const ChainAln& x, const ChainAln& y) {
+                             return x.qry_start < y.qry_start;
+                         });
+        const int64_t n = (int64_t)chain->size();
+        hints->assign((size_t)n, ChainHint());
+        if ((double)(*chain)[0].qry_start >= long_ins_half) {
+            (*hints)[0].type = 4;  // INS with svlen None
+            (*hints)[0].start = (*chain)[0].ref_start;
+        }
+        int64_t pair_hints = 0;
+        for (int64_t k = 1; k < n; k++) {
+            const ChainAln& last = (*chain)[k - 1];
+            const ChainAln& curr = (*chain)[k];
+            if (!same_contig(data, region_contig, region_contig_len, last, curr))
+                continue;
+            if (classify_pair(last, curr, minlen, seq_cap,
+                              curr.strand == last.strand, &(*hints)[k]))
+                pair_hints++;
+        }
+        if (attempt == 0 && pair_hints == 0 && n > 2) {
+            // filter out short pseudo BND hints (sv.py:731-737): keep the
+            // first alignment's contig+strand; retry only when exactly 2
+            // alignments remain
+            const ChainAln anchor = (*chain)[0];
+            std::vector<ChainAln> filtered;
+            for (const ChainAln& c : *chain)
+                if (c.strand == anchor.strand
+                    && same_contig(data, region_contig, region_contig_len, c, anchor))
+                    filtered.push_back(c);
+            if (filtered.size() == 2) {
+                *chain = filtered;
+                continue;
+            }
+        }
+        return n;
+    }
+    return (int64_t)chain->size();  // unreachable
+}
+
+}  // namespace
+
+extern "C" {
+
+struct SplitCols {
+    // per input read (n_reads rows)
+    int32_t* bnd_ok;            // 0 no BND, 1 ok, -1 error -> python fallback
+    int32_t* split_err;         // 1 -> python fallback for the split chain
+    int32_t* bnd_anchor;
+    int32_t* bnd_is_first;
+    int32_t* bnd_mate_is_reverse;
+    int32_t* bnd_same_strand;
+    int64_t* bnd_mate_off;      // SA contig name bytes in `data`
+    int32_t* bnd_mate_len;
+    int32_t* bnd_mate_anchor;
+    int32_t* bnd_sa_nm;
+    // hint rows (grouped by read, ascending)
+    int32_t* h_read;            // index into the input read subset
+    int32_t* h_type;            // 0 INS, 1 DEL, 2 DUP, 3 INV, 4 INS-None
+    int32_t* h_start;
+    int32_t* h_svlen;
+    int64_t* h_ctg_off;         // -1: region contig
+    int32_t* h_ctg_len;
+    int32_t* h_strand;          // +1/-1
+    int32_t* h_mapq;
+    int32_t* h_source;          // 0 SPLIT_PRIM, 1 SPLIT_SUP
+    int32_t* h_qry_start;
+    int32_t* h_qry_end;
+    int32_t* h_seq_a;           // [a,b) slice of the primary SEQ, -1 none
+    int32_t* h_seq_b;
+};
+
+// Parse + classify the SA chains of `n_reads` records (offsets/lengths
+// from a prior bamcore_scan_records pass). `want` bit0 requests the BND
+// lead, bit1 the split-hint chain (primaries only). Returns the hint
+// count, or -9 when hint_cap is too small (caller regrows and retries).
+int64_t bamcore_scan_splits(const uint8_t* data, int64_t data_len,
+                            const int64_t* rec_off, const int32_t* rec_len,
+                            const uint8_t* want, int64_t n_reads,
+                            const char* region_contig,
+                            int32_t minsvlen, double long_ins_half,
+                            int32_t seq_cap, int32_t max_splits_base,
+                            double max_splits_kb, int32_t mapq_min,
+                            int32_t keep_lowqual,
+                            SplitCols* sc, int64_t hint_cap,
+                            int64_t* n_hints_out) {
+    (void)data_len;
+    const int64_t region_contig_len = (int64_t)strlen(region_contig);
+    int64_t nh = 0;
+    std::vector<SaEntry> sa;
+    std::vector<ChainAln> chain;
+    std::vector<ChainHint> hints;
+
+    for (int64_t ridx = 0; ridx < n_reads; ridx++) {
+        sc->bnd_ok[ridx] = 0;
+        sc->split_err[ridx] = 0;
+        const uint8_t w = want[ridx];
+        if (!w) continue;
+
+        SplitRecInfo ri;
+        split_parse_rec(data, rec_off[ridx], rec_len[ridx], &ri);
+        if (ri.sa_off < 0) continue;
+
+        sa.clear();
+        const int64_t n_sa = parse_sa_entries(data, ri.sa_off, ri.sa_len, &sa);
+        if (n_sa < 0) {
+            sc->bnd_ok[ridx] = -1;
+            sc->split_err[ridx] = 1;
+            continue;
+        }
+
+        const int8_t own_strand = (ri.flag & 0x10) ? -1 : 1;
+
+        if ((w & 1) && n_sa > 0) {
+            // BND lead from the FIRST SA entry (reference: leadprov.py:57-132)
+            const bool first_clip = (ri.first_op == OP_S || ri.first_op == OP_H);
+            const bool last_clip = (ri.last_op == OP_S || ri.last_op == OP_H);
+            const int32_t clip_head = first_clip ? ri.first_len : 0;
+            const int32_t clip_tail = last_clip ? ri.last_len : 0;
+            int32_t anchor, is_first;
+            if (clip_head > clip_tail) { anchor = ri.pos + 1; is_first = 0; }
+            else { anchor = ri.pos + ri.ref_len; is_first = 1; }
+
+            const SaEntry& e = sa[0];
+            int64_t head_clip, tail_clip, refspan, readspan;
+            if (sa_cigar_analyze(data + e.cig_off, e.cig_len, &head_clip,
+                                 &tail_clip, &refspan, &readspan) != 0) {
+                sc->bnd_ok[ridx] = -1;  // python fallback prints the error
+            } else {
+                const int64_t mate_start = e.pos - 1;
+                const bool mate_is_reverse = tail_clip > head_clip;
+                int64_t mate_anchor;
+                if (mate_is_reverse) mate_anchor = mate_start + refspan;
+                else if (is_first) mate_anchor = mate_start + 1;
+                else if (e.strand == own_strand) mate_anchor = mate_start + refspan;
+                else mate_anchor = mate_start + 2;
+
+                sc->bnd_ok[ridx] = 1;
+                sc->bnd_anchor[ridx] = anchor;
+                sc->bnd_is_first[ridx] = is_first;
+                sc->bnd_mate_is_reverse[ridx] = mate_is_reverse ? 1 : 0;
+                sc->bnd_same_strand[ridx] = (e.strand == own_strand) ? 1 : 0;
+                sc->bnd_mate_off[ridx] = e.ctg_off;
+                sc->bnd_mate_len[ridx] = e.ctg_len;
+                sc->bnd_mate_anchor[ridx] = (int32_t)mate_anchor;
+                sc->bnd_sa_nm[ridx] = (int32_t)e.nm;
+            }
+        }
+
+        if (!(w & 2) || n_sa == 0) continue;
+
+        // split chain (reference: leadprov.py:227-265). query_length is
+        // pysam's l_seq (0 when SEQ is not stored), NOT the CIGAR read
+        // span — both the splits-allowed bound and the reverse-strand
+        // primary query start depend on that exact semantic.
+        const int32_t qlen_py = ri.l_seq;
+        const double allowed = (double)max_splits_base
+                               + max_splits_kb * ((double)qlen_py / 1000.0);
+        if ((double)n_sa > allowed) continue;
+
+        chain.clear();
+        ChainAln prim;
+        prim.ctg_off = -1;
+        prim.ctg_len = 0;
+        prim.ref_start = ri.pos;
+        prim.ref_end = ri.pos + ri.ref_len;
+        const int32_t prim_qry_start = (ri.flag & 0x10)
+            ? qlen_py - (ri.qstart + ri.qalen) : ri.qstart;
+        prim.qry_start = prim_qry_start;
+        prim.qry_end = prim_qry_start + ri.qalen;
+        prim.strand = own_strand;
+        prim.mapq = ri.mapq;
+        prim.is_prim = 1;
+        chain.push_back(prim);
+
+        bool bad = false;
+        for (const SaEntry& e : sa) {
+            int64_t clip_fwd, clip_rev, refspan, readspan;
+            if (sa_cigar_analyze(data + e.cig_off, e.cig_len, &clip_fwd,
+                                 &clip_rev, &refspan, &readspan) != 0) {
+                bad = true;
+                break;
+            }
+            ChainAln c;
+            c.ctg_off = e.ctg_off;
+            c.ctg_len = e.ctg_len;
+            c.ref_start = (int32_t)(e.pos - 1);
+            c.ref_end = (int32_t)(e.pos - 1 + refspan);
+            const int64_t sa_qs = (e.strand == -1) ? clip_rev : clip_fwd;
+            c.qry_start = (int32_t)sa_qs;
+            c.qry_end = (int32_t)(sa_qs + readspan);
+            c.strand = e.strand;
+            c.mapq = (int32_t)e.mapq;
+            c.is_prim = 0;
+            chain.push_back(c);
+        }
+        if (bad) {
+            sc->split_err[ridx] = 1;  // python fallback prints the error
+            continue;
+        }
+
+        const int64_t n_chain = classify_chain(&chain, &hints, data,
+                                               region_contig, region_contig_len,
+                                               minsvlen, long_ins_half, seq_cap);
+
+        for (int64_t k = 0; k < n_chain; k++) {
+            if (hints[k].type < 0) continue;
+            // pair-mapq gate (reference: leadprov.py:285-292)
+            const int32_t prev_mapq = chain[(k > 0) ? k - 1 : 0].mapq;
+            const int32_t pair_mapq = (chain[k].mapq < prev_mapq)
+                ? chain[k].mapq : prev_mapq;
+            if (!keep_lowqual && pair_mapq < mapq_min) continue;
+            if (nh >= hint_cap) return -9;
+            sc->h_read[nh] = (int32_t)ridx;
+            sc->h_type[nh] = hints[k].type;
+            sc->h_start[nh] = hints[k].start;
+            sc->h_svlen[nh] = hints[k].svlen;
+            sc->h_ctg_off[nh] = chain[k].ctg_off;
+            sc->h_ctg_len[nh] = chain[k].ctg_len;
+            sc->h_strand[nh] = chain[k].strand;
+            sc->h_mapq[nh] = chain[k].mapq;
+            sc->h_source[nh] = chain[k].is_prim ? 0 : 1;
+            sc->h_qry_start[nh] = chain[k].qry_start;
+            sc->h_qry_end[nh] = chain[k].qry_end;
+            sc->h_seq_a[nh] = hints[k].seq_a;
+            sc->h_seq_b[nh] = hints[k].seq_b;
+            nh++;
+        }
+    }
+    *n_hints_out = nh;
+    return n_reads;
 }
 
 }  // extern "C"

@@ -47,6 +47,23 @@ class _EventCols(ctypes.Structure):
     ]
 
 
+class _SplitCols(ctypes.Structure):
+    _fields_ = [
+        ("bnd_ok", ctypes.c_void_p), ("split_err", ctypes.c_void_p),
+        ("bnd_anchor", ctypes.c_void_p), ("bnd_is_first", ctypes.c_void_p),
+        ("bnd_mate_is_reverse", ctypes.c_void_p), ("bnd_same_strand", ctypes.c_void_p),
+        ("bnd_mate_off", ctypes.c_void_p), ("bnd_mate_len", ctypes.c_void_p),
+        ("bnd_mate_anchor", ctypes.c_void_p), ("bnd_sa_nm", ctypes.c_void_p),
+        ("h_read", ctypes.c_void_p), ("h_type", ctypes.c_void_p),
+        ("h_start", ctypes.c_void_p), ("h_svlen", ctypes.c_void_p),
+        ("h_ctg_off", ctypes.c_void_p), ("h_ctg_len", ctypes.c_void_p),
+        ("h_strand", ctypes.c_void_p), ("h_mapq", ctypes.c_void_p),
+        ("h_source", ctypes.c_void_p), ("h_qry_start", ctypes.c_void_p),
+        ("h_qry_end", ctypes.c_void_p), ("h_seq_a", ctypes.c_void_p),
+        ("h_seq_b", ctypes.c_void_p),
+    ]
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _LIB_TRIED
     if _LIB_TRIED:
@@ -126,6 +143,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
                     ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
                     ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+            except AttributeError:
+                pass
+            try:  # stale .so builds may predate the split-chain scanner
+                lib.bamcore_scan_splits.restype = ctypes.c_int64
+                lib.bamcore_scan_splits.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_char_p, ctypes.c_int32, ctypes.c_double,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+                    ctypes.c_int32, ctypes.c_int32,
+                    ctypes.POINTER(_SplitCols), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64)]
             except AttributeError:
                 pass
             try:  # stale .so builds may predate the POA engine
@@ -423,6 +452,62 @@ def _scan_scratch(rec_cap: int, ev_cap: int):
         }
         _SCAN_TLS.scratch = st
     return st["cols"], st["events"]
+
+
+_SPLIT_COL_DTYPES = {
+    "bnd_ok": np.int32, "split_err": np.int32, "bnd_anchor": np.int32,
+    "bnd_is_first": np.int32, "bnd_mate_is_reverse": np.int32,
+    "bnd_same_strand": np.int32, "bnd_mate_off": np.int64,
+    "bnd_mate_len": np.int32, "bnd_mate_anchor": np.int32,
+    "bnd_sa_nm": np.int32,
+}
+_HINT_COL_DTYPES = {
+    "h_read": np.int32, "h_type": np.int32, "h_start": np.int32,
+    "h_svlen": np.int32, "h_ctg_off": np.int64, "h_ctg_len": np.int32,
+    "h_strand": np.int32, "h_mapq": np.int32, "h_source": np.int32,
+    "h_qry_start": np.int32, "h_qry_end": np.int32,
+    "h_seq_a": np.int32, "h_seq_b": np.int32,
+}
+
+
+def scan_splits(buf: np.ndarray, rec_off: np.ndarray, rec_len: np.ndarray,
+                want: np.ndarray, region_contig: str, *, minsvlen: int,
+                long_ins_half: float, seq_cap: int, max_splits_base: int,
+                max_splits_kb: float, mapq_min: int, keep_lowqual: bool):
+    """Native SA-chain parse + split classification for a subset of
+    scanned records (bamcore_scan_splits). Returns (bnd_cols, hint_cols)
+    dicts of numpy arrays, or None when the symbol is unavailable (stale
+    .so) — callers then use the per-read Python path.
+
+    `want` per read: bit0 = extract the BND lead, bit1 = classify the
+    split chain (primary alignments only)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bamcore_scan_splits"):
+        return None
+    n = len(rec_off)
+    rec_off = np.ascontiguousarray(rec_off, dtype=np.int64)
+    rec_len = np.ascontiguousarray(rec_len, dtype=np.int32)
+    want = np.ascontiguousarray(want, dtype=np.uint8)
+    bnd = {k: np.empty(max(n, 1), dtype=dt) for k, dt in _SPLIT_COL_DTYPES.items()}
+    hint_cap = max(64, 4 * n)
+    while True:
+        hints = {k: np.empty(hint_cap, dtype=dt) for k, dt in _HINT_COL_DTYPES.items()}
+        sc = _SplitCols(**{k: _ptr(v).value for k, v in {**bnd, **hints}.items()})
+        n_hints = ctypes.c_int64(0)
+        rc = lib.bamcore_scan_splits(
+            ctypes.c_void_p(buf.ctypes.data), buf.shape[0],
+            _ptr(rec_off), _ptr(rec_len), _ptr(want), n,
+            region_contig.encode("ascii"),
+            minsvlen, long_ins_half, seq_cap, max_splits_base,
+            max_splits_kb, mapq_min, 1 if keep_lowqual else 0,
+            ctypes.byref(sc), hint_cap, ctypes.byref(n_hints))
+        if rc == -9:
+            hint_cap *= 4
+            continue
+        if rc < 0:
+            return None
+        nh = int(n_hints.value)
+        return {k: v[:n] for k, v in bnd.items()}, {k: v[:nh] for k, v in hints.items()}
 
 
 def scan_records(decompressed: np.ndarray, min_event_len: int,

@@ -637,6 +637,33 @@ class LeadProvider:
             interesting = idxs[(has_events | has_sa_arr)[idxs]]
             if len(interesting) == 0:
                 continue
+
+            # Native split-chain parse for all SA carriers of the batch
+            # (bamcore_scan_splits): SA tag tokenization, CIGAR analysis,
+            # query-order sort, pair classification and BND mate geometry
+            # all happen in C; the loop below only materializes Lead
+            # objects from the returned columns. Reads the scanner flags
+            # (malformed SA) fall back to the exact per-read Python path.
+            sa_sub = interesting[has_sa_arr[interesting]]
+            split_bnd = split_hints = None
+            sa_pos_of: dict = {}
+            if len(sa_sub):
+                want = np.where(
+                    (flag_arr[sa_sub] & FSUPPLEMENTARY) != 0, 1, 3).astype(np.uint8)
+                split_out = native.scan_splits(
+                    res.buf, c["offset"][sa_sub], c["rec_len"][sa_sub], want,
+                    region.contig,
+                    minsvlen=minsvlen,
+                    long_ins_half=config.long_ins_length * 0.5,
+                    seq_cap=seq_cache_maxlen,
+                    max_splits_base=config.max_splits_base,
+                    max_splits_kb=float(config.max_splits_kb),
+                    mapq_min=mapq_min,
+                    keep_lowqual=bool(config.dev_keep_lowqual_splits))
+                if split_out is not None:
+                    split_bnd, split_hints = split_out
+                    sa_pos_of = {int(v): j for j, v in enumerate(sa_sub.tolist())}
+                    hint_read = split_hints["h_read"]
             read_id_of = dict(zip(idxs.tolist(), read_ids.tolist()))
             ev_lo_a = np.searchsorted(ev_rec, interesting, side="left")
             ev_hi_a = np.searchsorted(ev_rec, interesting, side="right")
@@ -652,6 +679,7 @@ class LeadProvider:
             # this, the last remaining per-read Python loop
             flag_l = flag_arr[interesting].tolist()
             pos_l = pos_arr[interesting].tolist()
+            qstart_l = c["qstart"][interesting].tolist()
             hp_l = c["hp"][interesting].tolist()
             ps_l = c["ps"][interesting].tolist()
             nm_raw_l = c["nm"][interesting].tolist()
@@ -723,16 +751,76 @@ class LeadProvider:
                                        hap=str(hp), phase_set=str(ps),
                                        is_sa=is_supp, read_len=read_len)
 
-                # Split reads: full Python record parse only for SA carriers
+                # Split reads: materialize from the native split-chain
+                # columns; the per-read Python parse remains only as the
+                # exactness fallback (malformed SA — reproduces the
+                # reference's error messages) and for stale .so builds
                 if has_sa:
-                    read = parse_record(res.record_bytes(i), bam.references)
-                    if lead := Lead.for_bnd(curr_read_id, read):
-                        if (not lead.sa_same_strand
-                                or lead.bnd_info.mate_contig != lead.contig):
-                            yield lead
-                    if not is_supp:
-                        yield from read_itersplits(curr_read_id, read, region.contig, config,
-                                                   read_nm=nm, read_hap=hp, read_ps=ps)
+                    j = sa_pos_of.get(i, -1)
+                    if (j < 0 or split_bnd["bnd_ok"][j] < 0
+                            or split_bnd["split_err"][j]):
+                        read = parse_record(res.record_bytes(i), bam.references)
+                        if lead := Lead.for_bnd(curr_read_id, read):
+                            if (not lead.sa_same_strand
+                                    or lead.bnd_info.mate_contig != lead.contig):
+                                yield lead
+                        if not is_supp:
+                            yield from read_itersplits(curr_read_id, read, region.contig,
+                                                       config, read_nm=nm, read_hap=hp,
+                                                       read_ps=ps)
+                    else:
+                        if split_bnd["bnd_ok"][j] == 1:
+                            moff = int(split_bnd["bnd_mate_off"][j])
+                            mlen = int(split_bnd["bnd_mate_len"][j])
+                            mate = res.buf[moff:moff + mlen].tobytes().decode("ascii")
+                            sa_same = bool(split_bnd["bnd_same_strand"][j])
+                            if not sa_same or mate != region.contig:
+                                anchor = int(split_bnd["bnd_anchor"][j])
+                                qs = qstart_l[k]
+                                yield Lead(
+                                    qname, curr_read_id, region.contig,
+                                    anchor, anchor, "BND", 0,
+                                    qs, qs + qalen_l[k], strand, mapq, "BND_SA",
+                                    int(split_bnd["bnd_sa_nm"][j])
+                                    if nm_raw_l[k] >= 0 else None,
+                                    seq=None,
+                                    bnd_info=sv.SVCallBNDInfo(
+                                        mate,
+                                        int(split_bnd["bnd_mate_anchor"][j]),
+                                        bool(split_bnd["bnd_is_first"][j]),
+                                        bool(split_bnd["bnd_mate_is_reverse"][j])),
+                                    sa_same_strand=sa_same)
+                        lo = int(np.searchsorted(hint_read, j, side="left"))
+                        hi = int(np.searchsorted(hint_read, j, side="right"))
+                        for h in range(lo, hi):
+                            typ = int(split_hints["h_type"][h])
+                            hstart = int(split_hints["h_start"][h])
+                            seq = None
+                            if typ == 4:
+                                svtype, svlen, ref_end = "INS", None, hstart
+                            else:
+                                svtype = ("INS", "DEL", "DUP", "INV")[typ]
+                                svlen = int(split_hints["h_svlen"][h])
+                                ref_end = hstart if svtype == "INS" else hstart + svlen
+                                if svtype == "INS" and split_hints["h_seq_a"][h] >= 0:
+                                    seq = res.seq_slice(
+                                        i, int(split_hints["h_seq_a"][h]),
+                                        int(split_hints["h_seq_b"][h]))
+                            coff = int(split_hints["h_ctg_off"][h])
+                            ctg = (region.contig if coff < 0 else
+                                   res.buf[coff:coff + int(split_hints["h_ctg_len"][h])]
+                                   .tobytes().decode("ascii"))
+                            yield Lead(
+                                qname, curr_read_id, ctg, hstart, ref_end,
+                                svtype, svlen,
+                                int(split_hints["h_qry_start"][h]),
+                                int(split_hints["h_qry_end"][h]),
+                                "-" if split_hints["h_strand"][h] < 0 else "+",
+                                int(split_hints["h_mapq"][h]),
+                                "SPLIT_PRIM" if split_hints["h_source"][h] == 0
+                                else "SPLIT_SUP",
+                                nm, seq=seq, hap=str(hp), phase_set=str(ps),
+                                is_sa=False)
 
         if hap_diff is not None:
             counts = np.cumsum(hap_diff[:, :-1], axis=1)

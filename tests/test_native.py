@@ -58,3 +58,41 @@ def test_native_scan_counts():
                                      min_event_len=45):
         total += int(mask.sum())
     assert total == 8
+
+
+def test_native_split_leads_match_python(tmp_path):
+    """Split-chain classification parity on a dataset that actually
+    produces SPLIT_PRIM/SPLIT_SUP hints (DUP/INV split reads) — hg008
+    above covers only the BND path. The native bamcore_scan_splits
+    must reproduce the per-read Python chain walk lead-for-lead."""
+    import numpy as np
+    from sniffles_tpu.sim import PlantedSV, write_dataset
+
+    svs = [PlantedSV(pos=p, svtype=t, svlen=ln, vaf=v)
+           for p, t, ln, v in [(20_000, "DUP", 900, 1.0), (45_000, "INV", 700, 1.0),
+                               (70_000, "DEL", 400, 0.5), (95_000, "INS", 250, 1.0),
+                               (120_000, "DUP", 1500, 1.0), (150_000, "INV", 2500, 1.0)]]
+    bam_path, _ = write_dataset(str(tmp_path), ref_len=200_000, svs=svs,
+                                depth=20, read_len=12_000, seed=5)
+    bam = AlignmentFile(bam_path, require_index=True)
+    contig = bam.references[0]
+    region = Region(contig, 0, bam.get_reference_length(contig))
+
+    config = SnifflesConfig("--input", bam_path, "--vcf", "x.vcf")
+    p_native = LeadProvider(config, 0, contig)
+    p_native.coverage = np.zeros(region.end, dtype="uint16")
+    native_leads = list(p_native._iter_region_native(bam, region))
+
+    config2 = SnifflesConfig("--input", bam_path, "--vcf", "x.vcf")
+    p_py = LeadProvider(config2, 0, contig)
+    p_py.coverage = np.zeros(region.end, dtype="uint16")
+    py_leads = list(p_py._iter_region_python(bam, region))
+
+    assert len(native_leads) == len(py_leads)
+    for a, b in zip(native_leads, py_leads):
+        assert lead_key(a) == lead_key(b)
+    # vacuity guard: the dataset must exercise the split classifier
+    sources = {ld.source for ld in py_leads}
+    assert "SPLIT_PRIM" in sources or "SPLIT_SUP" in sources
+    assert any(ld.svtype == "DUP" for ld in py_leads)
+    assert any(ld.svtype == "INV" for ld in py_leads)
