@@ -340,7 +340,7 @@ def _run_pool(config, tasks, processes, monitor):
                     from sniffles_tpu.parallel.device_call import DEVICE_BATCH_FLOOR
                     from sniffles_tpu.parallel.device_service import standard_call_meta
                     jax.block_until_ready(call_task_packed(
-                        jnp.zeros((10, DEVICE_BATCH_FLOOR), jnp.int32),
+                        jnp.zeros((13, DEVICE_BATCH_FLOOR), jnp.int32),
                         **standard_call_meta(config)))
                 except Exception:
                     log.debug("inline device warmup failed", exc_info=True)
@@ -373,7 +373,40 @@ def _run_pool(config, tasks, processes, monitor):
                     "will be written.")
     # Deterministic emission in task-id order (reference: sniffles:544-547)
     finished_tasks.sort(key=lambda task: task.id)
+    _report_engine_counters(finished_tasks)
     return finished_tasks
+
+
+def _report_engine_counters(finished_tasks) -> None:
+    """Aggregate the per-task device engine-stat consumption counters
+    (parallel/device_call.device_clusters) across the run; logged, and
+    written as JSON when SNIFFLES_TPU_COUNTERS_JSON names a path (the
+    bench records them as a checked-in artifact)."""
+    totals: dict = {}
+    seen = False
+    for t in finished_tasks:
+        counters = getattr(t.result, "engine_counters", None)
+        if counters is None:
+            continue
+        seen = True
+        for k, v in counters.items():
+            totals[k] = totals.get(k, 0) + v
+    if not seen:
+        return
+    total = totals.get("clusters_total", 0)
+    consumed = totals.get("engine_consumed", 0)
+    log.info(f"Device engine stats consumed by {consumed}/{total} clusters "
+             f"(fallbacks: bnd={totals.get('fb_bnd', 0)}, "
+             f"multi_fragment={totals.get('fb_multi_fragment', 0)}, "
+             f"resplit={totals.get('fb_resplit', 0)})")
+    path = os.environ.get("SNIFFLES_TPU_COUNTERS_JSON")
+    if path:
+        try:
+            import json
+            with open(path, "w") as f:
+                json.dump(totals, f)
+        except OSError:
+            log.warning(f"could not write engine counters to {path}")
 
 
 def _attach_remote_debugger(port: int) -> None:

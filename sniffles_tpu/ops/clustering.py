@@ -6,31 +6,32 @@ SURVEY §7.1).
 Signatures arrive as a struct-of-arrays batch (signatures.py). The
 pipeline is fully static-shaped and jit-compatible:
 
-  1. sort by (svtype, pos) — invalid slots sort last
+  1. sort by (svtype, seed bin, insertion order) — the host's exact
+     per-cluster lead order; invalid slots sort last
   2. seed one segment per cluster_binsize bin
-  3. iterative parallel merge relaxation: adjacent segments merge when
-     the inter-segment gap is within the stdev-scaled distance
-     criterion (cluster_r), the tandem-repeat length criterion
-     (cluster_repeat_h), or the BND merge distance — the reference's
-     sequential backtracking sweep computes a chain fixed point; the
-     relaxation is iterated to ITS fixed point (boundary vector stops
-     changing; capped at MERGE_ITERS_MAX rounds). Merging only grows
-     segment stdevs, so every merge the sweep performs the relaxation
-     also performs (m1 only gets easier). The sweep's
-     `i = max(0, i-2) + 1` backtracking can never return to i=0, so
-     the boundary after a svtype's first seed cluster is decided once,
-     pristine — the relaxation reproduces that head-boundary freeze
-     exactly (see test_merge_chain_matches_host_sweep; caught by diff
-     fuzzing on BND chains, seed 516)
+  3. the merge sweep. Two device implementations:
+       * EXACT (production, default): _exact_merge_sweep — a
+         lax.while_loop that IS the host's sequential backtracking
+         sweep (cluster.py:277-308), linked-list cluster state, the
+         `i = max(0, i-2) + 1` pointer semantics (including the head
+         quirk: the boundary after a svtype's first cluster is
+         evaluated exactly once), and compute_metrics recomputed per
+         merge with the reference's stride-subsample quirks. A
+         parallel fixed-point relaxation cannot reproduce the sweep's
+         left-accretion trajectory for the non-monotone repeat
+         criterion (caught by diff fuzzing: seeds 516 and 756).
+       * FAST (fused engine/bench path, exact_sweep=False): the
+         parallel relaxation to ITS fixed point — a documented
+         deviation on adversarial chains, kept for throughput.
   4. resplit by |svlen| histogram bins (cluster.py:125-161), single
      chain pass
   5. per-cluster robust statistics (ops/stats.py) and support counting
      by unique read id
 
-Known deviations from the host-exact path (both validated in
-tests/test_device_cluster.py): per-read inner merge of fragmented
-INS/DEL (merge_inner) is handled host-side before tensorization, and
-compute_metrics sampling (max_n=100) uses all elements.
+The per-read inner merge of fragmented INS/DEL has a device twin
+(merge_inner_fold) used for calling statistics; cluster membership
+itself stays pre-fold (the host materializes all fragments, then
+merges).
 """
 from __future__ import annotations
 
@@ -57,6 +58,210 @@ def _apply_order(arrays: dict, order: jnp.ndarray) -> dict:
     return {k: jnp.take(v, order) for k, v in arrays.items()}
 
 
+def _segment_metrics(seg, valid, pos, svlen, arange_n, n):
+    """Host-exact compute_metrics per segment (reference: cluster.py:48-61):
+    clusters over max_n=100 leads use a stride subsample, with the
+    reference's quirks preserved — the stride can visit MORE than max_n
+    leads while the svlen mean still divides by max_n, and the start
+    stdev is the SAMPLE stdev over the actual pick count. Elements must
+    be in host lead order (svtype, bin, insertion) so the picks land on
+    the same leads the host visits."""
+    L = seg_count(seg, valid, n)
+    seg_first = seg_min(jnp.where(valid, arange_n, n), seg, n)
+    p = arange_n - jnp.take(seg_first, seg)
+    nn = jnp.minimum(L, 100)
+    stride_seg = jnp.maximum(L // jnp.maximum(nn, 1), 1)
+    is_pick = valid & (p % jnp.take(stride_seg, seg) == 0)
+    npicks = seg_sum(jnp.where(is_pick, 1, 0), seg, n)
+    posf = pos.astype(jnp.float32)
+    svlenf = svlen.astype(jnp.float32)
+    mean_svlen = (seg_sum(jnp.where(is_pick, svlenf, 0.0), seg, n)
+                  / jnp.maximum(nn, 1).astype(jnp.float32))
+    mean_start = (seg_sum(jnp.where(is_pick, posf, 0.0), seg, n)
+                  / jnp.maximum(npicks, 1).astype(jnp.float32))
+    dev = jnp.where(is_pick, posf - jnp.take(mean_start, seg), 0.0)
+    ss = seg_sum(dev * dev, seg, n)
+    sd_start = jnp.where(npicks >= 2,
+                         jnp.sqrt(ss / jnp.maximum(npicks - 1, 1)
+                                  .astype(jnp.float32)), 0.0)
+    return mean_svlen, sd_start
+
+
+def _exact_merge_sweep(s: dict, seed_boundary, bin_, *, cluster_r,
+                       cluster_repeat_h, cluster_repeat_h_max,
+                       cluster_merge_bnd, global_repeat, binsize,
+                       head_freeze):
+    """EXACT emulation of the host cluster merge sweep (reference:
+    cluster.py:277-308) as a lax.while_loop over seed clusters.
+
+    The host sweep is sequential with `i = max(0, i-2) + 1` pointer
+    arithmetic: clusters accrete left-to-right, each merge re-evaluates
+    the boundary LEFT of the merged cluster (for i >= 2), and the
+    boundary after a svtype's first cluster is evaluated exactly once
+    (the i=0 quirk — the head cluster can never absorb a third seed).
+    A parallel fixed-point relaxation cannot reproduce this trajectory:
+    the repeat criterion (m2) is non-monotone in the evolving means, so
+    a pair the sweep never evaluates pristine (its left side accreted
+    first) can merge in the closure and vice versa (caught by diff
+    fuzzing, seeds 516 and 756). This loop IS the sweep: linked-list
+    cluster state, one pointer move or merge per iteration, metrics
+    recomputed per merge from the merged cluster's contiguous element
+    range with the reference's exact subsample semantics
+    (_segment_metrics quirks).
+
+    `head_freeze[t]` False starts svtype t's pointer at i=2 (a mesh
+    shard whose local head is NOT the task-global head: interior chains
+    behave as if unmergeable clusters precede them).
+
+    Sequential by design: ~2 iterations per seed + 2 per merge,
+    latency-bound on a TPU (microseconds per step) — production tasks
+    have hundreds to low-thousands of seeds, so the sweep costs
+    single-digit milliseconds on-device and stays far below the
+    dispatch latency it shares.
+    """
+    n = s["pos"].shape[0]
+    valid = s["valid"]
+    svtype = s["svtype"]
+    pos = s["pos"]
+    arange_n = jnp.arange(n)
+    INT32_MAX = jnp.int32(2 ** 31 - 1)
+    SENT = jnp.int32(n)
+
+    seed_id = segment_ids_from_boundaries(seed_boundary)
+    nseeds = jnp.max(jnp.where(valid, seed_id, -1)) + 1
+
+    # per-seed slot state (n slots; only the first `nseeds` are live)
+    lo = seg_min(jnp.where(valid, arange_n, n), seed_id, n)
+    hi = seg_max(jnp.where(valid, arange_n, -1), seed_id, n) + 1
+    seed_type = seg_max(jnp.where(valid, svtype, -1), seed_id, n)
+    start_bp = seg_min(jnp.where(valid, bin_ * binsize, INT32_MAX), seed_id, n)
+    end_bp0 = seg_max(jnp.where(valid, bin_ * binsize + binsize, -1), seed_id, n)
+    rep0 = seg_max(jnp.where(valid, s["repeat"].astype(jnp.int32), 0), seed_id, n)
+    mean_sv0, sd0 = _segment_metrics(seed_id, valid, pos, s["svlen"], arange_n, n)
+
+    if isinstance(head_freeze, (bool, int)):
+        head_vec = jnp.full((8,), bool(head_freeze))
+    else:
+        hf = jnp.asarray(head_freeze)
+        head_vec = jnp.full((8,), True) & hf if hf.ndim else jnp.full((8,), hf)
+
+    posf_all = pos.astype(jnp.float32)
+    svlenf_all = s["svlen"].astype(jnp.float32)
+    PICK_CAP = 256  # stride picks max out at 199 (L in [100, 199], stride 1)
+    pick_k = jnp.arange(PICK_CAP)
+
+    def range_metrics(lo_c, hi_c):
+        """compute_metrics over the contiguous element range [lo_c, hi_c)
+        — merges always join adjacent clusters, so a cluster is always a
+        contiguous slice of the sorted elements, in host lead order."""
+        L = jnp.maximum(hi_c - lo_c, 0)
+        nn = jnp.minimum(L, 100)
+        stride = jnp.maximum(L // jnp.maximum(nn, 1), 1)
+        idx = lo_c + pick_k * stride
+        m = pick_k * stride < L
+        idxc = jnp.clip(idx, 0, n - 1)
+        sv = jnp.where(m, jnp.take(svlenf_all, idxc), 0.0)
+        ps = jnp.where(m, jnp.take(posf_all, idxc), 0.0)
+        npicks = jnp.sum(m.astype(jnp.int32))
+        mean_sv = jnp.sum(sv) / jnp.maximum(nn, 1).astype(jnp.float32)
+        mean_ps = jnp.sum(ps) / jnp.maximum(npicks, 1).astype(jnp.float32)
+        dev = jnp.where(m, ps - mean_ps, 0.0)
+        sd = jnp.where(npicks >= 2,
+                       jnp.sqrt(jnp.sum(dev * dev)
+                                / jnp.maximum(npicks - 1, 1).astype(jnp.float32)),
+                       0.0)
+        return mean_sv, sd
+
+    def init_i(t):
+        return jnp.where(jnp.take(head_vec, jnp.clip(t, 0, 7)),
+                         jnp.int32(0), jnp.int32(2))
+
+    nxt0 = jnp.where(arange_n + 1 < nseeds, arange_n + 1, SENT)
+    prv0 = jnp.where(arange_n > 0, arange_n - 1, SENT).astype(jnp.int32)
+    alive0 = (arange_n < nseeds).astype(jnp.int32)
+
+    t0 = seed_type[0]
+    state0 = dict(c=jnp.int32(0), i=init_i(t0), cur_t=t0,
+                  nxt=nxt0.astype(jnp.int32), prv=prv0,
+                  hi=hi.astype(jnp.int32), end_bp=end_bp0.astype(jnp.int32),
+                  rep=rep0.astype(jnp.int32), msv=mean_sv0, sd=sd0,
+                  alive=alive0, it=jnp.int32(0))
+    max_iters = jnp.int32(4 * n + 8)
+
+    def cond(st):
+        return (st["c"] < SENT) & (st["it"] < max_iters) & (nseeds > 0)
+
+    def body(st):
+        c = st["c"]
+        ct = seed_type[c]
+        i = jnp.where(ct != st["cur_t"], init_i(ct), st["i"])
+        r = st["nxt"][c]
+        rc = jnp.clip(r, 0, n - 1)
+        pair_ok = (r < SENT) & (seed_type[rc] == ct)
+
+        # criteria, as the host evaluates them (cluster.py:266-275)
+        inner = (start_bp[rc] - st["end_bp"][c]).astype(jnp.float32)
+        outer = (st["end_bp"][rc] - start_bp[c]).astype(jnp.float32)
+        m1 = inner <= jnp.minimum(st["sd"][c], st["sd"][rc]) * cluster_r
+        rep_pair = (st["rep"][c] > 0) | (st["rep"][rc] > 0) | bool(global_repeat)
+        h_lim = jnp.minimum(jnp.float32(cluster_repeat_h_max),
+                            (jnp.abs(st["msv"][c]) + jnp.abs(st["msv"][rc]))
+                            * cluster_repeat_h)
+        m2 = rep_pair & (outer <= h_lim)
+        m3 = (ct == SVTYPE_BND) & (inner <= jnp.float32(cluster_merge_bnd))
+        merge = pair_ok & (m1 | m2 | m3)
+
+        new_hi = st["hi"][rc]
+        mean_new, sd_new = range_metrics(lo[c], new_hi)
+        rn = st["nxt"][rc]
+        rnc = jnp.clip(rn, 0, n - 1)
+
+        hi_d = st["hi"].at[c].set(jnp.where(merge, new_hi, st["hi"][c]))
+        end_d = st["end_bp"].at[c].set(jnp.where(merge, st["end_bp"][rc],
+                                                 st["end_bp"][c]))
+        rep_d = st["rep"].at[c].set(jnp.where(merge, st["rep"][c] | st["rep"][rc],
+                                              st["rep"][c]))
+        msv_d = st["msv"].at[c].set(jnp.where(merge, mean_new, st["msv"][c]))
+        sd_d = st["sd"].at[c].set(jnp.where(merge, sd_new, st["sd"][c]))
+        nxt_d = st["nxt"].at[c].set(jnp.where(merge, rn, st["nxt"][c]))
+        prv_d = st["prv"].at[rnc].set(jnp.where(merge & (rn < SENT), c,
+                                                st["prv"][rnc]))
+        alive_d = st["alive"].at[rc].set(jnp.where(merge, 0, st["alive"][rc]))
+
+        # pointer transition (host: i = max(0, i-2) + 1 after a merge,
+        # i += 1 otherwise, in list-index space):
+        #   merge at i == 0 -> next index 1 = the node AFTER the merged
+        #     head (the head boundary is never revisited);
+        #   merge at i == 1 -> index 1 = the merged node itself;
+        #   merge at i >= 2 -> index i-1 = the node BEFORE it (backtrack;
+        #     a shard-local head with no real predecessor stays put — the
+        #     host would evaluate an unmergeable boundary and come back).
+        p = prv_d[c]
+        pc = jnp.clip(p, 0, n - 1)
+        p_ok = (p < SENT) & (seed_type[pc] == ct)
+        c_merge = jnp.where(i == 0, rn,
+                            jnp.where(i == 1, c, jnp.where(p_ok, p, c)))
+        i_merge = jnp.where(i == 0, jnp.int32(1),
+                            jnp.where(i == 1, jnp.int32(1),
+                                      jnp.where(p_ok, i - 1, i)))
+        c2 = jnp.where(merge, c_merge, r)
+        i2 = jnp.where(merge, i_merge, i + 1)
+
+        return dict(c=c2, i=i2, cur_t=ct, nxt=nxt_d, prv=prv_d, hi=hi_d,
+                    end_bp=end_d, rep=rep_d, msv=msv_d, sd=sd_d,
+                    alive=alive_d, it=st["it"] + 1)
+
+    final = jax.lax.while_loop(cond, body, state0)
+
+    # final element boundaries: the lo of every alive cluster, plus the
+    # original seed boundaries of the invalid tail (padding elements keep
+    # any segmentation — they are masked everywhere downstream)
+    alive_lo = jnp.where(final["alive"] > 0, lo, n)
+    scat = jnp.zeros((n + 1,), dtype=bool).at[jnp.clip(alive_lo, 0, n)].set(True)
+    boundary = scat[:n] | (seed_boundary & ~valid)
+    return boundary.at[0].set(True)
+
+
 def _cluster_body(sig: dict,
                        cluster_r: float,
                        cluster_repeat_h: float,
@@ -67,11 +272,20 @@ def _cluster_body(sig: dict,
                        binsize: int = 100,
                        resplit_binsize: int = 20,
                        do_resplit: bool = True,
-                       head_freeze=True) -> dict:
+                       head_freeze=True,
+                       global_repeat: bool = False,
+                       exact_sweep: bool = True) -> dict:
     """
     Cluster a signature batch. `sig` is a dict of equal-length arrays:
     pos (i32), svlen (i32), svtype (i32), read_id (i32), strand (i32,
     +1/-1), mapq (i32), nm (f32), repeat (bool), valid (bool).
+
+    `head_freeze`: True / per-svtype (8,) bool vector marking svtypes
+    whose task-globally FIRST cluster is in this batch (the sweep's
+    i=0 pointer quirk applies only there; mesh shards pass the pmin
+    -derived vector). `exact_sweep` selects the sequential host-sweep
+    emulation (production, exact) over the parallel relaxation (fast,
+    approximate — the fused engine/bench path).
 
     Returns the sorted signature arrays plus `cluster_id` per element
     and `n_clusters`.
@@ -79,11 +293,19 @@ def _cluster_body(sig: dict,
     n = sig["pos"].shape[0]
     valid = sig["valid"]
 
-    # --- 1. sort by (svtype, pos); invalid last ---
+    # --- 1. sort by (svtype, seed bin, insertion order); invalid last ---
+    # Within a bin the HOST keeps scan/insertion order (leadtab lists,
+    # reference: leadprov.py:400-418), and the sweep's subsampled
+    # compute_metrics picks depend on that order — so the device sorts
+    # by the original lead index within bins (orig_idx when the caller
+    # provides it; pos otherwise) to reproduce the host's exact lead
+    # order per cluster.
     INT32_MAX = jnp.int32(2 ** 31 - 1)
-    sort_type = jnp.where(valid, sig["svtype"], INT32_MAX)
-    sort_pos = jnp.where(valid, sig["pos"], INT32_MAX)
-    order = jnp.lexsort((sort_pos, sort_type))
+    bin0 = sig["pos"] // binsize
+    tie0 = sig.get("orig_idx", sig["pos"])
+    order = jnp.lexsort((jnp.where(valid, tie0, INT32_MAX),
+                         jnp.where(valid, bin0, INT32_MAX),
+                         jnp.where(valid, sig["svtype"], INT32_MAX)))
     s = _apply_order(sig, order)
     valid = s["valid"]
 
@@ -96,93 +318,66 @@ def _cluster_body(sig: dict,
     change = (svtype[1:] != svtype[:-1]) | (bin_[1:] != bin_[:-1]) | (~valid[1:] & valid[:-1])
     boundary = jnp.concatenate([first, change])
 
-    # --- 3. iterative merge relaxation ---
-    def merge_step(boundary, frozen):
-        seg = segment_ids_from_boundaries(boundary)
-        # segment extent in bin coordinates (reference cluster start/end:
-        # seed bin start .. last bin end + binsize)
-        start_bp = seg_min(jnp.where(valid, bin_ * binsize, 2 ** 31 - 1), seg, n)
-        end_bp = seg_max(jnp.where(valid, bin_ * binsize + binsize, -1), seg, n)
-        sd_start = seg_stdev(pos, seg, valid, n)
-        mean_svlen = seg_mean(s["svlen"], seg, valid, n)
-        has_repeat = seg_max(jnp.where(valid, s["repeat"].astype(jnp.int32), 0), seg, n) > 0
+    # --- 3. the merge sweep ---
+    arange_n = jnp.arange(n)
 
-        # evaluate merge between segment (k-1) and k at each boundary elem
-        seg_here = seg
-        seg_prev = seg_here - 1
-        seg_prev_c = jnp.clip(seg_prev, 0, n - 1)
-        inner = jnp.take(start_bp, seg_here) - jnp.take(end_bp, seg_prev_c)
-        outer = jnp.take(end_bp, seg_here) - jnp.take(start_bp, seg_prev_c)
-        sd_pair = jnp.minimum(jnp.take(sd_start, seg_here), jnp.take(sd_start, seg_prev_c))
-        m1 = inner.astype(jnp.float32) <= sd_pair * cluster_r
-        rep_pair = jnp.take(has_repeat, seg_here) | jnp.take(has_repeat, seg_prev_c)
-        h_lim = jnp.minimum(jnp.float32(cluster_repeat_h_max),
-                            (jnp.abs(jnp.take(mean_svlen, seg_here))
-                             + jnp.abs(jnp.take(mean_svlen, seg_prev_c))) * cluster_repeat_h)
-        m2 = rep_pair & (outer.astype(jnp.float32) <= h_lim)
-        m3 = (svtype == SVTYPE_BND) & (inner <= cluster_merge_bnd)
-        same_type_prev = jnp.concatenate([jnp.zeros((1,), dtype=bool),
-                                          svtype[1:] == svtype[:-1]])
-        can_merge = boundary & same_type_prev & valid & (m1 | m2 | m3) & ~frozen
-        # the very first element always starts a segment
-        keep_first = jnp.concatenate([jnp.ones((1,), dtype=bool), jnp.zeros((n - 1,), dtype=bool)])
-        return jnp.where(can_merge & ~keep_first, False, boundary)
-
-    # --- reference head-boundary freeze (sweep quirk) ---
-    # The host sweep's backtracking is `i = max(0, i-2) + 1`, so i can
-    # never return to 0: the boundary after a svtype's FIRST seed
-    # cluster is examined exactly once, with pristine single-bin
-    # metrics, and the head cluster is frozen at c0 alone (pristine
-    # criteria fail) or c0+c1 (pass) — it can never absorb a third
-    # seed. The relaxation computes the full closure, which merges
-    # more (caught by diff fuzzing on BND chains, seed 516: the flat
-    # 1000bp BND criterion makes head chains common). Reproduce the
-    # sweep exactly: evaluate the pristine decision per svtype, then
-    # pin the matching boundary so no relaxation round can clear it.
-    same_type_prev0 = jnp.concatenate([jnp.zeros((1,), dtype=bool),
-                                       svtype[1:] == svtype[:-1]])
-    # pristine (round-1) merge decisions on the seed segmentation:
-    # merge_step with nothing frozen, diffed against the seeds
-    no_freeze = jnp.zeros((n,), dtype=bool)
-    round1 = merge_step(boundary, no_freeze)
-    round1_can = boundary & ~round1          # boundary cleared in round 1
-    seg0 = segment_ids_from_boundaries(boundary)
-    t_clip = jnp.where(valid, jnp.clip(svtype, 0, 6), 7)
-    INT32_MAX_F = jnp.int32(2 ** 31 - 1)
-    fseg = jax.ops.segment_min(jnp.where(valid, seg0, INT32_MAX_F), t_clip,
-                               num_segments=8)
-    fseg_here = jnp.take(fseg, t_clip)
-    start1 = boundary & valid & same_type_prev0 & (seg0 == fseg_here + 1)
-    start2 = boundary & valid & same_type_prev0 & (seg0 == fseg_here + 2)
-    d_by_type = jax.ops.segment_max(
-        jnp.where(start1 & round1_can, 1, 0), t_clip, num_segments=8) > 0
-    d_here = jnp.take(d_by_type, t_clip)
-    # head_freeze: scalar bool (apply to every svtype, the single-device
-    # case) or an (8,) per-svtype vector indexed by t_clip — the mesh
-    # path freezes a svtype only on the shard whose batch contains that
-    # svtype's task-globally first element (parallel/mesh.py).
-    if isinstance(head_freeze, (bool, int)):
-        freeze_sel = jnp.bool_(head_freeze)
+    if exact_sweep:
+        boundary = _exact_merge_sweep(
+            s, boundary, bin_, cluster_r=cluster_r,
+            cluster_repeat_h=cluster_repeat_h,
+            cluster_repeat_h_max=cluster_repeat_h_max,
+            cluster_merge_bnd=cluster_merge_bnd,
+            global_repeat=global_repeat, binsize=binsize,
+            head_freeze=head_freeze)
     else:
-        hf = jnp.asarray(head_freeze)
-        freeze_sel = hf if hf.ndim == 0 else jnp.take(hf, t_clip)
-    frozen = ((start1 & ~d_here) | (start2 & d_here)) & freeze_sel
+        # Parallel fixed-point relaxation: the FAST approximate path for
+        # the fused engine/bench step. It merges the closure of the
+        # criteria under final metrics, which can differ from the host
+        # sweep's left-accretion trajectory on adversarial chains (the
+        # production paths use the exact sweep above; this path is a
+        # documented deviation).
+        def merge_step(boundary):
+            seg = segment_ids_from_boundaries(boundary)
+            start_bp = seg_min(jnp.where(valid, bin_ * binsize, 2 ** 31 - 1), seg, n)
+            end_bp = seg_max(jnp.where(valid, bin_ * binsize + binsize, -1), seg, n)
+            mean_svlen, sd_start = _segment_metrics(seg, valid, pos, s["svlen"],
+                                                    arange_n, n)
+            has_repeat = seg_max(jnp.where(valid, s["repeat"].astype(jnp.int32), 0),
+                                 seg, n) > 0
 
-    # Iterate to the relaxation fixed point. Each round only clears
-    # boundaries (merges), so "changed" is simply a count decrease and
-    # the loop terminates in <= n rounds; MERGE_ITERS_MAX bounds the
-    # compiled trip count for adversarial chains.
-    def merge_cond(state):
-        it, n_bounds, prev_n = state[0], state[1], state[2]
-        return (it < MERGE_ITERS_MAX) & (n_bounds != prev_n)
+            seg_here = seg
+            seg_prev_c = jnp.clip(seg_here - 1, 0, n - 1)
+            inner = jnp.take(start_bp, seg_here) - jnp.take(end_bp, seg_prev_c)
+            outer = jnp.take(end_bp, seg_here) - jnp.take(start_bp, seg_prev_c)
+            sd_pair = jnp.minimum(jnp.take(sd_start, seg_here),
+                                  jnp.take(sd_start, seg_prev_c))
+            m1 = inner.astype(jnp.float32) <= sd_pair * cluster_r
+            rep_pair = (jnp.take(has_repeat, seg_here)
+                        | jnp.take(has_repeat, seg_prev_c) | bool(global_repeat))
+            h_lim = jnp.minimum(jnp.float32(cluster_repeat_h_max),
+                                (jnp.abs(jnp.take(mean_svlen, seg_here))
+                                 + jnp.abs(jnp.take(mean_svlen, seg_prev_c)))
+                                * cluster_repeat_h)
+            m2 = rep_pair & (outer.astype(jnp.float32) <= h_lim)
+            m3 = (svtype == SVTYPE_BND) & (inner <= cluster_merge_bnd)
+            same_type_prev = jnp.concatenate([jnp.zeros((1,), dtype=bool),
+                                              svtype[1:] == svtype[:-1]])
+            can_merge = boundary & same_type_prev & valid & (m1 | m2 | m3)
+            keep_first = jnp.concatenate([jnp.ones((1,), dtype=bool),
+                                          jnp.zeros((n - 1,), dtype=bool)])
+            return jnp.where(can_merge & ~keep_first, False, boundary)
 
-    def merge_body(state):
-        it, n_bounds, _, boundary = state
-        new = merge_step(boundary, frozen)
-        return (it + 1, jnp.sum(new), n_bounds, new)
+        def merge_cond(state):
+            it, n_bounds, prev_n = state[0], state[1], state[2]
+            return (it < MERGE_ITERS_MAX) & (n_bounds != prev_n)
 
-    init = (jnp.int32(0), jnp.sum(boundary), jnp.int32(-1), boundary)
-    *_, boundary = jax.lax.while_loop(merge_cond, merge_body, init)
+        def merge_body(state):
+            it, n_bounds, _, boundary = state
+            new = merge_step(boundary)
+            return (it + 1, jnp.sum(new), n_bounds, new)
+
+        init = (jnp.int32(0), jnp.sum(boundary), jnp.int32(-1), boundary)
+        *_, boundary = jax.lax.while_loop(merge_cond, merge_body, init)
 
     # --- 4. resplit by |svlen| histogram inside each segment ---
     # (the production --tpu-call step skips this: the reference applies
@@ -226,7 +421,77 @@ def _cluster_body(sig: dict,
 
 
 cluster_signatures = partial(jax.jit, static_argnames=("binsize", "resplit_binsize",
-                                                       "do_resplit"))(_cluster_body)
+                                                       "do_resplit", "global_repeat",
+                                                       "exact_sweep"))(_cluster_body)
+
+
+def merge_inner_fold(clustered: dict, *, cluster_merge_pos: int,
+                     global_repeat: bool) -> dict:
+    """Device twin of the host per-read inner merge (cluster.merge_inner,
+    reference: cluster.py:85-122): INS/DEL fragments of the same read
+    inside one cluster fold into a single signature — svlen summed, all
+    other fields taken from the first fragment (the host's open_lead).
+
+    The host chain walk is purely local: a fragment merges into the open
+    group iff it is `near` its immediate predecessor AND its strand
+    matches the group head's — and since every previously-merged member
+    already matched the head's strand, head-strand == predecessor-strand,
+    so the whole decision is an adjacent-pair predicate (no scan needed).
+    Inside repeat clusters the host threshold is -1 (merge a read's
+    fragments unconditionally); per-cluster repeat status replicates
+    that here.
+
+    Input `clustered` is _cluster_body output carrying ref_end /
+    qry_start / qry_end columns. Returns the same dict with `svlen`
+    folded and `valid` masked to fold-group heads (non-head slots are
+    dropped from statistics exactly as the host drops merged fragments).
+    """
+    n = clustered["pos"].shape[0]
+    cid = clustered["cluster_id"]
+    valid = clustered["valid"]
+    pos = clustered["pos"]
+
+    rep_cluster = seg_max(jnp.where(valid, clustered["repeat"].astype(jnp.int32), 0),
+                          cid, n) > 0
+    if global_repeat:
+        rep_cluster = rep_cluster | True
+    rep_here = jnp.take(rep_cluster, jnp.clip(cid, 0, n - 1))
+
+    # sort by (cluster, read, ref_start); stable, so ties keep the
+    # cluster-sort order — the same order the host's stable per-read
+    # sort produces from cluster.leads
+    INT32_MAX = jnp.int32(2 ** 31 - 1)
+    order = jnp.lexsort((jnp.where(valid, pos, INT32_MAX),
+                         jnp.where(valid, clustered["read_id"], INT32_MAX),
+                         jnp.where(valid, cid, INT32_MAX)))
+    s = {k: (jnp.take(v, order) if isinstance(v, jnp.ndarray) and v.ndim == 1 else v)
+         for k, v in clustered.items()}
+    valid = s["valid"]
+    pos = s["pos"]
+    cid_s = s["cluster_id"]
+    t = jnp.int32(cluster_merge_pos)
+
+    prev = {k: jnp.concatenate([v[:1], v[:-1]])
+            for k, v in s.items() if isinstance(v, jnp.ndarray) and v.ndim == 1}
+    same_key = (valid & prev["valid"] & (cid_s == prev["cluster_id"])
+                & (s["read_id"] == prev["read_id"]))
+    near = (((jnp.abs(pos - prev["ref_end"]) < t)
+             | (jnp.abs(pos - prev["pos"]) < t))
+            & ((jnp.abs(s["qry_start"] - prev["qry_end"]) < t)
+               | (jnp.abs(s["qry_start"] - prev["qry_start"]) < t)))
+    foldable = (s["svtype"] == SVTYPE_INS) | (s["svtype"] == SVTYPE_DEL)
+    rep_s = jnp.take(rep_here, order)
+    merge = (same_key & foldable
+             & (rep_s | (near & (s["strand"] == prev["strand"]))))
+    merge = merge.at[0].set(False)
+
+    fold_id = segment_ids_from_boundaries(~merge)
+    svlen_f = seg_sum(jnp.where(valid, s["svlen"], 0), fold_id, n)
+
+    out = dict(s)
+    out["svlen"] = jnp.take(svlen_f, fold_id)
+    out["valid"] = valid & ~merge
+    return out
 
 
 @partial(jax.jit, static_argnames=("cluster_r", "cluster_repeat_h",
@@ -278,6 +543,7 @@ def cluster_assign_packed(packed: jnp.ndarray, *,
 @partial(jax.jit, static_argnames=("cluster_r", "cluster_repeat_h",
                                    "cluster_repeat_h_max", "cluster_merge_bnd",
                                    "cluster_merge_len", "minsvlen",
+                                   "cluster_merge_pos", "global_repeat",
                                    "binsize", "resplit_binsize"))
 def call_task_packed(packed: jnp.ndarray, *,
                      cluster_r: float,
@@ -286,16 +552,21 @@ def call_task_packed(packed: jnp.ndarray, *,
                      cluster_merge_bnd: int,
                      cluster_merge_len: float,
                      minsvlen: int,
+                     cluster_merge_pos: int = 150,
+                     global_repeat: bool = False,
                      binsize: int = 100,
                      resplit_binsize: int = 20) -> jnp.ndarray:
     """Production --tpu-call step: cluster assignment PLUS the exact
     per-cluster calling statistics of call_statistics (reference:
-    sv.py:497-598), one H2D and one D2H transfer.
+    sv.py:497-598) computed AFTER the device merge_inner fold
+    (merge_inner_fold — the per-read fragment fold the host applies
+    before calling, cluster.py:85-122), one H2D and one D2H transfer.
 
-    `packed` is a (10, N) int32 matrix with rows pos, svlen, svtype,
+    `packed` is a (13, N) int32 matrix with rows pos, svlen, svtype,
     orig_idx, repeat, valid, strand(+1/-1), mapq, read_id (a hash of
     the read name — support counts unique reads, sv.py:520), is_sa
-    (lead source != INLINE — split-read evidence, sv.py:580-581).
+    (lead source != INLINE — split-read evidence, sv.py:580-581),
+    ref_end, qry_start, qry_end (the merge_inner anchor columns).
 
     Returns ONE flat int32 array shaped for minimal D2H transfer (the
     per-dispatch cost over a tunneled chip is ~22ms fixed + ~1.9ms per
@@ -304,13 +575,14 @@ def call_task_packed(packed: jnp.ndarray, *,
     the fixed latency once). split_call_task_output unpacks it into:
 
       elements: (3, N) int32, per element (sort-permuted):
-        cluster_id, orig_idx, valid
+        cluster_id, orig_idx, valid — the PRE-fold stage-1 assignment
+        (the host materializes every fragment, then merges)
       stats: (10, SLOTS) int32 with SLOTS = max(1024, N//8), per
-        cluster (indexed by cluster id): raw_pos_center, svlen_center,
-        support, lead_count, fwd, rev, sum_mapq, single_fragment
-        (1 when support == lead_count, i.e. no read contributes more
-        than one lead, so the host merge_inner pass is a no-op and
-        these statistics are host-exact as-is), support_sa (count of
+        cluster (indexed by cluster id), all POST-fold: raw_pos_center,
+        svlen_center, support, lead_count (folded count), fwd, rev,
+        sum_mapq, pos_sum (int32-wrapping sum of folded head positions
+        — the host verifies its own merge_inner produced the same
+        grouping before consuming these stats), support_sa (count of
         split-read leads — the DEL genotyper's SUPPORT_SA); row 9
         carries n_clusters in slot 0. A task with more than SLOTS
         stage-1 clusters reports n_clusters > SLOTS and the caller
@@ -331,30 +603,37 @@ def call_task_packed(packed: jnp.ndarray, *,
         # lead index / sa flag simply ride along through both sorts
         "orig_idx": packed[3],
         "sa": packed[9],
+        "ref_end": packed[10],
+        "qry_start": packed[11],
+        "qry_end": packed[12],
     }
     clustered = _cluster_body(sig, cluster_r=cluster_r, cluster_repeat_h=cluster_repeat_h,
                               cluster_repeat_h_max=cluster_repeat_h_max,
                               cluster_merge_bnd=cluster_merge_bnd,
                               cluster_merge_len=cluster_merge_len, minsvlen=minsvlen,
                               binsize=binsize, resplit_binsize=resplit_binsize,
+                              global_repeat=global_repeat,
                               # reference order is merge_inner THEN resplit
                               # (cluster.py:330-339); merge_inner is host-side,
                               # so the host also resplits (device_call.py)
                               do_resplit=False)
-    stats = call_statistics(clustered)
-
-    n = clustered["pos"].shape[0]
-    cid = clustered["cluster_id"]
-    valid = clustered["valid"]
-    sum_mapq = seg_sum(jnp.where(valid, clustered["mapq"], 0), cid, n)
-    single_frag = (stats["support"] == stats["lead_count"]).astype(jnp.int32)
-    support_sa = seg_sum(jnp.where(valid & (clustered["sa"] > 0), 1, 0), cid, n)
-
     elements = jnp.stack([
         clustered["cluster_id"].astype(jnp.int32),
         clustered["orig_idx"].astype(jnp.int32),
         clustered["valid"].astype(jnp.int32),
     ])
+
+    folded = merge_inner_fold(clustered, cluster_merge_pos=cluster_merge_pos,
+                              global_repeat=global_repeat)
+    stats = call_statistics(folded)
+
+    n = folded["pos"].shape[0]
+    cid = folded["cluster_id"]
+    valid = folded["valid"]
+    sum_mapq = seg_sum(jnp.where(valid, folded["mapq"], 0), cid, n)
+    pos_sum = seg_sum(jnp.where(valid, folded["pos"], 0), cid, n)
+    support_sa = seg_sum(jnp.where(valid & (folded["sa"] > 0), 1, 0), cid, n)
+
     slots = max(1024, n // 8)
     full = jnp.stack([
         stats["raw_pos_center"],
@@ -364,7 +643,7 @@ def call_task_packed(packed: jnp.ndarray, *,
         stats["fwd"].astype(jnp.int32),
         stats["rev"].astype(jnp.int32),
         sum_mapq.astype(jnp.int32),
-        single_frag,
+        pos_sum.astype(jnp.int32),
         support_sa.astype(jnp.int32),
         jnp.zeros((n,), jnp.int32).at[0].set(stats["n_clusters"].astype(jnp.int32)),
     ])

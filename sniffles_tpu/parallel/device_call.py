@@ -74,13 +74,14 @@ def pack_task_batch(lead_provider, config, tr):
     tr_starts = np.array([s for s, e in tr_sorted], dtype=np.int64)
     tr_ends = np.array([e for s, e in tr_sorted], dtype=np.int64)
 
-    # single packed (10, size) int32 buffer — one H2D transfer per task
+    # single packed (13, size) int32 buffer — one H2D transfer per task
     # (transfer latency over a tunneled chip dominates kernel time at
     # task-sized batches, so the number of transfers is the cost that
     # matters). Rows: pos, svlen, svtype, orig_idx, repeat, valid,
     # strand, mapq, read_id (name hash — support = unique reads),
-    # is_sa (split-read evidence).
-    packed = np.zeros((10, size), dtype=np.int32)
+    # is_sa (split-read evidence), ref_end, qry_start, qry_end (the
+    # merge_inner fold anchors, reference: cluster.py:105-119).
+    packed = np.zeros((13, size), dtype=np.int32)
     packed[0, :n] = [ld.ref_start for ld in leads]
     packed[1, :n] = [ld.svlen for ld in leads]
     packed[2, :n] = [SVTYPE_CODES[ld.svtype] for ld in leads]
@@ -90,6 +91,9 @@ def pack_task_batch(lead_provider, config, tr):
     packed[7, :n] = [ld.mapq if ld.mapq is not None else 0 for ld in leads]
     packed[8, :n] = [hash(ld.read_qname) & 0x7FFFFFFF for ld in leads]
     packed[9, :n] = [ld.source != "INLINE" for ld in leads]
+    packed[10, :n] = [ld.ref_end if ld.ref_end is not None else 0 for ld in leads]
+    packed[11, :n] = [ld.qry_start if ld.qry_start is not None else 0 for ld in leads]
+    packed[12, :n] = [ld.qry_end if ld.qry_end is not None else 0 for ld in leads]
     if len(tr_starts):
         idx = np.searchsorted(tr_starts, packed[0, :n], side="right") - 1
         packed[4, :n] = ((idx >= 0) & (packed[0, :n] < tr_ends[np.clip(idx, 0, len(tr_ends) - 1)]))
@@ -330,18 +334,30 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
         if counters is not None:
             counters["clusters_total"] = counters.get("clusters_total", 0) + 1
 
-        # Device-computed calling statistics, consumed by call_from when
-        # single_fragment holds: no read contributed more than one lead,
-        # so the host merge_inner below is a no-op and the device values
-        # are host-exact (integer medians/counts over the same multiset).
-        # Device clusters are STAGE-1 (pre-resplit); the host applies
-        # merge_inner then resplit in reference order (cluster.py:330-339),
-        # and the stats stay attached only when both passes leave the
-        # membership unchanged.
+        # Device-computed calling statistics (integer-exact robust centers
+        # and counts), computed on the device AFTER its merge_inner fold
+        # (ops/clustering.merge_inner_fold) — so multi-fragment INS/DEL
+        # clusters no longer force a host-stats fallback. The host still
+        # materializes the merged Lead objects below (seq concatenation,
+        # float stdevs and downstream object paths need them) and then
+        # VERIFIES the device fold produced the same grouping before
+        # consuming the stats: folded lead count plus the int32-wrapping
+        # sum of folded head positions must match (a read-name hash
+        # collision or an ordering divergence fails both into the exact
+        # host computation).
         (raw_pos_center, svlen_center, support, lead_count, fwd, rev,
-         sum_mapq, single_frag, support_sa) = stats9
+         sum_mapq, pos_sum, support_sa) = stats9
+
+        # per-read inner merge of fragmented INS/DEL, host-exact
+        # (reference: cluster.py:337-343)
+        if svtype in ("INS", "DEL"):
+            threshold = -1 if cluster.repeat else config.cluster_merge_pos
+            merge_inner(cluster, threshold)
+
         engine = None
-        if single_frag and lead_count == len(cluster_leads):
+        host_pos_sum = sum(ld.ref_start for ld in cluster.leads)
+        if (lead_count == len(cluster.leads)
+                and (host_pos_sum - pos_sum) % (1 << 32) == 0):
             engine = {
                 "raw_pos_center": raw_pos_center,
                 "svlen_center": svlen_center,
@@ -355,12 +371,6 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
             }
         elif counters is not None:
             counters["fb_multi_fragment"] = counters.get("fb_multi_fragment", 0) + 1
-
-        # per-read inner merge of fragmented INS/DEL, host-exact
-        # (reference: cluster.py:337-343)
-        if svtype in ("INS", "DEL"):
-            threshold = -1 if cluster.repeat else config.cluster_merge_pos
-            merge_inner(cluster, threshold)
 
         # svlen-histogram resplit, host-exact and in reference order
         # (reference: cluster.py:330-339)

@@ -70,6 +70,8 @@ def standard_call_meta(config) -> dict:
         cluster_merge_bnd=int(config.cluster_merge_bnd),
         cluster_merge_len=float(config.cluster_merge_len),
         minsvlen=int(config.minsvlen),
+        cluster_merge_pos=int(config.cluster_merge_pos),
+        global_repeat=bool(config.repeat),
         binsize=int(config.cluster_binsize),
         resplit_binsize=int(config.cluster_resplit_binsize),
     )
@@ -97,7 +99,17 @@ class DeviceServer:
         # only engages when its padded shape is already compiled (a
         # mid-run tunnel compile would stall every queued request)
         self._ready_shapes: set = set()
+        # (meta, size) call_task configs whose executable exists; a
+        # request for an UNSEEN config is compiled on a SIDE thread and
+        # re-enqueued when ready, so one non-default run's compile
+        # (up to ~30s+ over a tunnel) never stalls other clients'
+        # queued requests behind the single dispatcher
+        self._ready_metas: set = set()
+        self._compiling: dict = {}
+        self._compiling_lock = threading.Lock()
         self.warm_stats: dict = {}
+        self.counters = {"requests": 0, "fusion_batches": 0,
+                         "fusion_fused_requests": 0, "midrun_compiles": 0}
 
     # -- threaded operation -------------------------------------------------
 
@@ -132,6 +144,13 @@ class DeviceServer:
         self._warm()
         while True:
             request, reply = self._queue.get()
+            self.counters["requests"] += 1
+
+            # non-default kernel configs compile on a side thread so the
+            # dispatcher keeps serving ready requests meanwhile
+            if request.kind == "call_task" and not self._meta_ready(request):
+                self._compile_async(request, reply)
+                continue
 
             # adaptive request fusion: drain same-shape/same-meta
             # call_task requests already waiting and dispatch them as ONE
@@ -155,11 +174,59 @@ class DeviceServer:
                         break
 
             if len(batch) > 1:
+                self.counters["fusion_batches"] += 1
+                self.counters["fusion_fused_requests"] += len(batch)
                 self._handle_fused(batch)
             else:
                 self._safe_reply(reply, self.handle(request))
             if leftover is not None:
                 self._safe_reply(leftover[1], self.handle(leftover[0]))
+
+    def _meta_key(self, request):
+        return (tuple(sorted(request.meta.items())),
+                int(np.shape(request.payload)[-1]))
+
+    def _meta_ready(self, request) -> bool:
+        return self._meta_key(request) in self._ready_metas
+
+    def _compile_async(self, request, reply) -> None:
+        """Compile an unseen (meta, size) call_task config on a side
+        thread; park this request (and any same-config arrivals) until
+        the executable exists, then re-enqueue them. Other clients'
+        ready requests keep flowing through the dispatcher meanwhile."""
+        key = self._meta_key(request)
+        # parked requests re-enter the queue later; don't double-count
+        self.counters["requests"] -= 1
+        with self._compiling_lock:
+            pending = self._compiling.get(key)
+            if pending is not None:
+                pending.append((request, reply))
+                return
+            self._compiling[key] = [(request, reply)]
+        self.counters["midrun_compiles"] += 1
+        log.info(f"device service: compiling non-warm kernel config "
+                 f"(size {key[1]}) on a side thread; other requests "
+                 f"keep dispatching")
+
+        def compile_and_release():
+            try:
+                import jax
+                import jax.numpy as jnp
+                from sniffles_tpu.ops.clustering import call_task_packed
+                jax.block_until_ready(call_task_packed(
+                    jnp.zeros((13, key[1]), jnp.int32), **dict(key[0])))
+            except Exception:
+                # dispatch will retry the compile inline and surface the
+                # real error to the requester
+                log.warning("side-thread kernel compile failed", exc_info=True)
+            self._ready_metas.add(key)
+            with self._compiling_lock:
+                parked = self._compiling.pop(key, [])
+            for req, rep in parked:
+                self._queue.put((req, rep))
+
+        threading.Thread(target=compile_and_release, daemon=True,
+                         name="device-compile").start()
 
     @staticmethod
     def _safe_reply(reply, response) -> None:
@@ -219,15 +286,17 @@ class DeviceServer:
                 sizes = [DEVICE_BATCH_FLOOR]
                 if self._warm_full:
                     sizes.append(2 * DEVICE_BATCH_FLOOR)
+                warm_key = tuple(sorted(self._warm_meta.items()))
                 for size in sizes:
                     jax.block_until_ready(call_task_packed(
-                        jnp.zeros((10, size), jnp.int32), **self._warm_meta))
+                        jnp.zeros((13, size), jnp.int32), **self._warm_meta))
                     self._ready_shapes.add((1, size))
+                    self._ready_metas.add((warm_key, size))
                 if self._warm_full:
                     fused = batched_call_task(tuple(sorted(self._warm_meta.items())))
                     for k in (2, 4):
                         jax.block_until_ready(fused(
-                            jnp.zeros((k, 10, DEVICE_BATCH_FLOOR), jnp.int32)))
+                            jnp.zeros((k, 13, DEVICE_BATCH_FLOOR), jnp.int32)))
                         self._ready_shapes.add((k, DEVICE_BATCH_FLOOR))
                 compile_s = time.perf_counter() - t0
             self.warm_stats = {"claim_s": round(claim_s, 3),
@@ -255,6 +324,9 @@ class DeviceServer:
         if request.kind == "noop":
             # liveness/warmth probe: reaching here means warmup finished
             return np.zeros(1, dtype=np.int32)
+        if request.kind == "stats":
+            # dispatcher/fusion/compile counters (benched in BENCH JSON)
+            return dict(self.counters)
         if request.kind == "cluster_assign":
             import jax.numpy as jnp
             from sniffles_tpu.ops.clustering import cluster_assign_packed
@@ -268,6 +340,9 @@ class DeviceServer:
         if request.kind == "call_task_mesh":
             from sniffles_tpu.parallel.device_call import run_mesh_assign
             return run_mesh_assign(request.payload, request.meta)
+        if request.kind == "combine_mesh":
+            from sniffles_tpu.parallel.device_combine import run_mesh_combine
+            return run_mesh_combine(request.payload, request.meta)
         if request.kind == "ed_batch":
             # payload: list of (a, b) string pairs (combine identity gate)
             from sniffles_tpu.ops.edit_distance_jax import edit_distance_batch

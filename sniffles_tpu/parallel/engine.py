@@ -112,6 +112,9 @@ def call_pipeline_step(sig: dict, coverage: jnp.ndarray, params: dict,
         minsvlen=params["minsvlen"],
         binsize=binsize,
         resplit_binsize=resplit_binsize,
+        # fused fast path: the parallel relaxation (documented
+        # deviation); the production call path uses the exact sweep
+        exact_sweep=False,
     )
 
     stats = call_statistics(clustered)

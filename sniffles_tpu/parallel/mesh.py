@@ -160,6 +160,7 @@ def build_sharded_step(mesh: Mesh, params: dict | None = None,
 def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: float,
                          cluster_repeat_h_max: float, cluster_merge_bnd: int,
                          cluster_merge_len: float, minsvlen: int,
+                         cluster_merge_pos: int = 150, global_repeat: bool = False,
                          binsize: int = 100, resplit_binsize: int = 20,
                          halo_slots: int = 512):
     """
@@ -173,7 +174,7 @@ def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: floa
     unlike the fused engine step, whose device-side resplit is a
     documented divergence on adversarial chains.
 
-    Inputs (per shard): packed (10, S) int32 in call_task_packed row
+    Inputs (per shard): packed (13, S) int32 in call_task_packed row
     layout, region_offset (1,) int32 (window start), window_len (1,)
     int32, and halo_w (1,) int32 — the halo width W as a RUNTIME value,
     so an overflow retry with doubled W reuses the same executable.
@@ -189,7 +190,8 @@ def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: floa
     bound being hit so the caller can retry with doubled W or fall back
     to the host/single-device path.
     """
-    from sniffles_tpu.ops.clustering import _cluster_body, call_statistics
+    from sniffles_tpu.ops.clustering import (_cluster_body, call_statistics,
+                                             merge_inner_fold)
     from sniffles_tpu.ops.segments import seg_sum
 
     n_dev = mesh.devices.size
@@ -227,6 +229,7 @@ def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: floa
             "nm": zeros.astype(jnp.float32),
             "repeat": ext[4] > 0, "valid": ext[5] > 0,
             "orig_idx": ext[3], "sa": ext[9],
+            "ref_end": ext[10], "qry_start": ext[11], "qry_end": ext[12],
         }
         # The sweep's head-boundary freeze is a TASK-level quirk: it
         # applies to the svtype's task-globally FIRST cluster. That head
@@ -250,24 +253,34 @@ def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: floa
             cluster_merge_bnd=cluster_merge_bnd,
             cluster_merge_len=cluster_merge_len, minsvlen=minsvlen,
             binsize=binsize, resplit_binsize=resplit_binsize,
-            do_resplit=False,
+            do_resplit=False, global_repeat=global_repeat,
             head_freeze=head_freeze_vec)
-        stats = call_statistics(clustered)
+        folded = merge_inner_fold(clustered, cluster_merge_pos=cluster_merge_pos,
+                                  global_repeat=global_repeat)
+        stats = call_statistics(folded)
 
         n = clustered["pos"].shape[0]
+        fcid = folded["cluster_id"]
+        fvalid = folded["valid"]
+        sum_mapq = seg_sum(jnp.where(fvalid, folded["mapq"], 0), fcid, n)
+        pos_sum = seg_sum(jnp.where(fvalid, folded["pos"], 0), fcid, n)
+        support_sa = seg_sum(jnp.where(fvalid & (folded["sa"] > 0), 1, 0), fcid, n)
+
+        # two-window exactly-once ownership over PRE-fold cluster extents
+        # (ownership and the halo-soundness checks reason about raw
+        # signature positions; the fold only affects the calling stats)
         cid = clustered["cluster_id"]
         cvalid = clustered["valid"]
-        sum_mapq = seg_sum(jnp.where(cvalid, clustered["mapq"], 0), cid, n)
-        single_frag = (stats["support"] == stats["lead_count"]).astype(jnp.int32)
-        support_sa = seg_sum(jnp.where(cvalid & (clustered["sa"] > 0), 1, 0), cid, n)
-
-        # two-window exactly-once ownership over cluster extents
+        from sniffles_tpu.ops.segments import seg_max as _seg_max, seg_min as _seg_min
+        INT32_MIN = jnp.int32(-(2 ** 31))
+        raw_pos_min = _seg_min(jnp.where(cvalid, clustered["pos"], INT32_MAX), cid, n)
+        raw_pos_max = _seg_max(jnp.where(cvalid, clustered["pos"], INT32_MIN), cid, n)
         is_cluster = jnp.arange(n) < stats["n_clusters"]
-        touches_tail = stats["pos_max"] >= my_end - W
+        touches_tail = raw_pos_max >= my_end - W
         suppress_tail = touches_tail & (my_idx < n_dev - 1)
-        ghost = stats["pos_max"] < my_start - W
+        ghost = raw_pos_max < my_start - W
         cluster_owned = is_cluster & ~suppress_tail & ~ghost
-        span = stats["pos_max"] - stats["pos_min"]
+        span = raw_pos_max - raw_pos_min
         # invariant violations must ALWAYS force the retry/host path:
         # (a) a suppressed tail cluster whose visible span already
         #     exceeds W gets truncated at the receiver's 2W halo edge,
@@ -281,7 +294,7 @@ def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: floa
         span_overflow = jnp.any((cluster_owned | (is_cluster & suppress_tail))
                                 & (span > W))
         trunc_edge = my_start - 2 * W + binsize
-        span_overflow |= (jnp.any(cluster_owned & (stats["pos_min"] < trunc_edge))
+        span_overflow |= (jnp.any(cluster_owned & (raw_pos_min < trunc_edge))
                           & (my_idx > 0))
 
         owned_valid = cvalid & jnp.take(cluster_owned, jnp.clip(cid, 0, n - 1))
@@ -297,7 +310,7 @@ def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: floa
             stats["fwd"].astype(jnp.int32),
             stats["rev"].astype(jnp.int32),
             sum_mapq.astype(jnp.int32),
-            single_frag,
+            pos_sum.astype(jnp.int32),
             support_sa.astype(jnp.int32),
             cluster_owned.astype(jnp.int32),
         ])
@@ -313,24 +326,33 @@ def build_sharded_assign(mesh: Mesh, *, cluster_r: float, cluster_repeat_h: floa
         check_vma=False))
 
 
-_CAND_FIELDS = ("pos", "svlen", "svtype", "sample_id", "support", "qc", "valid")
+_CAND_FIELDS = ("pos", "svlen", "svtype", "sample_id", "support", "qc", "valid",
+                "orig_idx")
 
 
 def build_sharded_combine_step(mesh: Mesh, combine_match: float = 250.0,
                                combine_match_max: float = 1000.0,
-                               halo_bp: int = 5000, halo_slots: int = 256):
+                               halo_slots: int = 256,
+                               safe_cut_only: bool = False):
     """
     Multi-sample combine over the mesh (BASELINE config 5 shape): each
     device groups the candidates of its genome-block shard
     (ops/combine_groups) and global per-sample candidate totals reduce
     via psum. Boundary groups use the same RAW-candidate halo exchange
-    as the call step: candidates within 2*halo_bp of a shard's end
+    as the call step: candidates within 2*halo_w of a shard's end
     ppermute rightward, the right neighbor re-groups over the union
     (exact medians/counts, not folded summaries), and the two-window
     ownership rule keeps emission exactly-once — the collectives
     replacement for the host frontier carry-over (reference:
     parallel.py:519-566 groups_keep). Shards must be contiguous
-    genome windows; `region_offset`/`window_len` define them.
+    genome windows; `region_offset`/`window_len` define them. The halo
+    width is a RUNTIME input (halo_w, per shard) so an overflow retry
+    with doubled W reuses the same executable.
+
+    safe_cut_only=True builds the byte-exact production segmentation
+    (cuts only at greedy-impermeable gaps; see
+    ops/combine_groups.group_candidates) used by the mesh combine CLI
+    path, which runs the exact host greedy per gathered segment.
     """
     from sniffles_tpu.ops.combine_groups import group_candidates
 
@@ -338,14 +360,14 @@ def build_sharded_combine_step(mesh: Mesh, combine_match: float = 250.0,
     right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     def per_shard(cand: dict, region_offset: jnp.ndarray,
-                  window_len: jnp.ndarray) -> dict:
+                  window_len: jnp.ndarray, halo_w: jnp.ndarray) -> dict:
         local_total = jnp.sum(cand["valid"].astype(jnp.int32))
         global_total = jax.lax.psum(local_total, GENOME_AXIS)
 
         my_idx = jax.lax.axis_index(GENOME_AXIS)
         my_start = region_offset[0]
         my_end = my_start + window_len[0]
-        W = halo_bp
+        W = halo_w[0]
 
         in_halo = cand["valid"] & (cand["pos"] >= my_end - 2 * W)
         order = jnp.lexsort((cand["pos"], ~in_halo))
@@ -357,8 +379,10 @@ def build_sharded_combine_step(mesh: Mesh, combine_match: float = 250.0,
                     for k, v in halo_out.items()}
         incoming["valid"] = incoming["valid"] & (my_idx > 0)
 
-        ext = {k: jnp.concatenate([incoming[k], cand[k]]) for k in _CAND_FIELDS}
-        out = group_candidates(ext, combine_match, combine_match_max)
+        ext = {k: jnp.concatenate([incoming[k], cand[k]]) for k in _CAND_FIELDS
+               if k in cand}
+        out = group_candidates(ext, combine_match, combine_match_max,
+                               safe_cut_only=safe_cut_only)
 
         # exactly-once ownership over element extents (two-window rule)
         n_ext = out["pos"].shape[0]
@@ -389,11 +413,24 @@ def build_sharded_combine_step(mesh: Mesh, combine_match: float = 250.0,
         out = {k: (v[None] if v.ndim == 0 else v) for k, v in out.items()}
         return out
 
-    cand_spec = {k: P(GENOME_AXIS) for k in _CAND_FIELDS}
-    return jax.jit(jax.shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(cand_spec, P(GENOME_AXIS), P(GENOME_AXIS)),
-        out_specs=P(GENOME_AXIS), check_vma=False))
+    built: dict = {}
+
+    def run(cand: dict, region_offset, window_len, halo_w):
+        # specs depend on which provenance columns the caller shipped
+        # (orig_idx is optional); build/cache one executable per keyset
+        keys = tuple(sorted(cand.keys()))
+        fn = built.get(keys)
+        if fn is None:
+            cand_spec = {k: P(GENOME_AXIS) for k in keys}
+            fn = jax.jit(jax.shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(cand_spec, P(GENOME_AXIS), P(GENOME_AXIS),
+                          P(GENOME_AXIS)),
+                out_specs=P(GENOME_AXIS), check_vma=False))
+            built[keys] = fn
+        return fn(cand, region_offset, window_len, halo_w)
+
+    return run
 
 
 def shard_batch(batch_dict: dict, n_dev: int) -> dict:

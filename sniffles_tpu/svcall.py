@@ -517,11 +517,13 @@ def call_from(cluster, config, keep_qc_fails, task):
 
     # device-computed statistics from the fused --tpu-call step
     # (parallel/device_call.py): integer-exact robust centers and counts
-    # over exactly this cluster's leads; present only when merge_inner
-    # was a no-op, so they equal the host computations below. Float
-    # statistics (stdevs, NM mean) and set-carrying fields (rnames)
-    # stay host-side: they feed formatted output and downstream object
-    # paths, and host f64 keeps them byte-stable.
+    # over this cluster's MERGED leads (the device applies the
+    # merge_inner fold before computing them, and the host verified the
+    # fold grouping before attaching the dict), so they equal the host
+    # computations below. Float statistics (stdevs, NM mean) and
+    # set-carrying fields (rnames) stay host-side: they feed formatted
+    # output and downstream object paths, and host f64 keeps them
+    # byte-stable.
     eng = getattr(cluster, "engine", None)
 
     svlen = eng["svlen_center"] if eng else util.center(ld.svlen for ld in leads)

@@ -155,3 +155,79 @@ def test_fused_multi_task_dispatch_matches_single(config):
     for i in range(3):
         assert got[i].error is None
         np.testing.assert_array_equal(got[i].payload, singles[i])
+
+
+def test_fold_matches_host_merge_inner(config):
+    """The device merge_inner fold (ops/clustering.merge_inner_fold):
+    clusters with genuinely fragmented reads must consume device stats
+    (fb_multi_fragment == 0) with values equal to the host's post-merge
+    computations, across the fold's decision surface: same-strand near
+    fragments (merge), far-in-query fragments (no merge), strand-flip
+    fragments (no merge), and tandem-repeat clusters (threshold -1,
+    unconditional merge)."""
+    provider = LeadProvider(config, 0, "chr1")
+    binsize = config.cluster_binsize
+    no = [0]
+
+    def add(pos, svlen, qname, strand="+", svtype="DEL", qs=0, qe=0):
+        ld = Lead(read_id=no[0], read_qname=qname, contig="chr1",
+                  ref_start=pos, ref_end=pos, qry_start=qs, qry_end=qe,
+                  strand=strand, mapq=40, nm=0.0, source="INLINE",
+                  svtype=svtype, svlen=svlen)
+        provider.record_lead(ld, pos // binsize * binsize)
+        no[0] += 1
+
+    # A: near same-strand DEL fragments -> host merges (-120 + -60)
+    for k in range(4):
+        add(20_000 + k, -200, f"a{k}")
+    add(20_002, -120, "afrag")
+    add(20_040, -60, "afrag")
+    # B: fragments far apart in QUERY -> no merge (near fails)
+    for k in range(4):
+        add(40_000 + k, -300, f"b{k}")
+    add(40_002, -290, "bfrag", qs=0, qe=0)
+    add(40_030, -285, "bfrag", qs=500, qe=510)
+    # C: strand flip between fragments -> no merge
+    for k in range(4):
+        add(60_000 + k, -250, f"c{k}")
+    add(60_002, -245, "cfrag", strand="+")
+    add(60_030, -240, "cfrag", strand="-")
+    # D: INS fragments, near -> merge (110 + 100)
+    for k in range(4):
+        add(80_000 + k, 200, f"d{k}", svtype="INS")
+    add(80_001, 110, "dfrag", svtype="INS")
+    add(80_030, 100, "dfrag", svtype="INS")
+    # E: tandem-repeat cluster -> threshold -1 merges even far/flip
+    for k in range(4):
+        add(100_000 + k, -400, f"e{k}")
+    add(100_002, -250, "efrag", strand="+", qs=0)
+    add(100_060, -150, "efrag", strand="-", qs=900)
+    provider.start = 0
+    provider.end = 1_000_000
+    tr = [(99_000, 101_000)]
+
+    counters = {}
+    clusters = list(device_clusters(provider, config, tr, counters=counters))
+    assert counters.get("fb_multi_fragment", 0) == 0
+    assert counters.get("engine_consumed", 0) == len(clusters) == 5
+
+    merged_svlens = {}
+    for cluster in clusters:
+        eng = cluster.engine
+        leads = cluster.leads
+        assert eng["lead_count"] == len(leads)
+        assert eng["svlen_center"] == util.center(ld.svlen for ld in leads)
+        assert eng["raw_pos_center"] == util.center(ld.ref_start for ld in leads)
+        assert eng["support"] == len({ld.read_qname for ld in leads})
+        assert eng["fwd"] == sum(ld.strand == "+" for ld in leads)
+        assert eng["qual"] == int(util.mean(ld.mapq for ld in leads))
+        for ld in leads:
+            if ld.read_qname.endswith("frag"):
+                merged_svlens.setdefault(ld.read_qname, []).append(ld.svlen)
+
+    # the host merges actually happened where expected (and only there)
+    assert merged_svlens["afrag"] == [-180]        # merged
+    assert sorted(merged_svlens["bfrag"]) == [-290, -285]  # query-far: kept apart
+    assert sorted(merged_svlens["cfrag"]) == [-245, -240]  # strand flip: kept apart
+    assert merged_svlens["dfrag"] == [210]         # merged
+    assert merged_svlens["efrag"] == [-400]        # repeat: unconditional merge

@@ -51,7 +51,7 @@ def test_daemon_ping_and_kernel(daemon):
 
     config = SnifflesConfig("--input", "x.bam", "--vcf", "y.vcf")
     meta = standard_call_meta(config)
-    packed = np.zeros((10, 8192), dtype=np.int32)
+    packed = np.zeros((13, 8192), dtype=np.int32)
     packed[0, :4] = [1000, 1010, 5000, 5020]
     packed[1, :4] = [100, 100, -200, -200]
     packed[2, :4] = [0, 0, 1, 1]
@@ -89,7 +89,7 @@ def test_cli_device_by_default_through_daemon(daemon, tmp_path):
     from sniffles_tpu.parallel.device_daemon import DaemonClient
     from sniffles_tpu.parallel.device_service import standard_call_meta
     warm_client = DaemonClient(daemon)
-    warm_packed = np.zeros((10, 8192), dtype=np.int32)
+    warm_packed = np.zeros((13, 8192), dtype=np.int32)
     warm_meta = standard_call_meta(SnifflesConfig("--input", "x.bam",
                                                   "--vcf", "y.vcf"))
     assert warm_client.call_task(warm_packed, warm_meta).ndim == 1
@@ -162,3 +162,56 @@ def test_daemon_shutdown_request(tmp_path):
         if proc.poll() is None:
             proc.terminate()
             proc.wait(10)
+
+
+def test_nondefault_config_compiles_on_side_thread():
+    """A call_task with a NON-warm kernel config (e.g. --cluster-binsize
+    50) must compile on a side thread and still answer correctly — and a
+    second same-config request must reuse the executable (one compile
+    event total), so one run's non-default flags never stall other
+    clients' queued requests behind the dispatcher."""
+    import threading
+
+    from sniffles_tpu.config import SnifflesConfig
+    from sniffles_tpu.parallel.device_service import (DeviceServer, DeviceRequest,
+                                                      standard_call_meta)
+    from sniffles_tpu.ops.clustering import split_call_task_output
+
+    server = DeviceServer()
+    cfg = SnifflesConfig("--input", "x.bam", "--vcf", "y.vcf")
+    server.warm_async(cfg)
+
+    def roundtrip(kind, payload, meta, req_id):
+        box = {}
+        ev = threading.Event()
+        server.submit(DeviceRequest(kind=kind, payload=payload, meta=meta,
+                                    req_id=req_id),
+                      lambda r: (box.setdefault("r", r), ev.set()))
+        assert ev.wait(300)
+        return box["r"]
+
+    assert roundtrip("noop", None, {}, 0).error is None  # warm finished
+
+    meta = standard_call_meta(cfg)
+    meta["binsize"] = 50   # non-warm config
+    packed = np.zeros((13, 8192), dtype=np.int32)
+    packed[0, :4] = [1000, 1010, 5000, 5020]
+    packed[1, :4] = [100, 100, -200, -200]
+    packed[2, :4] = [0, 0, 1, 1]
+    packed[3, :4] = np.arange(4)
+    packed[5, :4] = 1
+    packed[8, :4] = [1, 2, 3, 4]
+
+    r1 = roundtrip("call_task", packed, meta, 1)
+    assert r1.error is None
+    elements, stats = split_call_task_output(r1.payload, 8192)
+    assert int(stats[9][0]) == 2
+    assert server.counters["midrun_compiles"] == 1
+
+    r2 = roundtrip("call_task", packed, meta, 2)
+    assert r2.error is None
+    assert server.counters["midrun_compiles"] == 1  # executable reused
+    # the default config stayed warm throughout
+    r3 = roundtrip("call_task", packed, standard_call_meta(cfg), 3)
+    assert r3.error is None
+    assert server.counters["midrun_compiles"] == 1
