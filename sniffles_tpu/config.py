@@ -276,7 +276,7 @@ _TPU_FLAGS = (
     _f("--no-native", text="Disable the native C++ BAM decoder, use the pure-Python decoder", default=False, action="store_true"),
     _f("--tpu-call", text="Use the device sort-and-segment clustering for candidate grouping in call_sample. Composes with --threads N: workers decode and ship signature batches to the parent-owned TPU client (host sweep otherwise)", default=False, action="store_true"),
     _f("--tpu-combine", text="Use the segmented exact greedy + device edit-distance batching for multi-sample combine (host greedy assignment otherwise). Composes with --threads N", default=False, action="store_true"),
-    _f("--tpu-mesh", text="Shard each call task's clustering step over N devices (jax.sharding genome mesh with raw-signature halo exchange). Requires --tpu-call; 0 = single device", metavar="N", type=int, default=0),
+    _f("--tpu-mesh", text="Shard device work over N devices (jax.sharding genome mesh with halo exchange): each call task's clustering step (with --tpu-call), and each combine flush's safe-cut segmentation in multi-sample mode. 0 = single device", metavar="N", type=int, default=0),
     _f("--no-tpu", text="Never use the device, even when a TPU and a device daemon are present (the device is on by default in that case)", default=False, action="store_true"),
 )
 
@@ -494,6 +494,7 @@ class SnifflesConfig(argparse.Namespace):
         if self.no_tpu:
             self.tpu_call = False
             self.tpu_combine = False
+            self.tpu_mesh = 0
         elif not self.tpu_call and _tpu_device_default():
             self.tpu_call = True
 

@@ -22,14 +22,26 @@ from sniffles_tpu.ops.segments import segment_ids_from_boundaries, seg_sum, seg_
 from sniffles_tpu.ops.stats import seg_median_modes
 
 
-@partial(jax.jit, static_argnames=())
-def group_candidates(cand: dict, combine_match: float, combine_match_max: float) -> dict:
+@partial(jax.jit, static_argnames=("safe_cut_only",))
+def group_candidates(cand: dict, combine_match: float, combine_match_max: float,
+                     safe_cut_only: bool = False) -> dict:
     """
     cand: dict of [N] arrays — pos (i32), svlen (i32), svtype (i32),
-    sample_id (i32), support (i32), qc (bool), valid (bool).
+    sample_id (i32), support (i32), qc (bool), valid (bool)
+    (+ optional provenance columns like orig_idx, which ride along
+    through the sort).
 
     Returns sorted arrays + group_id per candidate and per-group stats
     (pos median, svlen median, per-group candidate/sample counts).
+
+    safe_cut_only=True segments ONLY at position gaps strictly larger
+    than combine_match_max: the host greedy's candidate-to-group match
+    requires pos distance + len distance <= combine_match_max, and a
+    group's evolving pos_mean stays inside the convex hull of its
+    members' positions, so no greedy trajectory can ever merge across
+    such a cut. The resulting segments are a provably greedy-impermeable
+    partition — the byte-exact mesh combine path runs the exact host
+    greedy independently per segment (parallel/device_combine.py).
     """
     n = cand["pos"].shape[0]
     valid = cand["valid"]
@@ -47,10 +59,13 @@ def group_candidates(cand: dict, combine_match: float, combine_match_max: float)
     prev_len = jnp.concatenate([svlen[:1], svlen[:-1]])
     prev_type = jnp.concatenate([s["svtype"][:1] - 1, s["svtype"][:-1]])
 
-    dist = jnp.abs(pos - prev_pos) + jnp.abs(svlen - prev_len)
-    minlen = jnp.maximum(jnp.minimum(svlen, prev_len), 1.0)
-    thresh = jnp.minimum(combine_match * jnp.sqrt(minlen), combine_match_max)
-    boundary = (s["svtype"] != prev_type) | (dist > thresh) | (minlen <= 0)
+    if safe_cut_only:
+        boundary = (s["svtype"] != prev_type) | ((pos - prev_pos) > combine_match_max)
+    else:
+        dist = jnp.abs(pos - prev_pos) + jnp.abs(svlen - prev_len)
+        minlen = jnp.maximum(jnp.minimum(svlen, prev_len), 1.0)
+        thresh = jnp.minimum(combine_match * jnp.sqrt(minlen), combine_match_max)
+        boundary = (s["svtype"] != prev_type) | (dist > thresh) | (minlen <= 0)
     boundary = boundary.at[0].set(True)
 
     gid = segment_ids_from_boundaries(boundary)

@@ -55,6 +55,9 @@ def snf_candidate_tensors(snf_paths: list[str], contig: str, config,
         "support": np.asarray(cols["support"], dtype=np.int32),
         "qc": np.asarray(cols["qc"], dtype=bool),
         "valid": np.ones(n, dtype=bool),
+        # provenance: position in the pre-sort read order, so mesh
+        # outputs can be mapped back to the originating candidates
+        "orig_idx": np.arange(n, dtype=np.int32),
     }
     order = np.argsort(out["pos"], kind="stable")
     return {k: v[order] for k, v in out.items()}

@@ -11,6 +11,7 @@ from __future__ import annotations
 import copy
 import logging
 import math
+import os
 from dataclasses import dataclass
 from typing import Optional, TYPE_CHECKING
 
@@ -615,9 +616,26 @@ class CombineTask(Task):
             ed_cache[pair] = int(dist)
 
     def _group_batch(self, svtype, svcands, keep, ed_cache):
-        """Greedy group assignment: segmented exact greedy when enabled
-        (host-vectorized — works in workers and inline mode alike)."""
+        """Greedy group assignment: the mesh-sharded safe-cut segmentation
+        when --tpu-mesh is set (byte-exact: the exact host greedy runs
+        per gathered segment, parallel/device_combine.mesh_block_groups),
+        the host-vectorized segmented exact greedy with --tpu-combine,
+        or the plain host greedy."""
         self._prefill_ed_cache(svcands, keep, ed_cache, self.config)
+        use_mesh = (int(getattr(self.config, "tpu_mesh", 0) or 0) > 1
+                    and svtype != "BND" and len(svcands) >= 4)
+        if use_mesh:
+            try:
+                from sniffles_tpu.parallel.device_combine import mesh_block_groups
+                out = mesh_block_groups(svtype, svcands, keep, self.config,
+                                        ed_cache, device=self.device_service)
+                if out is not None:
+                    return out
+            except Exception:
+                if os.environ.get("SNIFFLES_TPU_REQUIRE_DEVICE"):
+                    raise
+                log.warning("mesh combine grouping unavailable; host fallback",
+                            exc_info=True)
         use_device = (getattr(self.config, "tpu_combine", False)
                       and svtype != "BND" and len(svcands) >= 4)
         if use_device:

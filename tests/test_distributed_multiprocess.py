@@ -99,7 +99,8 @@ CHILD = textwrap.dedent("""
     cand = {{k: place(v) for k, v in cand_np.items()}}
     offs_c = place(np.arange(n_dev, dtype=np.int32) * window_c)
     wlen_c = place(np.full((n_dev,), window_c, dtype=np.int32))
-    cout = build_sharded_combine_step(mesh)(cand, offs_c, wlen_c)
+    halo_c = place(np.full((n_dev,), 5000, dtype=np.int32))
+    cout = build_sharded_combine_step(mesh)(cand, offs_c, wlen_c, halo_c)
     jax.block_until_ready(cout)
     ng = multihost_utils.process_allgather(cout["n_groups"], tiled=True).reshape(-1)
     gc = multihost_utils.process_allgather(cout["global_candidates"], tiled=True).reshape(-1)

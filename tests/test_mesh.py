@@ -217,9 +217,11 @@ def test_combine_halo_exchange_matches_single_device(mesh8):
 
     offs = jnp.arange(n_dev, dtype=jnp.int32) * window
     wlen = jnp.full((n_dev,), window, dtype=jnp.int32)
-    step = build_sharded_combine_step(mesh8, halo_bp=2000, halo_slots=64)
+    step = build_sharded_combine_step(mesh8, halo_slots=64)
+    halo_w = jnp.full((n_dev,), 2000, dtype=jnp.int32)
     out = {k: np.asarray(v) for k, v in
-           step({k: jnp.asarray(v) for k, v in cand.items()}, offs, wlen).items()}
+           step({k: jnp.asarray(v) for k, v in cand.items()},
+                offs, wlen, halo_w).items()}
     assert not out["halo_overflow"].any()
 
     def records(o, n_shards):

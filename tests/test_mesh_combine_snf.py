@@ -96,10 +96,11 @@ def test_sharded_combine_on_snf_tensors_matches_single_device(snf_cohort, mesh8)
     step = build_sharded_combine_step(
         mesh8, combine_match=float(config.combine_match),
         combine_match_max=float(config.combine_match_max),
-        halo_bp=2000, halo_slots=256)
+        halo_slots=256)
+    halo_w = jnp.full((n_dev,), 2000, dtype=jnp.int32)
     out = {k: np.asarray(v) for k, v in
            step({k: jnp.asarray(v) for k, v in sharded.items()},
-                jnp.asarray(offsets), jnp.asarray(window_len)).items()}
+                jnp.asarray(offsets), jnp.asarray(window_len), halo_w).items()}
     assert not out["halo_overflow"].any()
 
     single = {k: np.asarray(v) for k, v in

@@ -112,6 +112,8 @@ def main():
     ap.add_argument("--depth", type=int, default=15)
     ap.add_argument("--threads", type=int, default=max(2, os.cpu_count() or 2))
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="also run --tpu-mesh N (byte-exact mesh segmentation)")
     args = ap.parse_args()
 
     os.makedirs(args.dir, exist_ok=True)
@@ -130,6 +132,16 @@ def main():
                   "--allow-overwrite"])
     r_ours = records(ours)
     print(f"ours      --threads {args.threads}: {t_ours:6.1f}s  {len(r_ours)} SVs")
+
+    if args.mesh:
+        mesh_vcf = os.path.join(args.dir, "mesh.vcf")
+        t_mesh = run([sys.executable, "-m", "sniffles_tpu", "--input", *snfs,
+                      "--vcf", mesh_vcf, "--threads", str(args.threads),
+                      "--tpu-mesh", str(args.mesh), "--allow-overwrite"])
+        r_mesh = records(mesh_vcf)
+        ident = "byte-identical" if r_mesh == r_ours else "DIVERGED"
+        print(f"ours mesh --tpu-mesh {args.mesh}: {t_mesh:6.1f}s  "
+              f"{len(r_mesh)} SVs  [{ident} vs host]")
 
     if not args.skip_reference:
         ref = os.path.join(args.dir, "ref.vcf")
