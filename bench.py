@@ -130,6 +130,14 @@ def timed_pairs(host_cmd, tpu_cmd, host_env, tpu_env, pairs=None, timeout=3600):
     }
 
 
+def _load_json(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def vcf_records(path):
     with open(path) as f:
         return [line for line in f if not line.startswith("#")]
@@ -208,13 +216,17 @@ def bench_scale(out, daemon):
     if daemon is not None:
         try:
             tpu_vcf = os.path.join(SCALE_DIR, "tpu.vcf")
+            counters_path = os.path.join(SCALE_DIR, "counters.json")
             p = timed_pairs(host_cmd,
                             [sys.executable, "-m", "sniffles_tpu", *base,
                              "--vcf", tpu_vcf, "--tpu-call"],
-                            {"SNIFFLES_TPU_FORCE_CPU": "1"}, daemon.env())
+                            {"SNIFFLES_TPU_FORCE_CPU": "1"},
+                            {**daemon.env(),
+                             "SNIFFLES_TPU_COUNTERS_JSON": counters_path})
             out["e2e_scale_seconds_ours"] = p["host_median"]
             out["e2e_scale_seconds_ours_tpu"] = p["tpu_median"]
             out["e2e_scale_pairs"] = p
+            out["engine_counters_scale"] = _load_json(counters_path)
             out["scale_tpu_records_identical"] = (vcf_records(tpu_vcf)
                                                   == vcf_records(ours_vcf))
         except Exception as e:
@@ -252,13 +264,17 @@ def bench_e2e():
     if daemon_ok:
         try:
             tpu_vcf = os.path.join(BENCH_DIR, "tpu.vcf")
+            counters_path = os.path.join(BENCH_DIR, "counters.json")
             p = timed_pairs(host_cmd,
                             [sys.executable, "-m", "sniffles_tpu", *base,
                              "--vcf", tpu_vcf, "--tpu-call"],
-                            {"SNIFFLES_TPU_FORCE_CPU": "1"}, daemon.env())
+                            {"SNIFFLES_TPU_FORCE_CPU": "1"},
+                            {**daemon.env(),
+                             "SNIFFLES_TPU_COUNTERS_JSON": counters_path})
             out["e2e_seconds_ours"] = p["host_median"]
             out["e2e_seconds_ours_tpu"] = p["tpu_median"]
             out["e2e_pairs"] = p
+            out["engine_counters_quick"] = _load_json(counters_path)
             out["tpu_records_identical"] = vcf_records(tpu_vcf) == vcf_records(ours_vcf)
         except Exception as e:  # transient tunnel failure
             out["e2e_seconds_ours_tpu"] = None
@@ -287,6 +303,15 @@ def bench_e2e():
             bench_scale(out, daemon if daemon_ok else None)
         except Exception as e:
             out["scale_error"] = str(e)[:200]
+
+    if daemon_ok:
+        try:
+            from sniffles_tpu.parallel.device_daemon import DaemonClient
+            c = DaemonClient(daemon.sock)
+            out["device_service_stats"] = c.request("stats", None, {})
+            c.close()
+        except Exception as e:
+            out["device_stats_error"] = str(e)[:120]
 
     daemon.stop()
     return out
