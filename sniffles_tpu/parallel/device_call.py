@@ -33,6 +33,51 @@ _DEVICE_TYPES = ("INS", "DEL", "DUP", "INV", "BND")
 DEVICE_BATCH_FLOOR = 8192
 
 
+def padded_width(n: int) -> int:
+    """Kernel batch width for a task with n signatures: the compile-once
+    floor, then powers of two. Shared by every dispatch site so the wire
+    payload can stay TRIMMED to n (the average task carries ~15% of the
+    floor; shipping the zero padding through pickled sockets was a top
+    per-request CPU cost) while the kernel still sees one of a handful
+    of compiled shapes."""
+    size = DEVICE_BATCH_FLOOR
+    while size < n:
+        size *= 2
+    return size
+
+
+def pad_packed(packed: np.ndarray) -> np.ndarray:
+    """Zero-pad a trimmed (13, n) batch to its kernel width."""
+    n = packed.shape[1]
+    size = padded_width(n)
+    if size == n:
+        return packed
+    out = np.zeros((packed.shape[0], size), dtype=np.int32)
+    out[:, :n] = packed
+    return out
+
+
+def compress_call_response(flat: np.ndarray, padded_n: int) -> dict:
+    """Wire-compact form of a call_task kernel result: only the valid
+    elements (cluster_id, orig_idx — validity is implied) and the stats
+    columns of real clusters. The padded buffer is ~85% zeros for a
+    typical task, and response pickling was symmetric with the request
+    as a per-dispatch CPU cost. `nc`/`slots` carry the capacity check
+    (device_clusters falls back to the host sweep when nc > slots)."""
+    from sniffles_tpu.ops.clustering import split_call_task_output
+    elements, stats = split_call_task_output(flat, padded_n)
+    valid = elements[2] != 0
+    n_clusters = int(stats[9][0])
+    slots = stats.shape[1]
+    keep = min(max(n_clusters, 1), slots)
+    return {
+        "nc": n_clusters,
+        "slots": slots,
+        "elems": np.ascontiguousarray(elements[:2, valid]),
+        "stats": np.ascontiguousarray(stats[:9, :keep]),
+    }
+
+
 def pack_task_batch(lead_provider, config, tr):
     """Flatten the leadtab (reference layout: leadprov.py:400-418) into
     the packed (10, size) int32 signature batch the call_task kernel
@@ -66,22 +111,22 @@ def pack_task_batch(lead_provider, config, tr):
         return None
 
     n = len(leads)
-    size = DEVICE_BATCH_FLOOR
-    while size < n:
-        size *= 2
 
     tr_sorted = sorted(tr) if tr else []
     tr_starts = np.array([s for s, e in tr_sorted], dtype=np.int64)
     tr_ends = np.array([e for s, e in tr_sorted], dtype=np.int64)
 
-    # single packed (13, size) int32 buffer — one H2D transfer per task
-    # (transfer latency over a tunneled chip dominates kernel time at
-    # task-sized batches, so the number of transfers is the cost that
+    # single packed (13, n) int32 buffer, TRIMMED to the real signature
+    # count — the dispatch site pads to padded_width(n) so the kernel
+    # compiles once, but the wire (pickled socket/pipe to the device
+    # service or daemon) only carries real data. One H2D transfer per
+    # task (transfer latency over a tunneled chip dominates kernel time
+    # at task-sized batches, so the number of transfers is the cost that
     # matters). Rows: pos, svlen, svtype, orig_idx, repeat, valid,
     # strand, mapq, read_id (name hash — support = unique reads),
     # is_sa (split-read evidence), ref_end, qry_start, qry_end (the
     # merge_inner fold anchors, reference: cluster.py:105-119).
-    packed = np.zeros((13, size), dtype=np.int32)
+    packed = np.zeros((13, n), dtype=np.int32)
     packed[0, :n] = [ld.ref_start for ld in leads]
     packed[1, :n] = [ld.svlen for ld in leads]
     packed[2, :n] = [SVTYPE_CODES[ld.svtype] for ld in leads]
@@ -108,8 +153,8 @@ def pack_mesh_payload(pack, n_dev: int) -> dict:
     build_sharded_assign). Each shard keeps the full padded width so one
     executable serves every task of a run."""
     packed, meta, leads, lead_bins = pack
-    size = packed.shape[1]
     n = len(leads)
+    size = padded_width(n)
     pos = packed[0, :n]
     lo = int(pos.min())
     span = max(int(pos.max()) - lo + 1, n_dev)
@@ -185,6 +230,28 @@ def run_mesh_assign(payload: dict, meta: dict) -> np.ndarray:
 _mesh_fn_cache: dict = {}
 
 
+def _rebuild_groups(cids: np.ndarray, ridx: np.ndarray,
+                    stats: np.ndarray) -> list:
+    """(member_index_list, stats9) per cluster, ascending cluster id ==
+    (svtype, pos) sort order == the host sweep's cluster order (seed
+    bins ascending per svtype). Members keep element order within a
+    cluster (stable sort), matching the host's per-cluster lead order.
+    Vectorized: the previous per-element Python zip over the padded
+    batch was a top per-request CPU cost at production task sizes."""
+    if len(cids) == 0:
+        return []
+    order = np.argsort(cids, kind="stable")
+    sc = cids[order]
+    sr = ridx[order]
+    bounds = np.flatnonzero(np.diff(sc)) + 1
+    starts = np.concatenate(([0], bounds))
+    uniq = sc[starts]
+    stats_rows = stats[:9, uniq].T.tolist()   # (k, 9) one slice, not 9*k
+    members = np.split(sr, bounds)
+    return [(m.tolist(), tuple(row))
+            for m, row in zip(members, stats_rows)]
+
+
 def device_clusters(lead_provider, config, tr, device=None, posted=None,
                     counters=None):
     """
@@ -225,11 +292,22 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
         else:
             import jax.numpy as jnp
             from sniffles_tpu.ops.clustering import call_task_packed
-            out = np.asarray(call_task_packed(jnp.asarray(packed), **meta))
+            out = np.asarray(call_task_packed(jnp.asarray(pad_packed(packed)),
+                                              **meta))
     n = len(leads)
     repeat_flags = packed[4, :n] > 0
 
-    if out.ndim == 3:
+    if isinstance(out, dict):
+        # wire-compact response (device service/daemon transport,
+        # compress_call_response): valid (cluster_id, orig_idx) pairs
+        # plus the real clusters' stats columns
+        if out["nc"] > out["slots"]:
+            raise RuntimeError(
+                f"device stats capacity exceeded ({out['nc']} clusters > "
+                f"{out['slots']} slots); host sweep fallback")
+        normalized = _rebuild_groups(out["elems"][0], out["elems"][1],
+                                     out["stats"])
+    elif out.ndim == 3:
         # mesh output (parallel/mesh.py build_sharded_assign):
         # (n_dev, 13, N_ext) — normalize owned groups across shards and
         # restore the host's cluster order (svtype-major, then seed bin;
@@ -252,7 +330,7 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
         normalized = [(m, s) for _, m, s in ordered]
     else:
         from sniffles_tpu.ops.clustering import split_call_task_output
-        elements, dev_stats = split_call_task_output(out, packed.shape[1])
+        elements, dev_stats = split_call_task_output(out, padded_width(n))
         # the compacted stats block holds max(1024, N//8) cluster slots
         # (a ~4x D2H cut; see call_task_packed) — a task with more
         # stage-1 clusters than slots falls back to the exact host sweep
@@ -261,17 +339,9 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
             raise RuntimeError(
                 f"device stats capacity exceeded ({n_clusters} clusters > "
                 f"{dev_stats.shape[1]} slots); host sweep fallback")
-        cids = elements[0]
-        ridx = elements[1]   # original lead index, permuted with the sort
-        valid = elements[2]
-        groups: dict[int, list[int]] = {}
-        for cid, li, ok in zip(cids.tolist(), ridx.tolist(), valid.tolist()):
-            if ok:
-                groups.setdefault(cid, []).append(li)
-        # ascending cluster id == (svtype, pos) sort order == the host
-        # sweep's cluster order (seed bins ascending per svtype)
-        normalized = [(groups[cid], tuple(int(dev_stats[r][cid]) for r in range(9)))
-                      for cid in sorted(groups)]
+        valid = elements[2] != 0
+        normalized = _rebuild_groups(elements[0][valid], elements[1][valid],
+                                     dev_stats)
 
     # leads_long per INS cluster: long-INS soft clips from the bins the
     # cluster's leads came from (reference: cluster.py:248-250)

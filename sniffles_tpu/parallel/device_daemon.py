@@ -301,6 +301,16 @@ def main(argv=None) -> int:
     parser.add_argument("--no-warm-compile", action="store_true",
                         help="claim the chip but compile kernels lazily")
     args = parser.parse_args(argv)
+    if os.environ.get("SNIFFLES_TPU_FORCE_CPU"):
+        # test/CI hook, same as cli.main: pin the platform BEFORE any
+        # backend init — the axon sitecustomize overrides JAX_PLATFORMS,
+        # so without this a "CPU" test daemon claims the real TPU tunnel
+        # and contends with any production daemon on the chip
+        try:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
     try:

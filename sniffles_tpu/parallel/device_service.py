@@ -152,13 +152,17 @@ class DeviceServer:
                 self._compile_async(request, reply)
                 continue
 
-            # adaptive request fusion: drain same-shape/same-meta
+            # adaptive request fusion: drain same-kernel-shape/same-meta
             # call_task requests already waiting and dispatch them as ONE
-            # vmapped kernel call — k tasks, one round-trip latency
+            # vmapped kernel call — k tasks, one round-trip latency.
+            # Payloads arrive TRIMMED (device_call.pack_task_batch);
+            # requests fuse when their PADDED widths match, so tasks of
+            # different real sizes share the one compiled fused shape.
             batch = [(request, reply)]
             leftover = None
+            pw = self._padded(request) if request.kind == "call_task" else 0
             fusable = (request.kind == "call_task"
-                       and (2, np.shape(request.payload)[-1]) in self._ready_shapes)
+                       and (2, pw) in self._ready_shapes)
             if fusable:
                 while len(batch) < self.MAX_FUSED:
                     try:
@@ -167,7 +171,7 @@ class DeviceServer:
                         break
                     if (nxt[0].kind == "call_task"
                             and nxt[0].meta == request.meta
-                            and np.shape(nxt[0].payload) == np.shape(request.payload)):
+                            and self._padded(nxt[0]) == pw):
                         batch.append(nxt)
                     else:
                         leftover = nxt
@@ -182,9 +186,13 @@ class DeviceServer:
             if leftover is not None:
                 self._safe_reply(leftover[1], self.handle(leftover[0]))
 
+    @staticmethod
+    def _padded(request) -> int:
+        from sniffles_tpu.parallel.device_call import padded_width
+        return padded_width(int(np.shape(request.payload)[-1]))
+
     def _meta_key(self, request):
-        return (tuple(sorted(request.meta.items())),
-                int(np.shape(request.payload)[-1]))
+        return (tuple(sorted(request.meta.items())), self._padded(request))
 
     def _meta_ready(self, request) -> bool:
         return self._meta_key(request) in self._ready_metas
@@ -242,18 +250,20 @@ class DeviceServer:
         try:
             import jax.numpy as jnp
             from sniffles_tpu.ops.clustering import batched_call_task
+            from sniffles_tpu.parallel.device_call import compress_call_response
             JAX_CLIENT_LIVE = True
             k = len(batch)
             kp = 2 if k <= 2 else 4   # pad slots carry valid=0 rows only
-            stacked = np.zeros((kp,) + np.shape(batch[0][0].payload),
-                               dtype=np.int32)
+            pw = self._padded(batch[0][0])
+            stacked = np.zeros((kp, 13, pw), dtype=np.int32)
             for j, (req, _) in enumerate(batch):
-                stacked[j] = req.payload
+                stacked[j, :, :np.shape(req.payload)[-1]] = req.payload
             meta_items = tuple(sorted(batch[0][0].meta.items()))
             out = np.asarray(batched_call_task(meta_items)(jnp.asarray(stacked)))
             for j, (req, reply) in enumerate(batch):
-                self._safe_reply(reply, DeviceResponse(payload=out[j],
-                                                       req_id=req.req_id))
+                self._safe_reply(reply, DeviceResponse(
+                    payload=compress_call_response(out[j], pw),
+                    req_id=req.req_id))
         except Exception as e:  # noqa: BLE001
             log.warning("fused device dispatch failed", exc_info=True)
             for req, reply in batch:
@@ -335,8 +345,12 @@ class DeviceServer:
         if request.kind == "call_task":
             import jax.numpy as jnp
             from sniffles_tpu.ops.clustering import call_task_packed
-            return np.asarray(call_task_packed(
-                jnp.asarray(request.payload), **request.meta))
+            from sniffles_tpu.parallel.device_call import (compress_call_response,
+                                                           pad_packed)
+            padded = pad_packed(np.asarray(request.payload))
+            out = np.asarray(call_task_packed(jnp.asarray(padded),
+                                              **request.meta))
+            return compress_call_response(out, padded.shape[1])
         if request.kind == "call_task_mesh":
             from sniffles_tpu.parallel.device_call import run_mesh_assign
             return run_mesh_assign(request.payload, request.meta)

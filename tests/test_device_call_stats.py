@@ -131,7 +131,8 @@ def test_fused_multi_task_dispatch_matches_single(config):
     """The device service fuses same-shape call_task requests into one
     vmapped dispatch; each slice must equal the single-task kernel."""
     from sniffles_tpu.ops.clustering import call_task_packed, batched_call_task
-    from sniffles_tpu.parallel.device_call import pack_task_batch
+    from sniffles_tpu.parallel.device_call import (compress_call_response,
+                                                   pack_task_batch, pad_packed)
     from sniffles_tpu.parallel.device_service import (DeviceServer,
                                                       DeviceRequest)
 
@@ -140,8 +141,11 @@ def test_fused_multi_task_dispatch_matches_single(config):
     for s in range(3):
         provider = _provider(config, rng, n_sites=10, frag_reads=2)
         packs.append(pack_task_batch(provider, config, None))
-    singles = [np.asarray(call_task_packed(jnp.asarray(pk[0]), **pk[1]))
-               for pk in packs]
+    singles = []
+    for pk in packs:
+        padded = pad_packed(pk[0])
+        flat = np.asarray(call_task_packed(jnp.asarray(padded), **pk[1]))
+        singles.append(compress_call_response(flat, padded.shape[1]))
 
     server = DeviceServer()
     got = {}
@@ -154,7 +158,12 @@ def test_fused_multi_task_dispatch_matches_single(config):
     assert sorted(got) == [0, 1, 2]
     for i in range(3):
         assert got[i].error is None
-        np.testing.assert_array_equal(got[i].payload, singles[i])
+        assert got[i].payload["nc"] == singles[i]["nc"]
+        assert got[i].payload["slots"] == singles[i]["slots"]
+        np.testing.assert_array_equal(got[i].payload["elems"],
+                                      singles[i]["elems"])
+        np.testing.assert_array_equal(got[i].payload["stats"],
+                                      singles[i]["stats"])
 
 
 def test_fold_matches_host_merge_inner(config):

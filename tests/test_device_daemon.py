@@ -58,18 +58,17 @@ def test_daemon_ping_and_kernel(daemon):
     packed[3, :4] = np.arange(4)
     packed[5, :4] = 1
     packed[8, :4] = [1, 2, 3, 4]
-    from sniffles_tpu.ops.clustering import split_call_task_output
-    elements, stats = split_call_task_output(client.call_task(packed, meta), 8192)
-    assert elements.shape[0] == 3 and stats.shape[0] == 10
-    cids = elements[0][elements[2] > 0]
-    assert len(set(cids.tolist())) == 2  # one INS + one DEL cluster
-    assert int(stats[9][0]) == 2         # n_clusters rides the stats block
+    # responses travel wire-compact (device_call.compress_call_response)
+    out = client.call_task(packed, meta)
+    assert out["elems"].shape[0] == 2 and out["stats"].shape[0] == 9
+    assert len(set(out["elems"][0].tolist())) == 2  # one INS + one DEL cluster
+    assert out["nc"] == 2                           # n_clusters in the header
 
     # concurrent posts from one client resolve by req_id
     ids = [client.post("call_task", packed, meta) for _ in range(3)]
     for rid in ids:
-        el, st = split_call_task_output(client.wait(rid), 8192)
-        assert el.shape[0] == 3 and st.shape[0] == 10
+        r = client.wait(rid)
+        assert r["elems"].shape[0] == 2 and r["stats"].shape[0] == 9
     client.close()
 
 
@@ -92,7 +91,7 @@ def test_cli_device_by_default_through_daemon(daemon, tmp_path):
     warm_packed = np.zeros((13, 8192), dtype=np.int32)
     warm_meta = standard_call_meta(SnifflesConfig("--input", "x.bam",
                                                   "--vcf", "y.vcf"))
-    assert warm_client.call_task(warm_packed, warm_meta).ndim == 1
+    assert warm_client.call_task(warm_packed, warm_meta)["nc"] == 0
     warm_client.close()
 
     env = _daemon_env()
@@ -175,7 +174,6 @@ def test_nondefault_config_compiles_on_side_thread():
     from sniffles_tpu.config import SnifflesConfig
     from sniffles_tpu.parallel.device_service import (DeviceServer, DeviceRequest,
                                                       standard_call_meta)
-    from sniffles_tpu.ops.clustering import split_call_task_output
 
     server = DeviceServer()
     cfg = SnifflesConfig("--input", "x.bam", "--vcf", "y.vcf")
@@ -204,8 +202,7 @@ def test_nondefault_config_compiles_on_side_thread():
 
     r1 = roundtrip("call_task", packed, meta, 1)
     assert r1.error is None
-    elements, stats = split_call_task_output(r1.payload, 8192)
-    assert int(stats[9][0]) == 2
+    assert r1.payload["nc"] == 2
     assert server.counters["midrun_compiles"] == 1
 
     r2 = roundtrip("call_task", packed, meta, 2)
