@@ -337,10 +337,11 @@ def _run_pool(config, tasks, processes, monitor):
                     import jax
                     import jax.numpy as jnp
                     from sniffles_tpu.ops.clustering import call_task_packed
-                    from sniffles_tpu.parallel.device_call import DEVICE_BATCH_FLOOR
+                    from sniffles_tpu.parallel.device_call import (DEVICE_BATCH_FLOOR,
+                                                                   PACKED_ROWS)
                     from sniffles_tpu.parallel.device_service import standard_call_meta
                     jax.block_until_ready(call_task_packed(
-                        jnp.zeros((13, DEVICE_BATCH_FLOOR), jnp.int32),
+                        jnp.zeros((PACKED_ROWS, DEVICE_BATCH_FLOOR), jnp.int32),
                         **standard_call_meta(config)))
                 except Exception:
                     log.debug("inline device warmup failed", exc_info=True)

@@ -562,11 +562,12 @@ def call_task_packed(packed: jnp.ndarray, *,
     (merge_inner_fold — the per-read fragment fold the host applies
     before calling, cluster.py:85-122), one H2D and one D2H transfer.
 
-    `packed` is a (13, N) int32 matrix with rows pos, svlen, svtype,
+    `packed` is a (15, N) int32 matrix with rows pos, svlen, svtype,
     orig_idx, repeat, valid, strand(+1/-1), mapq, read_id (a hash of
     the read name — support counts unique reads, sv.py:520), is_sa
     (lead source != INLINE — split-read evidence, sv.py:580-581),
-    ref_end, qry_start, qry_end (the merge_inner anchor columns).
+    ref_end, qry_start, qry_end (the merge_inner anchor columns),
+    hap (HP tag, 0 when absent), ps (PS tag, -1 when absent).
 
     Returns ONE flat int32 array shaped for minimal D2H transfer (the
     per-dispatch cost over a tunneled chip is ~22ms fixed + ~1.9ms per
@@ -577,16 +578,20 @@ def call_task_packed(packed: jnp.ndarray, *,
       elements: (3, N) int32, per element (sort-permuted):
         cluster_id, orig_idx, valid — the PRE-fold stage-1 assignment
         (the host materializes every fragment, then merges)
-      stats: (10, SLOTS) int32 with SLOTS = max(1024, N//8), per
-        cluster (indexed by cluster id), all POST-fold: raw_pos_center,
-        svlen_center, support, lead_count (folded count), fwd, rev,
-        sum_mapq, pos_sum (int32-wrapping sum of folded head positions
-        — the host verifies its own merge_inner produced the same
-        grouping before consuming these stats), support_sa (count of
-        split-read leads — the DEL genotyper's SUPPORT_SA); row 9
-        carries n_clusters in slot 0. A task with more than SLOTS
-        stage-1 clusters reports n_clusters > SLOTS and the caller
-        falls back to the exact host sweep (capacity, not correctness).
+      stats: (19, SLOTS) int32 with SLOTS = max(1024, N//8), per
+        cluster (indexed by cluster id). Rows 0-8 POST-fold calling
+        stats: raw_pos_center, svlen_center, support, lead_count
+        (folded count), fwd, rev, sum_mapq, pos_sum (int32-wrapping
+        sum of folded head positions — the host verifies its own
+        merge_inner produced the same grouping before consuming these
+        stats), support_sa (count of split-read leads — the DEL
+        genotyper's SUPPORT_SA). Rows 9-17 phase-vote tallies
+        (phase_tallies, pre-fold unique-read counts): hp0, hp1, hp2,
+        hp_other, ps_win, ps_win_cnt, ps_second_cnt, ps_null, mixed.
+        Row 18 carries n_clusters in slot 0. A task with more than
+        SLOTS stage-1 clusters reports n_clusters > SLOTS and the
+        caller falls back to the exact host sweep (capacity, not
+        correctness).
     """
     zeros = jnp.zeros_like(packed[0])
     sig = {
@@ -606,6 +611,8 @@ def call_task_packed(packed: jnp.ndarray, *,
         "ref_end": packed[10],
         "qry_start": packed[11],
         "qry_end": packed[12],
+        "hap": packed[13],
+        "ps": packed[14],
     }
     clustered = _cluster_body(sig, cluster_r=cluster_r, cluster_repeat_h=cluster_repeat_h,
                               cluster_repeat_h_max=cluster_repeat_h_max,
@@ -626,6 +633,7 @@ def call_task_packed(packed: jnp.ndarray, *,
     folded = merge_inner_fold(clustered, cluster_merge_pos=cluster_merge_pos,
                               global_repeat=global_repeat)
     stats = call_statistics(folded)
+    phase = phase_tallies(clustered, clustered["pos"].shape[0])
 
     n = folded["pos"].shape[0]
     cid = folded["cluster_id"]
@@ -645,6 +653,9 @@ def call_task_packed(packed: jnp.ndarray, *,
         sum_mapq.astype(jnp.int32),
         pos_sum.astype(jnp.int32),
         support_sa.astype(jnp.int32),
+        phase["hp0"], phase["hp1"], phase["hp2"], phase["hp_other"],
+        phase["ps_win"], phase["ps_win_cnt"], phase["ps_second_cnt"],
+        phase["ps_null"], phase["mixed"],
         jnp.zeros((n,), jnp.int32).at[0].set(stats["n_clusters"].astype(jnp.int32)),
     ])
     # ONE flat buffer: every D2H transfer pays ~22ms of tunnel latency,
@@ -652,11 +663,15 @@ def call_task_packed(packed: jnp.ndarray, *,
     return jnp.concatenate([elements.reshape(-1), full[:, :slots].reshape(-1)])
 
 
+STATS_ROWS = 19         # 9 calling stats + 9 phase tallies + n_clusters
+STATS_NC_ROW = 18       # n_clusters rides slot 0 of the last row
+
+
 def split_call_task_output(flat: np.ndarray, n: int):
     """Split the flat call_task_packed result back into (elements (3, N),
-    stats (10, SLOTS))."""
+    stats (STATS_ROWS, SLOTS))."""
     elements = flat[:3 * n].reshape(3, n)
-    stats = flat[3 * n:].reshape(10, -1)
+    stats = flat[3 * n:].reshape(STATS_ROWS, -1)
     return elements, stats
 
 
@@ -676,6 +691,95 @@ def batched_call_task(meta_items: tuple):
         return call_task_packed(packed, **meta)
 
     return jax.jit(jax.vmap(one))
+
+
+def phase_tallies(clustered: dict, n: int) -> dict:
+    """Per-cluster phase-vote tallies (reference: postprocessing.py:626-654
+    phase_sv): unique-READ counts per haplotype value and the phase-set
+    mode, computed pre-fold (the host's by_read dict deduplicates a
+    read's leads, so element multiplicity is irrelevant — uniqueness per
+    read is what matters).
+
+    The host vote (util.most_common + postprocess._vote) is a pure
+    function of the {value: unique-read-count} multiset — ties sort by
+    (count, value-string) descending — so the host can reproduce it
+    EXACTLY from these integer tallies. Two cases the counts cannot
+    decide ride back as flags and force the exact host fallback:
+    `mixed` (a read whose elements disagree on hap or ps — the host's
+    last-lead-wins would apply) and a non-null phase-set count tie
+    (winner selection needs string comparison of the tied values).
+    """
+    cid = clustered["cluster_id"]
+    valid = clustered["valid"]
+    read = clustered["read_id"]
+    hap = clustered["hap"]
+    ps = clustered["ps"]
+    INT32_MAX = jnp.int32(2 ** 31 - 1)
+
+    def shift(v):
+        return jnp.concatenate([v[:1], v[:-1]])
+
+    order = jnp.lexsort((jnp.where(valid, read, INT32_MAX),
+                         jnp.where(valid, cid, INT32_MAX)))
+    cid_r = jnp.take(cid, order)
+    read_r = jnp.take(read, order)
+    hap_r = jnp.take(hap, order)
+    ps_r = jnp.take(ps, order)
+    valid_r = jnp.take(valid, order)
+
+    same_run = (valid_r & shift(valid_r) & (cid_r == shift(cid_r))
+                & (read_r == shift(read_r)))
+    same_run = same_run.at[0].set(False)
+    first = valid_r & ~same_run   # representative element per (cluster, read)
+    mixed_e = same_run & ((hap_r != shift(hap_r)) | (ps_r != shift(ps_r)))
+    seg = jnp.where(valid_r, cid_r, 0)
+    mixed = seg_max(jnp.where(valid_r, mixed_e.astype(jnp.int32), 0), seg, n)
+
+    def ucount(cond):
+        return seg_sum(jnp.where(first & cond, 1, 0), seg, n)
+
+    hp0 = ucount(hap_r == 0)
+    hp1 = ucount(hap_r == 1)
+    hp2 = ucount(hap_r == 2)
+    hp_other = ucount((hap_r < 0) | (hap_r > 2))
+    ps_null = ucount(ps_r < 0)
+
+    # phase-set mode among non-null representatives: run-length count per
+    # (cluster, ps) after a second sort, then per-cluster max + second max
+    rep = first & (ps_r >= 0)
+    order2 = jnp.lexsort((jnp.where(rep, ps_r, INT32_MAX),
+                          jnp.where(rep, cid_r, INT32_MAX)))
+    cid_p = jnp.take(cid_r, order2)
+    ps_p = jnp.take(ps_r, order2)
+    rep_p = jnp.take(rep, order2)
+    new_run = rep_p & (~shift(rep_p) | (cid_p != shift(cid_p))
+                       | (ps_p != shift(ps_p)))
+    new_run = new_run.at[0].set(rep_p[0])
+    run_id = jnp.clip(jnp.cumsum(new_run.astype(jnp.int32)) - 1, 0, n - 1)
+    run_count = seg_sum(jnp.where(rep_p, 1, 0), run_id, n)
+    run_cid = seg_max(jnp.where(new_run, cid_p, -1), run_id, n)
+    run_ps = seg_max(jnp.where(new_run, ps_p, -1), run_id, n)
+    run_valid = run_count > 0
+
+    rc = jnp.where(run_valid, run_cid, 0)
+    win_cnt = seg_max(jnp.where(run_valid, run_count, 0), rc, n)
+    run_idx = jnp.arange(n, dtype=jnp.int32)
+    is_max = run_valid & (run_count == jnp.take(win_cnt, rc))
+    first_max_idx = seg_min(jnp.where(is_max, run_idx, INT32_MAX), rc, n)
+    win_ps = jnp.where(first_max_idx < INT32_MAX,
+                       jnp.take(run_ps, jnp.clip(first_max_idx, 0, n - 1)), -1)
+    second_cnt = seg_max(
+        jnp.where(run_valid & (run_idx != jnp.take(first_max_idx, rc)),
+                  run_count, 0), rc, n)
+
+    i32 = jnp.int32
+    return {
+        "hp0": hp0.astype(i32), "hp1": hp1.astype(i32), "hp2": hp2.astype(i32),
+        "hp_other": hp_other.astype(i32),
+        "ps_win": win_ps.astype(i32), "ps_win_cnt": win_cnt.astype(i32),
+        "ps_second_cnt": second_cnt.astype(i32),
+        "ps_null": ps_null.astype(i32), "mixed": mixed.astype(i32),
+    }
 
 
 @jax.jit

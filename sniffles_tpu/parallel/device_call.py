@@ -33,6 +33,37 @@ _DEVICE_TYPES = ("INS", "DEL", "DUP", "INV", "BND")
 DEVICE_BATCH_FLOOR = 8192
 
 
+# packed batch rows (see pack_task_batch); every dispatch/warm site
+# shapes its buffers from this
+PACKED_ROWS = 15
+
+
+def _hap_int(h) -> int:
+    """Lead.hap ('0'/'1'/'2' or None) -> int; out-of-domain values map
+    to -9 so the device's hp_other tally forces the exact host vote."""
+    if h is None:
+        return -9
+    try:
+        v = int(h)
+    except (TypeError, ValueError):
+        return -9
+    return v if 0 <= v <= 2 else -9
+
+
+def _ps_int(p) -> int:
+    """Lead.phase_set (str(ps) or "NULL"/None) -> int; -1 = NULL, -9 =
+    out-of-domain (a negative or non-integer PS string is a legitimate
+    VOTE VALUE host-side, not a NULL — the packer downgrades the lead's
+    hap to -9 as well, so hp_other forces the exact host vote)."""
+    if p is None or p == "NULL":
+        return -1
+    try:
+        v = int(p)
+    except (TypeError, ValueError):
+        return -9
+    return v if v >= 0 else -9
+
+
 def padded_width(n: int) -> int:
     """Kernel batch width for a task with n signatures: the compile-once
     floor, then powers of two. Shared by every dispatch site so the wire
@@ -64,17 +95,18 @@ def compress_call_response(flat: np.ndarray, padded_n: int) -> dict:
     typical task, and response pickling was symmetric with the request
     as a per-dispatch CPU cost. `nc`/`slots` carry the capacity check
     (device_clusters falls back to the host sweep when nc > slots)."""
-    from sniffles_tpu.ops.clustering import split_call_task_output
+    from sniffles_tpu.ops.clustering import (STATS_NC_ROW,
+                                             split_call_task_output)
     elements, stats = split_call_task_output(flat, padded_n)
     valid = elements[2] != 0
-    n_clusters = int(stats[9][0])
+    n_clusters = int(stats[STATS_NC_ROW][0])
     slots = stats.shape[1]
     keep = min(max(n_clusters, 1), slots)
     return {
         "nc": n_clusters,
         "slots": slots,
         "elems": np.ascontiguousarray(elements[:2, valid]),
-        "stats": np.ascontiguousarray(stats[:9, :keep]),
+        "stats": np.ascontiguousarray(stats[:STATS_NC_ROW, :keep]),
     }
 
 
@@ -116,7 +148,7 @@ def pack_task_batch(lead_provider, config, tr):
     tr_starts = np.array([s for s, e in tr_sorted], dtype=np.int64)
     tr_ends = np.array([e for s, e in tr_sorted], dtype=np.int64)
 
-    # single packed (13, n) int32 buffer, TRIMMED to the real signature
+    # single packed (15, n) int32 buffer, TRIMMED to the real signature
     # count — the dispatch site pads to padded_width(n) so the kernel
     # compiles once, but the wire (pickled socket/pipe to the device
     # service or daemon) only carries real data. One H2D transfer per
@@ -125,8 +157,9 @@ def pack_task_batch(lead_provider, config, tr):
     # matters). Rows: pos, svlen, svtype, orig_idx, repeat, valid,
     # strand, mapq, read_id (name hash — support = unique reads),
     # is_sa (split-read evidence), ref_end, qry_start, qry_end (the
-    # merge_inner fold anchors, reference: cluster.py:105-119).
-    packed = np.zeros((13, n), dtype=np.int32)
+    # merge_inner fold anchors, reference: cluster.py:105-119), hap,
+    # ps (the phase-vote inputs, reference: postprocessing.py:626-654).
+    packed = np.zeros((PACKED_ROWS, n), dtype=np.int32)
     packed[0, :n] = [ld.ref_start for ld in leads]
     packed[1, :n] = [ld.svlen for ld in leads]
     packed[2, :n] = [SVTYPE_CODES[ld.svtype] for ld in leads]
@@ -139,6 +172,15 @@ def pack_task_batch(lead_provider, config, tr):
     packed[10, :n] = [ld.ref_end if ld.ref_end is not None else 0 for ld in leads]
     packed[11, :n] = [ld.qry_start if ld.qry_start is not None else 0 for ld in leads]
     packed[12, :n] = [ld.qry_end if ld.qry_end is not None else 0 for ld in leads]
+    # hap/ps are STRINGS on the Lead ('0'/'1'/'2', str(ps) or "NULL");
+    # encode: hap int (-9 for None/unparseable -> device hp_other ->
+    # host phase fallback), ps int with -1 = NULL
+    packed[13, :n] = [_hap_int(ld.hap) for ld in leads]
+    packed[14, :n] = [_ps_int(ld.phase_set) for ld in leads]
+    # out-of-domain ps: poison hap too so hp_other forces the host vote
+    bad_ps = packed[14, :n] == -9
+    if bad_ps.any():
+        packed[13, :n][bad_ps] = -9
     if len(tr_starts):
         idx = np.searchsorted(tr_starts, packed[0, :n], side="right") - 1
         packed[4, :n] = ((idx >= 0) & (packed[0, :n] < tr_ends[np.clip(idx, 0, len(tr_ends) - 1)]))
@@ -232,12 +274,13 @@ _mesh_fn_cache: dict = {}
 
 def _rebuild_groups(cids: np.ndarray, ridx: np.ndarray,
                     stats: np.ndarray) -> list:
-    """(member_index_list, stats9) per cluster, ascending cluster id ==
+    """(member_index_list, stats18) per cluster, ascending cluster id ==
     (svtype, pos) sort order == the host sweep's cluster order (seed
     bins ascending per svtype). Members keep element order within a
     cluster (stable sort), matching the host's per-cluster lead order.
-    Vectorized: the previous per-element Python zip over the padded
-    batch was a top per-request CPU cost at production task sizes."""
+    stats18 = 9 calling stats + 9 phase tallies (call_task_packed rows
+    0-17). Vectorized: the previous per-element Python zip over the
+    padded batch was a top per-request CPU cost at production sizes."""
     if len(cids) == 0:
         return []
     order = np.argsort(cids, kind="stable")
@@ -246,7 +289,7 @@ def _rebuild_groups(cids: np.ndarray, ridx: np.ndarray,
     bounds = np.flatnonzero(np.diff(sc)) + 1
     starts = np.concatenate(([0], bounds))
     uniq = sc[starts]
-    stats_rows = stats[:9, uniq].T.tolist()   # (k, 9) one slice, not 9*k
+    stats_rows = stats[:18, uniq].T.tolist()   # (k, 18) one slice
     members = np.split(sr, bounds)
     return [(m.tolist(), tuple(row))
             for m, row in zip(members, stats_rows)]
@@ -329,12 +372,13 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
         ordered.sort(key=lambda item: item[0])
         normalized = [(m, s) for _, m, s in ordered]
     else:
-        from sniffles_tpu.ops.clustering import split_call_task_output
+        from sniffles_tpu.ops.clustering import (STATS_NC_ROW,
+                                                 split_call_task_output)
         elements, dev_stats = split_call_task_output(out, padded_width(n))
         # the compacted stats block holds max(1024, N//8) cluster slots
         # (a ~4x D2H cut; see call_task_packed) — a task with more
         # stage-1 clusters than slots falls back to the exact host sweep
-        n_clusters = int(dev_stats[9][0])
+        n_clusters = int(dev_stats[STATS_NC_ROW][0])
         if n_clusters > dev_stats.shape[1]:
             raise RuntimeError(
                 f"device stats capacity exceeded ({n_clusters} clusters > "
@@ -416,7 +460,10 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
         # collision or an ordering divergence fails both into the exact
         # host computation).
         (raw_pos_center, svlen_center, support, lead_count, fwd, rev,
-         sum_mapq, pos_sum, support_sa) = stats9
+         sum_mapq, pos_sum, support_sa) = stats9[:9]
+        # phase-vote tallies ride rows 9-17 on the single-device path;
+        # the mesh path returns 9-row stats and keeps the host vote
+        phase_tally = stats9[9:18] if len(stats9) >= 18 else None
 
         # per-read inner merge of fragmented INS/DEL, host-exact
         # (reference: cluster.py:337-343)
@@ -438,6 +485,9 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
                 "qual": sum_mapq // lead_count,
                 # DEL genotyper split-read support (reference: sv.py:580-581)
                 "support_sa": support_sa,
+                # phase-vote tallies (postprocess.phase_sv consumes these
+                # instead of iterating the leads; None -> host vote)
+                "phase": phase_tally,
             }
         elif counters is not None:
             counters["fb_multi_fragment"] = counters.get("fb_multi_fragment", 0) + 1

@@ -221,8 +221,9 @@ class DeviceServer:
                 import jax
                 import jax.numpy as jnp
                 from sniffles_tpu.ops.clustering import call_task_packed
+                from sniffles_tpu.parallel.device_call import PACKED_ROWS
                 jax.block_until_ready(call_task_packed(
-                    jnp.zeros((13, key[1]), jnp.int32), **dict(key[0])))
+                    jnp.zeros((PACKED_ROWS, key[1]), jnp.int32), **dict(key[0])))
             except Exception:
                 # dispatch will retry the compile inline and surface the
                 # real error to the requester
@@ -250,12 +251,13 @@ class DeviceServer:
         try:
             import jax.numpy as jnp
             from sniffles_tpu.ops.clustering import batched_call_task
-            from sniffles_tpu.parallel.device_call import compress_call_response
+            from sniffles_tpu.parallel.device_call import (PACKED_ROWS,
+                                                           compress_call_response)
             JAX_CLIENT_LIVE = True
             k = len(batch)
             kp = 2 if k <= 2 else 4   # pad slots carry valid=0 rows only
             pw = self._padded(batch[0][0])
-            stacked = np.zeros((kp, 13, pw), dtype=np.int32)
+            stacked = np.zeros((kp, PACKED_ROWS, pw), dtype=np.int32)
             for j, (req, _) in enumerate(batch):
                 stacked[j, :, :np.shape(req.payload)[-1]] = req.payload
             meta_items = tuple(sorted(batch[0][0].meta.items()))
@@ -291,7 +293,8 @@ class DeviceServer:
                 # in-CLI one-shot service warms only the standard shape.
                 from sniffles_tpu.ops.clustering import (batched_call_task,
                                                          call_task_packed)
-                from sniffles_tpu.parallel.device_call import DEVICE_BATCH_FLOOR
+                from sniffles_tpu.parallel.device_call import (DEVICE_BATCH_FLOOR,
+                                                               PACKED_ROWS)
                 t0 = time.perf_counter()
                 sizes = [DEVICE_BATCH_FLOOR]
                 if self._warm_full:
@@ -299,14 +302,14 @@ class DeviceServer:
                 warm_key = tuple(sorted(self._warm_meta.items()))
                 for size in sizes:
                     jax.block_until_ready(call_task_packed(
-                        jnp.zeros((13, size), jnp.int32), **self._warm_meta))
+                        jnp.zeros((PACKED_ROWS, size), jnp.int32), **self._warm_meta))
                     self._ready_shapes.add((1, size))
                     self._ready_metas.add((warm_key, size))
                 if self._warm_full:
                     fused = batched_call_task(tuple(sorted(self._warm_meta.items())))
                     for k in (2, 4):
                         jax.block_until_ready(fused(
-                            jnp.zeros((k, 13, DEVICE_BATCH_FLOOR), jnp.int32)))
+                            jnp.zeros((k, PACKED_ROWS, DEVICE_BATCH_FLOOR), jnp.int32)))
                         self._ready_shapes.add((k, DEVICE_BATCH_FLOOR))
                 compile_s = time.perf_counter() - t0
             self.warm_stats = {"claim_s": round(claim_s, 3),

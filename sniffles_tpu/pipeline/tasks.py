@@ -358,6 +358,7 @@ class CallTask(Task):
         qc = not (config.snf is not None or config.no_qc)
 
         read_count = self.build_leadtab()[1]
+        phase_before = dict(postprocessing.PHASE_COUNTERS)
         svcandidates = self.call_candidates(qc, config)
         svcalls = self.finalize_candidates(svcandidates, not qc, config)
         if not config.no_qc:
@@ -367,6 +368,13 @@ class CallTask(Task):
 
         result = CallResult(self, svcalls, read_count)
         result.engine_counters = getattr(self, "engine_counters", None)
+        if result.engine_counters is not None:
+            # device phase-tally consumption during THIS task's annotate
+            # (worker-local module counters; per-task delta)
+            for k, v in postprocessing.PHASE_COUNTERS.items():
+                d = v - phase_before.get(k, 0)
+                if d:
+                    result.engine_counters[k] = result.engine_counters.get(k, 0) + d
         if config.dev_output_candidates:
             result.store_candidates(svcandidates)
         if config.snf is not None:

@@ -513,9 +513,75 @@ def _vote(values, conflict_threshold):
     return winner, support, "PASS" if passed else "FAIL"
 
 
+# worker-local counters: device phase-tally consumption (merged into the
+# per-task engine counters by pipeline/tasks and surfaced in the bench
+# JSON via SNIFFLES_TPU_COUNTERS_JSON)
+PHASE_COUNTERS = {"phase_fast": 0, "phase_fallback": 0}
+
+
+def _phase_from_tallies(tally, threshold):
+    """Reproduce _vote EXACTLY from the device's per-cluster phase
+    tallies (ops/clustering.phase_tallies): the host vote is a pure
+    function of the {value: unique-read-count} multiset (most_common
+    sorts (count, value-string) descending), so integer counts decide
+    it — except the two flagged cases, which return None for the exact
+    host fallback: `mixed` reads (last-lead-wins would apply) and a
+    non-null phase-set count tie (string comparison of unseen values).
+
+    Returns ((hp, hp_support, hp_filter), (ps, ps_support, ps_filter))
+    or None."""
+    (hp0, hp1, hp2, hp_other, ps_win, ps_win_cnt, ps_second_cnt,
+     ps_null, mixed) = tally
+    if mixed or hp_other:
+        return None
+    hp_pairs = sorted(((c, str(h)) for h, c in ((0, hp0), (1, hp1), (2, hp2))
+                       if c > 0), reverse=True)
+    if not hp_pairs:
+        return None
+    hp_support, hp = hp_pairs[0]
+    hp_rivals = sum(c for c, v in hp_pairs if v != hp)   # no 'NULL' in domain
+    hp_pass = (hp_rivals / float(hp_support + hp_rivals) < threshold
+               and hp_support > 0)
+
+    if ps_win_cnt > 0 and ps_second_cnt == ps_win_cnt:
+        return None   # tied non-null modes: winner needs the value strings
+    nonnull = hp0 + hp1 + hp2 - ps_null
+    # 'NULL' vs the non-null mode: most_common ties sort by string, and
+    # "NULL" > any digit string, so NULL wins an equal count
+    if ps_null >= ps_win_cnt:
+        ps, ps_support, ps_rivals = "NULL", ps_null, nonnull
+    else:
+        ps, ps_support, ps_rivals = str(ps_win), ps_win_cnt, nonnull - ps_win_cnt
+    ps_pass = (ps_rivals / float(ps_support + ps_rivals) < threshold
+               and ps != "NULL" and ps_support > 0)
+    return ((hp, hp_support, "PASS" if hp_pass else "FAIL"),
+            (ps, ps_support, "PASS" if ps_pass else "FAIL"))
+
+
 def phase_sv(svcall, config):
     """Derive the call's haplotype/phase-set from its supporting reads'
-    HP/PS tags (reference: postprocessing.py:626-654)."""
+    HP/PS tags (reference: postprocessing.py:626-654).
+
+    When the cluster carries device phase tallies (--tpu-call engine
+    consumption), the vote is reconstructed from the integer counts
+    without touching the leads; the exact lead iteration remains for
+    host clusters and the flagged ambiguous cases."""
+    cluster = svcall.postprocess.cluster
+    engine = getattr(cluster, "engine", None)
+    if engine is not None and engine.get("phase") is not None:
+        votes = _phase_from_tallies(engine["phase"],
+                                    config.phase_conflict_threshold)
+        PHASE_COUNTERS["phase_fast" if votes is not None
+                       else "phase_fallback"] += 1
+        if votes is not None:
+            (hp, hp_support, hp_filter), (ps, ps_support, ps_filter) = votes
+            svcall.set_info("PHASE", f"{hp},{ps},{hp_support},{ps_support},"
+                                     f"{hp_filter},{ps_filter}")
+            hp_out = (hp if hp in config.phase_identifiers
+                      and hp_filter == "PASS" else None)
+            ps_out = ps if ps_filter == "PASS" else None
+            return hp_out, ps_out
+
     by_read = {lead.read_id: (lead.hap, lead.phase_set)
                for lead in svcall.postprocess.cluster.leads}
     hp, hp_support, hp_filter = _vote([h for h, _ in by_read.values()],

@@ -51,7 +51,7 @@ def test_daemon_ping_and_kernel(daemon):
 
     config = SnifflesConfig("--input", "x.bam", "--vcf", "y.vcf")
     meta = standard_call_meta(config)
-    packed = np.zeros((13, 8192), dtype=np.int32)
+    packed = np.zeros((15, 8192), dtype=np.int32)
     packed[0, :4] = [1000, 1010, 5000, 5020]
     packed[1, :4] = [100, 100, -200, -200]
     packed[2, :4] = [0, 0, 1, 1]
@@ -60,7 +60,7 @@ def test_daemon_ping_and_kernel(daemon):
     packed[8, :4] = [1, 2, 3, 4]
     # responses travel wire-compact (device_call.compress_call_response)
     out = client.call_task(packed, meta)
-    assert out["elems"].shape[0] == 2 and out["stats"].shape[0] == 9
+    assert out["elems"].shape[0] == 2 and out["stats"].shape[0] == 18
     assert len(set(out["elems"][0].tolist())) == 2  # one INS + one DEL cluster
     assert out["nc"] == 2                           # n_clusters in the header
 
@@ -68,7 +68,7 @@ def test_daemon_ping_and_kernel(daemon):
     ids = [client.post("call_task", packed, meta) for _ in range(3)]
     for rid in ids:
         r = client.wait(rid)
-        assert r["elems"].shape[0] == 2 and r["stats"].shape[0] == 9
+        assert r["elems"].shape[0] == 2 and r["stats"].shape[0] == 18
     client.close()
 
 
@@ -88,7 +88,7 @@ def test_cli_device_by_default_through_daemon(daemon, tmp_path):
     from sniffles_tpu.parallel.device_daemon import DaemonClient
     from sniffles_tpu.parallel.device_service import standard_call_meta
     warm_client = DaemonClient(daemon)
-    warm_packed = np.zeros((13, 8192), dtype=np.int32)
+    warm_packed = np.zeros((15, 8192), dtype=np.int32)
     warm_meta = standard_call_meta(SnifflesConfig("--input", "x.bam",
                                                   "--vcf", "y.vcf"))
     assert warm_client.call_task(warm_packed, warm_meta)["nc"] == 0
@@ -192,7 +192,7 @@ def test_nondefault_config_compiles_on_side_thread():
 
     meta = standard_call_meta(cfg)
     meta["binsize"] = 50   # non-warm config
-    packed = np.zeros((13, 8192), dtype=np.int32)
+    packed = np.zeros((15, 8192), dtype=np.int32)
     packed[0, :4] = [1000, 1010, 5000, 5020]
     packed[1, :4] = [100, 100, -200, -200]
     packed[2, :4] = [0, 0, 1, 1]
