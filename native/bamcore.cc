@@ -75,6 +75,11 @@ extern "C" {
 
 // Decompress consecutive BGZF blocks from `raw` into `out`.
 // Returns 0 on success; fills *out_len with decompressed size.
+// Diagnostic: 1 when the libdeflate fast path is active in this process.
+int bamcore_libdeflate_ok(void) {
+    return libdeflate().ok ? 1 : 0;
+}
+
 int bamcore_bgzf_inflate(const uint8_t* raw, int64_t raw_len,
                          uint8_t* out, int64_t out_cap, int64_t* out_len) {
     int64_t in_off = 0;
@@ -541,6 +546,89 @@ void bamcore_prefix_add_u16(const int32_t* diff, uint16_t* cov, int64_t n) {
         running += diff[i];
         cov[i] = (uint16_t)(cov[i] + (uint16_t)running);
     }
+}
+
+// Fused coverage accumulation straight from read intervals: the
+// difference-array build (numpy add.at over a span-sized scratch) plus
+// the prefix-add above, in one native pass with a reused scratch
+// buffer. Semantics match the numpy chain in leads._iter_region_native:
+// indices clamp to [0, hi-lo], the prefix covers cov[lo:hi], uint16
+// wraparound.
+void bamcore_coverage_add(const int64_t* starts, const int64_t* ends,
+                          int64_t n_reads, uint16_t* cov,
+                          int64_t lo, int64_t hi) {
+    int64_t span = hi - lo;           // cov slice length; diff has span+1
+    if (span <= 0) return;
+    static thread_local std::vector<int32_t> diff;
+    if ((int64_t)diff.size() < span + 1) diff.resize(span + 1);
+    std::fill(diff.begin(), diff.begin() + span + 1, 0);
+    for (int64_t i = 0; i < n_reads; i++) {
+        int64_t s = starts[i] - lo;
+        int64_t e = ends[i] - lo;
+        if (s < 0) s = 0; else if (s > span) s = span;
+        if (e < 0) e = 0; else if (e > span) e = span;
+        diff[s] += 1;
+        diff[e] -= 1;
+    }
+    int32_t running = 0;
+    for (int64_t i = 0; i < span; i++) {
+        running += diff[i];
+        cov[i] = (uint16_t)(cov[i] + (uint16_t)running);
+    }
+}
+
+// One-call chunk measure for the region scan (replaces a Python
+// per-block header walk): total ISIZE of blocks starting in [cb, ce)
+// plus the ce block when ce_within > 0, the compressed range end, and
+// the ISIZE of the block at ce. Returns the block count walked, or -1
+// on a malformed header.
+int64_t bamcore_bgzf_measure(const uint8_t* raw, int64_t raw_len,
+                             int64_t cb, int64_t ce, int32_t ce_within,
+                             int64_t* body_isize, int64_t* range_end,
+                             int32_t* ce_isize) {
+    int64_t off = cb, n = 0, body = 0, rend = ce;
+    int32_t ce_is = -1;
+    while (off + 18 <= raw_len) {
+        if (raw[off] != 0x1f || raw[off + 1] != 0x8b) return -1;
+        uint16_t xlen;
+        std::memcpy(&xlen, raw + off + 10, 2);
+        int64_t ext = off + 12, ext_end = ext + xlen;
+        int32_t bsize = -1;
+        while (ext + 4 <= ext_end) {
+            uint16_t slen;
+            std::memcpy(&slen, raw + ext + 2, 2);
+            if (raw[ext] == 66 && raw[ext + 1] == 67) {
+                uint16_t bs;
+                std::memcpy(&bs, raw + ext + 4, 2);
+                bsize = (int32_t)bs + 1;
+                break;
+            }
+            ext += 4 + slen;
+        }
+        if (bsize < 0 || off + bsize > raw_len) break;
+        uint32_t isize;
+        std::memcpy(&isize, raw + off + bsize - 4, 4);
+        if (off < ce) {
+            body += (int64_t)isize;
+            rend = off + bsize;
+        } else if (off == ce) {
+            ce_is = (int32_t)isize;
+            if (ce_within > 0) {
+                body += (int64_t)isize;
+                rend = off + bsize;
+            }
+            n++;
+            break;
+        } else {
+            break;
+        }
+        n++;
+        off += bsize;
+    }
+    *body_isize = body;
+    *range_end = rend;
+    *ce_isize = ce_is;
+    return n;
 }
 
 // ---------------------------------------------------------------------------

@@ -588,27 +588,38 @@ class BamFile:
             cb_block, cb_within = cb >> 16, cb & 0xFFFF
             ce_block, ce_within = ce >> 16, ce & 0xFFFF
 
-            # exact decompressed size and end-cut from an ISIZE header walk,
+            # exact decompressed size and end-cut from an ISIZE header walk
+            # (one native call; Python block loop as stale-.so fallback),
             # then a single native inflate into the final buffer (no joins)
-            body_isize = 0
-            range_end = ce_block
-            for boff, bsize, isize in native.walk_blocks(lib_raw, cb_block):
-                if boff < ce_block:
-                    body_isize += isize
-                    range_end = boff + bsize
-                elif boff == ce_block and ce_within > 0:
-                    body_isize += isize
-                    range_end = boff + bsize
-                    break
-                else:
-                    break
+            measured = native.bgzf_measure(lib_raw, cb_block, ce_block, ce_within)
+            if measured is not None:
+                body_isize, range_end, ce_isize = measured
+            else:
+                body_isize = 0
+                range_end = ce_block
+                ce_isize = None
+                for boff, bsize, isize in native.walk_blocks(lib_raw, cb_block):
+                    if boff < ce_block:
+                        body_isize += isize
+                        range_end = boff + bsize
+                    elif boff == ce_block and ce_within > 0:
+                        body_isize += isize
+                        range_end = boff + bsize
+                        break
+                    else:
+                        break
             if body_isize == 0:
                 continue
             # reuse=True: the buffer is valid until the next chunk scan,
             # which matches the generator consumption pattern here
             buf = native.bgzf_inflate_into(lib_raw, cb_block, range_end, body_isize,
                                            reuse=True)
-            limit = len(buf) if ce_within == 0 else (body_isize - _bgzf_isize(lib_raw, ce_block) + ce_within)
+            if ce_within == 0:
+                limit = len(buf)
+            else:
+                if ce_isize is None or ce_isize < 0:
+                    ce_isize = _bgzf_isize(lib_raw, ce_block)
+                limit = body_isize - ce_isize + ce_within
             buf = buf[cb_within:limit]
             if buf.size == 0:
                 continue

@@ -145,6 +145,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
             except AttributeError:
                 pass
+            try:  # stale .so builds may predate the fused coverage adder
+                lib.bamcore_coverage_add.restype = None
+                lib.bamcore_coverage_add.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+                lib.bamcore_bgzf_measure.restype = ctypes.c_int64
+                lib.bamcore_bgzf_measure.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int32)]
+            except AttributeError:
+                pass
             try:  # stale .so builds may predate the split-chain scanner
                 lib.bamcore_scan_splits.restype = ctypes.c_int64
                 lib.bamcore_scan_splits.argtypes = [
@@ -305,6 +319,45 @@ def bgzf_inflate_into(raw, start: int, end: int, total_isize: int,
     if ret != 0:
         raise ValueError(f"bamcore_bgzf_inflate failed: {ret}")
     return out[:out_len.value]
+
+
+def coverage_add(starts: np.ndarray, ends: np.ndarray, coverage: np.ndarray,
+                 lo: int, hi: int) -> bool:
+    """cov[lo:hi] += interval coverage of [starts, ends) in one native
+    pass (clamped to [lo, hi], uint16 wraparound) — replaces the numpy
+    diff-array + add.at + prefix chain of the region scan. Returns False
+    when the native symbol is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bamcore_coverage_add"):
+        return False
+    assert starts.dtype == np.int64 and starts.flags.c_contiguous
+    assert ends.dtype == np.int64 and ends.flags.c_contiguous
+    assert coverage.dtype == np.uint16 and coverage.flags.c_contiguous
+    lib.bamcore_coverage_add(_ptr(starts), _ptr(ends), starts.shape[0],
+                             coverage[lo:].ctypes.data_as(ctypes.c_void_p),
+                             lo, hi)
+    return True
+
+
+def bgzf_measure(raw, cb: int, ce: int, ce_within: int):
+    """(body_isize, range_end, ce_isize) for the block range [cb, ce] of
+    a BGZF stream — the region scan's chunk measure, one native call
+    instead of a Python per-block header walk. None when the native
+    symbol is unavailable or the walk hits a malformed header (callers
+    fall back to the Python walk_blocks loop)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bamcore_bgzf_measure"):
+        return None
+    buf = np.frombuffer(raw, dtype=np.uint8)   # no-copy view (mmap/bytes)
+    body = ctypes.c_int64(0)
+    rend = ctypes.c_int64(0)
+    ceis = ctypes.c_int32(-1)
+    ret = lib.bamcore_bgzf_measure(_ptr(buf), buf.shape[0], cb, ce, ce_within,
+                                   ctypes.byref(body), ctypes.byref(rend),
+                                   ctypes.byref(ceis))
+    if ret < 0:
+        return None
+    return body.value, rend.value, ceis.value
 
 
 def prefix_add_u16(diff: np.ndarray, cov: np.ndarray) -> bool:

@@ -298,6 +298,79 @@ def read_itersplits(read_id, read: BamRead, contig, config, read_nm,
 # Region scanning / leadtab construction
 
 
+class RefHapBins:
+    """REF-side haplotype counts per cluster bin, dict-like
+    (bin_pos -> [h0, h1, h2]) but backed by a (3, n_bins) array.
+
+    The reference keeps a dict with one entry per covered 100bp bin
+    (leadprov.py:387-398) — at WGS scale that is millions of small-list
+    entries built to serve a few thousand seed-cluster lookups; the
+    dict materialization alone was ~0.6 CPU-s per scale run. Lookup
+    semantics match the dict: a bin is 'present' iff any haplotype
+    count is nonzero."""
+    __slots__ = ("binsize", "counts")
+
+    def __init__(self, binsize: int):
+        self.binsize = binsize
+        self.counts = None            # (3, n_bins) int64, grown on demand
+
+    def _ensure(self, n_bins: int) -> None:
+        if self.counts is None:
+            self.counts = np.zeros((3, max(n_bins, 256)), dtype=np.int64)
+        elif self.counts.shape[1] < n_bins:
+            grown = np.zeros((3, max(n_bins, 2 * self.counts.shape[1])),
+                             dtype=np.int64)
+            grown[:, :self.counts.shape[1]] = self.counts
+            self.counts = grown
+
+    def add_counts(self, counts: np.ndarray) -> None:
+        """Accumulate a (3, n) per-bin count block (bin 0 = position 0)."""
+        self._ensure(counts.shape[1])
+        self.counts[:, :counts.shape[1]] += counts
+
+    def add_bin(self, hp_index: int, bin_pos: int) -> None:
+        b = bin_pos // self.binsize
+        self._ensure(b + 1)
+        self.counts[hp_index, b] += 1
+
+    def _row(self, key):
+        b = key // self.binsize
+        if self.counts is None or not (0 <= b < self.counts.shape[1]):
+            return None
+        row = self.counts[:, b]
+        if not row.any():
+            return None
+        return [int(row[0]), int(row[1]), int(row[2])]
+
+    def get(self, key, default=None):
+        row = self._row(key)
+        return default if row is None else row
+
+    def __contains__(self, key) -> bool:
+        return self._row(key) is not None
+
+    def __getitem__(self, key):
+        row = self._row(key)
+        if row is None:
+            raise KeyError(key)
+        return row
+
+    def _nonzero_dict(self) -> dict:
+        if self.counts is None:
+            return {}
+        nz = np.nonzero(self.counts.any(axis=0))[0]
+        return {int(b) * self.binsize: [int(self.counts[0, b]),
+                                        int(self.counts[1, b]),
+                                        int(self.counts[2, b])] for b in nz}
+
+    def __eq__(self, other):
+        if isinstance(other, RefHapBins):
+            return self._nonzero_dict() == other._nonzero_dict()
+        if isinstance(other, dict):
+            return self._nonzero_dict() == other
+        return NotImplemented
+
+
 class LeadProvider:
     """Builds the binned leadtab + coverage array for a set of regions
     (reference: leadprov.py:358-670)."""
@@ -311,7 +384,7 @@ class LeadProvider:
         self.leadtab = {t: {} for t in sv.ALL_TYPES}
         self.leadcounts = {t: 0 for t in sv.ALL_TYPES}
         self.leadhapcount = {t: {} for t in sv.ALL_TYPES}
-        self.leadhapcount["REF"] = {}
+        self.leadhapcount["REF"] = RefHapBins(config.cluster_binsize)
 
         self.covrtab_fwd, self.covrtab_rev = {}, {}
         self.covrtab_min_bin = None
@@ -327,10 +400,7 @@ class LeadProvider:
         fold_hap_spans, which is exactness-tested against this method."""
         table = self.leadhapcount["REF"]
         for bin_pos in range(pos_leadtab, end_leadtab, step):
-            row = table.get(bin_pos)
-            if row is None:
-                row = table[bin_pos] = [0, 0, 0]
-            row[hp_index] += 1
+            table.add_bin(hp_index, bin_pos)
 
     def fold_hap_spans(self, spans: list, binsize: int) -> None:
         """Batched equivalent of per-read record_hap_ref calls: `spans`
@@ -344,19 +414,14 @@ class LeadProvider:
         b0 = arr[:, 1] // binsize
         b1 = arr[:, 2] // binsize
         n_bins = int(b1.max()) + 1
-        ref_hapc = self.leadhapcount["REF"]
+        block = np.zeros((3, n_bins), dtype=np.int64)
         for hpv in np.unique(hps):
             pick = hps == hpv
             d = np.zeros(n_bins + 1, dtype=np.int64)
             np.add.at(d, b0[pick], 1)
             np.add.at(d, np.minimum(b1[pick], n_bins), -1)
-            counts = np.cumsum(d[:n_bins])
-            for b in np.nonzero(counts)[0]:
-                key = int(b) * binsize
-                row = ref_hapc.get(key)
-                if row is None:
-                    row = ref_hapc[key] = [0, 0, 0]
-                row[int(hpv)] += int(counts[b])
+            block[int(hpv)] = np.cumsum(d[:n_bins])
+        self.leadhapcount["REF"].add_counts(block)
 
     def record_lead(self, ld: Lead, pos_leadtab: int) -> None:
         """File one lead into its svtype/bin slot, tracking per-bin
@@ -595,12 +660,15 @@ class LeadProvider:
             ends = starts + ref_len_arr[idxs]
             lo_bp = int(starts.min())
             hi_bp = int(min(ends.max(), len(coverage)))
-            cov_diff = np.zeros(hi_bp - lo_bp + 1, dtype=np.int32)
-            np.add.at(cov_diff, np.clip(starts - lo_bp, 0, hi_bp - lo_bp), 1)
-            np.add.at(cov_diff, np.clip(ends - lo_bp, 0, hi_bp - lo_bp), -1)
-            cov_slice = coverage[lo_bp:hi_bp]
-            if not native.prefix_add_u16(cov_diff, cov_slice):
-                cov_slice += np.cumsum(cov_diff[:-1]).astype(np.uint16)
+            # one native pass builds the interval difference array AND
+            # prefix-adds it into the coverage track (scratch reused)
+            if not native.coverage_add(starts, ends, coverage, lo_bp, hi_bp):
+                cov_diff = np.zeros(hi_bp - lo_bp + 1, dtype=np.int32)
+                np.add.at(cov_diff, np.clip(starts - lo_bp, 0, hi_bp - lo_bp), 1)
+                np.add.at(cov_diff, np.clip(ends - lo_bp, 0, hi_bp - lo_bp), -1)
+                cov_slice = coverage[lo_bp:hi_bp]
+                if not native.prefix_add_u16(cov_diff, cov_slice):
+                    cov_slice += np.cumsum(cov_diff[:-1]).astype(np.uint16)
 
             # NM statistics, vectorized (reference: leadprov.py:517-529)
             nm_raw = c["nm"][idxs]
@@ -823,20 +891,10 @@ class LeadProvider:
                                 is_sa=False)
 
         if hap_diff is not None:
-            counts = np.cumsum(hap_diff[:, :-1], axis=1)
-            ref_hapc = self.leadhapcount["REF"]
-            nz = np.nonzero(counts.any(axis=0))[0]
-            c0, c1, c2 = (counts[0, nz].tolist(), counts[1, nz].tolist(),
-                          counts[2, nz].tolist())
-            for j, b in enumerate(nz.tolist()):
-                key = b * ld_binsize
-                row = ref_hapc.get(key)
-                if row is None:
-                    ref_hapc[key] = [c0[j], c1[j], c2[j]]
-                else:
-                    row[0] += c0[j]
-                    row[1] += c1[j]
-                    row[2] += c2[j]
+            # one array accumulate instead of a per-covered-bin dict fold
+            # (millions of dict entries at WGS scale; see RefHapBins)
+            self.leadhapcount["REF"].add_counts(
+                np.cumsum(hap_diff[:, :-1], axis=1))
 
         config.average_regional_nm = nm_sum / float(max(1, nm_count))
         config.qc_nm_threshold = config.average_regional_nm

@@ -50,6 +50,10 @@ def _hap_int(h) -> int:
     return v if 0 <= v <= 2 else -9
 
 
+# the full hap domain: any value outside these maps to -9 (== _hap_int)
+_HAP_MAP = {"0": 0, "1": 1, "2": 2}
+
+
 def _ps_int(p) -> int:
     """Lead.phase_set (str(ps) or "NULL"/None) -> int; -1 = NULL, -9 =
     out-of-domain (a negative or non-integer PS string is a legitimate
@@ -174,9 +178,13 @@ def pack_task_batch(lead_provider, config, tr):
     packed[12, :n] = [ld.qry_end if ld.qry_end is not None else 0 for ld in leads]
     # hap/ps are STRINGS on the Lead ('0'/'1'/'2', str(ps) or "NULL");
     # encode: hap int (-9 for None/unparseable -> device hp_other ->
-    # host phase fallback), ps int with -1 = NULL
-    packed[13, :n] = [_hap_int(ld.hap) for ld in leads]
-    packed[14, :n] = [_ps_int(ld.phase_set) for ld in leads]
+    # host phase fallback), ps int with -1 = NULL. Dict lookups memoize
+    # the int parses (PS strings repeat massively within a task).
+    ps_cache: dict = {None: -1, "NULL": -1}
+    packed[13, :n] = [_HAP_MAP.get(ld.hap, -9) for ld in leads]
+    packed[14, :n] = [ps_cache[p] if p in ps_cache
+                      else ps_cache.setdefault(p, _ps_int(p))
+                      for p in (ld.phase_set for ld in leads)]
     # out-of-domain ps: poison hap too so hp_other forces the host vote
     bad_ps = packed[14, :n] == -9
     if bad_ps.any():
