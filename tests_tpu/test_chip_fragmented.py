@@ -53,7 +53,10 @@ def fragmented_dataset(tmp_path):
 
 def test_chip_fragmented_nondefault_flag_byte_identical(tmp_path):
     bam, _ = fragmented_dataset(tmp_path)
-    flags = ["--cluster-binsize", "50"]   # non-default kernel config
+    flags = ["--cluster-merge-pos", "200"]   # non-default kernel config
+    # (changes the kernel meta -> side-thread compile path -- unlike
+    # --cluster-binsize, it keeps the DEL pairs in one cluster so the
+    # fold premise holds: 6 folded DEL calls, verified host-side)
     host_out = tmp_path / "host.vcf"
     dev_out = tmp_path / "dev.vcf"
     r1 = run_cli(["--input", bam, "--vcf", str(host_out), "--threads", "0",
@@ -69,15 +72,21 @@ def test_chip_fragmented_nondefault_flag_byte_identical(tmp_path):
             if "\tDEL\t" in l or "SVTYPE=DEL" in l]
     assert len(dels) == 6, f"expected 6 folded DEL calls, got {len(dels)}"
 
-    consumed = total = bnd = frag = 0
+    consumed = total = bnd = frag = resplit = 0
     for m in re.finditer(r"device engine stats consumed by (\d+)/(\d+) clusters "
-                         r"\(fallbacks: bnd=(\d+), multi_fragment=(\d+)",
-                         r2.stdout + r2.stderr):
+                         r"\(fallbacks: bnd=(\d+), multi_fragment=(\d+), "
+                         r"resplit=(\d+)", r2.stdout + r2.stderr):
         consumed += int(m.group(1))
         total += int(m.group(2))
         bnd += int(m.group(3))
         frag += int(m.group(4))
+        resplit += int(m.group(5))
     assert total > 0, "no consumption counters in debug log"
+    # the device fold handled every fragmented cluster (a fold-grouping
+    # mismatch would count as multi_fragment)
     assert frag == 0, f"device fold fell back on {frag} multi-fragment clusters"
-    non_bnd = total - bnd
-    assert non_bnd > 0 and consumed == non_bnd, (consumed, total, bnd)
+    # each DEL-pair cluster resplits by svlen histogram (spanning reads
+    # fold to -240, pair-edge reads keep -120) -> stats are withheld for
+    # the multi-child clusters BY DESIGN; everything else consumes
+    assert consumed + resplit == total - bnd, (consumed, resplit, total, bnd)
+    assert consumed >= 1, "nothing consumed device stats"
