@@ -212,6 +212,12 @@ _DEV_FLAGS = (
     _f("--dev-dump-clusters", default=False, action="store_true"),
     _f("--dev-merge-inline", default=False, action="store_true"),
     _f("--dev-seq-cache-maxlen", metavar="N", type=int, default=50000),
+    _f("--dev-device-hedge-s", metavar="S", type=float, default=3.0,
+       text="Hedged device dispatch: when a --tpu-call kernel response has "
+            "not arrived S seconds after the task needed it, run the exact "
+            "host sweep for that task instead (a tunneled chip can stall a "
+            "response by seconds; the host alternative costs tens of ms). "
+            "0 disables the hedge."),
     _f("--consensus-max-reads", metavar="N", type=int, default=20),
     _f("--consensus-max-reads-bin", metavar="N", type=int, default=10),
     _f("--combine-consensus", default=False, action="store_true"),

@@ -82,7 +82,7 @@ def padded_width(n: int) -> int:
 
 
 def pad_packed(packed: np.ndarray) -> np.ndarray:
-    """Zero-pad a trimmed (13, n) batch to its kernel width."""
+    """Zero-pad a trimmed (PACKED_ROWS, n) batch to its kernel width."""
     n = packed.shape[1]
     size = padded_width(n)
     if size == n:
@@ -323,12 +323,30 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
     round trip then overlaps the previous task's host compute.
     """
     mesh_n = int(getattr(config, "tpu_mesh", 0) or 0)
+    # hedged dispatch: a tunneled chip occasionally stalls a response by
+    # seconds (claim/queue turbulence); the exact host sweep costs only
+    # tens of ms per task, so waiting past the hedge deadline is never
+    # worth it — time out and let the task-level fallback run the host
+    # path (byte-identical by construction). Disabled under
+    # SNIFFLES_TPU_REQUIRE_DEVICE (chip CI asserts no fallbacks) and for
+    # mesh payloads (multi-shard dispatch is legitimately slower).
+    import os as _os
+    hedge = (None if (_os.environ.get("SNIFFLES_TPU_REQUIRE_DEVICE")
+                      or mesh_n > 1)
+             else float(getattr(config, "dev_device_hedge_s", 3.0) or 0)
+             or None)
     if posted is not None:
         req_id, pack = posted
         if pack is None:
             return
         packed, meta, leads, lead_bins = pack
-        out = device.wait(req_id)
+        try:
+            out = device.wait(req_id, timeout=hedge)
+        except TimeoutError:
+            device.discard(req_id)
+            raise RuntimeError(
+                f"device response exceeded the {hedge}s hedge deadline; "
+                f"host sweep takes over this task")
     else:
         pack = pack_task_batch(lead_provider, config, tr)
         if pack is None:
@@ -339,7 +357,14 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
             out = (device.request("call_task_mesh", payload, meta)
                    if device is not None else run_mesh_assign(payload, meta))
         elif device is not None:
-            out = device.call_task(packed, meta)
+            req_id = device.post("call_task", packed, meta)
+            try:
+                out = device.wait(req_id, timeout=hedge)
+            except TimeoutError:
+                device.discard(req_id)
+                raise RuntimeError(
+                    f"device response exceeded the {hedge}s hedge deadline; "
+                    f"host sweep takes over this task")
         else:
             import jax.numpy as jnp
             from sniffles_tpu.ops.clustering import call_task_packed

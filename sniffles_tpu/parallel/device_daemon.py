@@ -311,6 +311,15 @@ def main(argv=None) -> int:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    try:
+        # the daemon's dispatch work is short (tens of ms) and latency
+        # -critical, while its CPU competitors are long-running decode
+        # workers — without a priority edge, a CPU-saturated host
+        # stretches a 50ms dispatch past the clients' hedge deadlines
+        # (measured: every task of a 2-core quick run hedging out)
+        os.nice(-5)
+    except (OSError, PermissionError):
+        pass
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
     try:

@@ -416,14 +416,15 @@ class DeviceClient:
                                           meta=meta, req_id=req_id))
         return req_id
 
-    def wait(self, req_id: int) -> np.ndarray:
-        deadline = time.monotonic() + self.TIMEOUT
+    def wait(self, req_id: int, timeout: float = None) -> np.ndarray:
+        timeout = timeout or self.TIMEOUT
+        deadline = time.monotonic() + timeout
         with self._cv:
             while req_id not in self._responses:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0 or not self._cv.wait(timeout=remaining):
                     raise TimeoutError(f"device service did not answer request "
-                                       f"{req_id} within {self.TIMEOUT}s")
+                                       f"{req_id} within {timeout}s")
             response, _ = self._responses.pop(req_id)
         if response.error is not None:
             raise RuntimeError(f"device service error: {response.error}")

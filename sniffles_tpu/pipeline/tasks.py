@@ -182,7 +182,7 @@ class Task:
                 made = list(device_clusters(self.lead_provider, config, self.tandem_repeats,
                                             device=service, posted=posted,
                                             counters=counters))
-            except Exception:
+            except Exception as e:
                 # a posted request we will never wait() for: tell the
                 # client to drop its (possibly late) response so a
                 # long-lived worker does not leak the payload
@@ -195,8 +195,14 @@ class Task:
                 # instead of silently passing on the host fallback
                 if os.environ.get("SNIFFLES_TPU_REQUIRE_DEVICE"):
                     raise
-                log.warning("device clustering unavailable; falling back to host path",
-                            exc_info=True)
+                if "hedge deadline" in str(e):
+                    # expected under tunnel turbulence; counted, not scary
+                    counters["hedge_fallback_tasks"] = (
+                        counters.get("hedge_fallback_tasks", 0) + 1)
+                    log.info(str(e))
+                else:
+                    log.warning("device clustering unavailable; falling back "
+                                "to host path", exc_info=True)
             else:
                 yield from made
                 host_types = [t for t in sv.ALL_TYPES if t not in _DEVICE_TYPES]

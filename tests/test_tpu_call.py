@@ -134,3 +134,46 @@ def test_tpu_combine_matches_host(tmp_path):
     hk = [(c[0], c[1], c[4], c[6], tuple(c[9:12])) for c in host]
     dk = [(c[0], c[1], c[4], c[6], tuple(c[9:12])) for c in dev]
     assert sorted(hk) == sorted(dk)
+
+
+def test_device_hedge_timeout_falls_back_to_host(tmp_path):
+    """Hedged dispatch: when the device response misses the hedge
+    deadline, the task runs the exact host sweep (identical output) and
+    counts the hedge fallback; REQUIRE_DEVICE disables the hedge."""
+    import threading
+
+    import pytest
+
+    from sniffles_tpu.config import SnifflesConfig
+    from sniffles_tpu.parallel.device_call import device_clusters, pack_task_batch
+
+    class StalledClient:
+        """Device proxy that never answers inside the hedge window."""
+        def post(self, kind, payload, meta):
+            return 1
+
+        def wait(self, req_id, timeout=None):
+            assert timeout is not None and timeout <= 0.2
+            raise TimeoutError("no response within hedge")
+
+        def discard(self, req_id):
+            self.discarded = True
+
+    cfg = SnifflesConfig("--input", "x.bam", "--vcf", "y.vcf",
+                         "--dev-device-hedge-s", "0.2")
+    cfg.tpu_call = True
+
+    from sniffles_tpu.leads import Lead, LeadProvider
+    provider = LeadProvider(cfg, 0, "chr1")
+    for j in range(6):
+        ld = Lead(read_id=j, read_qname=f"r{j}", contig="chr1",
+                  ref_start=20_000 + j, ref_end=20_000 + j, qry_start=0,
+                  qry_end=0, strand="+", mapq=40, nm=0.0, source="INLINE",
+                  svtype="DEL", svlen=-200)
+        provider.record_lead(ld, 20_000 // cfg.cluster_binsize * cfg.cluster_binsize)
+    provider.start, provider.end = 0, 1_000_000
+
+    client = StalledClient()
+    with pytest.raises(RuntimeError, match="hedge deadline"):
+        list(device_clusters(provider, cfg, None, device=client))
+    assert getattr(client, "discarded", False), "stalled request not discarded"
