@@ -117,10 +117,10 @@ def timed_pairs(host_cmd, tpu_cmd, host_env, tpu_env, pairs=None, timeout=3600):
     # TPU-side settling: claim churn can degrade the tunnel for a
     # minute-plus after a daemon (re)start (recorded: 11.4s quick runs
     # that recover to 2.4s). Warm until two consecutive runs are in the
-    # host's ballpark or the cap is hit; every warmup lands in the JSON
+    # host's ballpark or the cap (8) is hit; every warmup lands in the JSON
     # so discarded turbulence stays visible.
     tpu_warms = [timed_run(tpu_cmd, tpu_env, timeout)]
-    while (len(tpu_warms) < 6
+    while (len(tpu_warms) < 8
            and (len(tpu_warms) < 2
                 or max(tpu_warms[-2:]) > 1.5 * warm_host + 1.0)):
         tpu_warms.append(timed_run(tpu_cmd, tpu_env, timeout))
