@@ -11,8 +11,8 @@ Benchmark: the north-star metric (BASELINE.md) plus kernel throughput.
        fixed costs — the per-run leg measures steady state)
      - the REAL reference Sniffles2 (tools/run_reference.py, same I/O
        stack) with 4 worker processes
-   Host vs TPU uses the ALTERNATING-PAIRS protocol (BENCH_PAIRS=5
-   host/TPU pairs after one discarded warmup per side; per-pair
+   Host vs TPU uses the ALTERNATING-PAIRS protocol (BENCH_PAIRS=7
+   host/TPU pairs after discarded warmups with TPU-side settling; per-pair
    deltas, medians, and win count all land in the JSON) so the
    ordering claim carries its own evidence. Two scales from the same
    script: the 40MB quick dataset and a ~1.2GB decode-bound dataset
