@@ -240,3 +240,30 @@ def test_fold_matches_host_merge_inner(config):
     assert sorted(merged_svlens["cfrag"]) == [-245, -240]  # strand flip: kept apart
     assert merged_svlens["dfrag"] == [210]         # merged
     assert merged_svlens["efrag"] == [-400]        # repeat: unconditional merge
+
+
+def test_rebuild_groups_matches_dict_loop():
+    """The vectorized group rebuild must reproduce the per-element dict
+    loop it replaced exactly: ascending cluster id, element order
+    preserved within a cluster, stats18 row per cluster."""
+    from sniffles_tpu.parallel.device_call import _rebuild_groups
+
+    rng = np.random.default_rng(5)
+    for trial in range(25):
+        n = int(rng.integers(1, 400))
+        k = int(rng.integers(1, 40))
+        cids = rng.integers(0, k, n).astype(np.int64)
+        ridx = rng.permutation(n).astype(np.int64)
+        stats = rng.integers(-1000, 1000, (18, k)).astype(np.int64)
+
+        got = _rebuild_groups(cids, ridx, stats)
+
+        groups = {}
+        for cid, li in zip(cids.tolist(), ridx.tolist()):
+            groups.setdefault(cid, []).append(li)
+        want = [(groups[cid], tuple(int(stats[r][cid]) for r in range(18)))
+                for cid in sorted(groups)]
+        assert got == want, trial
+    assert _rebuild_groups(np.array([], dtype=np.int64),
+                           np.array([], dtype=np.int64),
+                           np.zeros((18, 1), np.int64)) == []
