@@ -335,6 +335,15 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
                       or mesh_n > 1)
              else float(getattr(config, "dev_device_hedge_s", 3.0) or 0)
              or None)
+    if (hedge is not None and device is not None
+            and getattr(device, "degraded", lambda: False)()):
+        # circuit breaker open: the last response round trip exceeded
+        # the degradation threshold (shared-pool turbulence makes every
+        # dispatch ~1s for minutes at a time) — fail FAST to the host
+        # sweep instead of paying the full hedge per task. Responses of
+        # hedged-away requests still record their latency on arrival,
+        # so the breaker closes by itself when the pool recovers.
+        hedge = 0.05
     if posted is not None:
         req_id, pack = posted
         if pack is None:

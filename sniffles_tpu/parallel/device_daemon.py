@@ -194,9 +194,20 @@ class DaemonClient:
         self._cv = threading.Condition()
         self._responses: dict[int, tuple] = {}   # req_id -> (response, t_arrived)
         self._abandoned: dict[int, float] = {}
+        self._post_t: dict[int, float] = {}
+        self.last_latency: float = 0.0   # circuit breaker input (see degraded)
         self._next_id = 1
         self._recv_error: str = None
         threading.Thread(target=self._recv_loop, daemon=True).start()
+
+    def degraded(self, threshold: float = 0.4) -> bool:
+        """True while the most recent response round trip exceeded
+        `threshold` seconds — the client-side circuit breaker for shared
+        -pool turbulence (recorded: minutes-long windows where every
+        dispatch takes ~1s). Late responses of hedged-away requests
+        still update the latency, so the breaker closes by itself when
+        the pool recovers."""
+        return self.last_latency > threshold
 
     def _recv_loop(self):
         try:
@@ -204,6 +215,9 @@ class DaemonClient:
                 response = self._conn.recv()
                 now = time.monotonic()
                 with self._cv:
+                    t_post = self._post_t.pop(response.req_id, None)
+                    if t_post is not None:
+                        self.last_latency = now - t_post
                     if self._abandoned.pop(response.req_id, None) is None:
                         self._responses[response.req_id] = (response, now)
                     # prune responses for posted-but-abandoned requests
@@ -227,9 +241,16 @@ class DaemonClient:
                 self._abandoned[req_id] = time.monotonic()
 
     def post(self, kind: str, payload, meta: dict) -> int:
+        now = time.monotonic()
         with self._cv:
             req_id = self._next_id
             self._next_id += 1
+            self._post_t[req_id] = now
+            # prune post-times of requests that never got an answer
+            stale = [rid for rid, t in self._post_t.items()
+                     if now - t > self.TIMEOUT]
+            for rid in stale:
+                del self._post_t[rid]
         with self._send_lock:
             self._conn.send(DeviceRequest(kind=kind, payload=payload,
                                           meta=meta, req_id=req_id))

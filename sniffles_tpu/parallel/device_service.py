@@ -382,12 +382,21 @@ class DeviceClient:
         self._cv = threading.Condition()
         self._responses: dict[int, tuple] = {}   # req_id -> (response, t_arrived)
         self._abandoned: dict[int, float] = {}   # req_id -> t_abandoned
+        self._post_t: dict[int, float] = {}
+        self.last_latency: float = 0.0
         self._next_id = 1
+
+    def degraded(self, threshold: float = 0.4) -> bool:
+        """Circuit breaker: see DaemonClient.degraded."""
+        return self.last_latency > threshold
 
     def deliver(self, response: DeviceResponse) -> None:
         """Called from the worker's pipe receive thread."""
         now = time.monotonic()
         with self._cv:
+            t_post = self._post_t.pop(response.req_id, None)
+            if t_post is not None:
+                self.last_latency = now - t_post
             if self._abandoned.pop(response.req_id, None) is None:
                 self._responses[response.req_id] = (response, now)
             # prune responses nobody will ever wait() for (a task that
@@ -408,9 +417,15 @@ class DeviceClient:
                 self._abandoned[req_id] = time.monotonic()
 
     def post(self, kind: str, payload, meta: dict) -> int:
+        now = time.monotonic()
         with self._cv:
             req_id = self._next_id
             self._next_id += 1
+            self._post_t[req_id] = now
+            stale = [rid for rid, t in self._post_t.items()
+                     if now - t > self.TIMEOUT]
+            for rid in stale:
+                del self._post_t[rid]
         with self._send_lock:
             self._conn.send(DeviceRequest(kind=kind, payload=payload,
                                           meta=meta, req_id=req_id))

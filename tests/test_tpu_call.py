@@ -177,3 +177,61 @@ def test_device_hedge_timeout_falls_back_to_host(tmp_path):
     with pytest.raises(RuntimeError, match="hedge deadline"):
         list(device_clusters(provider, cfg, None, device=client))
     assert getattr(client, "discarded", False), "stalled request not discarded"
+
+
+def test_degraded_breaker_uses_fast_hedge(tmp_path):
+    """Circuit breaker: with the client reporting a degraded round trip,
+    the wait uses the fail-fast hedge (0.05s) instead of the full one."""
+    import pytest
+
+    from sniffles_tpu.config import SnifflesConfig
+    from sniffles_tpu.leads import Lead, LeadProvider
+    from sniffles_tpu.parallel.device_call import device_clusters
+
+    class DegradedClient:
+        def degraded(self, threshold=0.4):
+            return True
+
+        def post(self, kind, payload, meta):
+            return 7
+
+        def wait(self, req_id, timeout=None):
+            assert timeout == 0.05, f"breaker did not tighten hedge: {timeout}"
+            raise TimeoutError("still slow")
+
+        def discard(self, req_id):
+            pass
+
+    cfg = SnifflesConfig("--input", "x.bam", "--vcf", "y.vcf")
+    cfg.tpu_call = True
+    provider = LeadProvider(cfg, 0, "chr1")
+    for j in range(5):
+        ld = Lead(read_id=j, read_qname=f"r{j}", contig="chr1",
+                  ref_start=20_000 + j, ref_end=20_000 + j, qry_start=0,
+                  qry_end=0, strand="+", mapq=40, nm=0.0, source="INLINE",
+                  svtype="DEL", svlen=-200)
+        provider.record_lead(ld, 20_000 // cfg.cluster_binsize * cfg.cluster_binsize)
+    provider.start, provider.end = 0, 1_000_000
+
+    with pytest.raises(RuntimeError, match="hedge deadline"):
+        list(device_clusters(provider, cfg, None, device=DegradedClient()))
+
+
+def test_latency_tracking_closes_breaker():
+    """DaemonClient records post->delivery latency; a fast response
+    closes the breaker a slow one opened."""
+    from sniffles_tpu.parallel.device_service import DeviceClient, DeviceResponse
+
+    class NullConn:
+        def send(self, msg):
+            pass
+
+    c = DeviceClient(NullConn())
+    rid = c.post("call_task", None, {})
+    import time
+    c._post_t[rid] -= 1.0              # pretend the post was 1s ago
+    c.deliver(DeviceResponse(payload=None, req_id=rid))
+    assert c.degraded()
+    rid2 = c.post("call_task", None, {})
+    c.deliver(DeviceResponse(payload=None, req_id=rid2))
+    assert not c.degraded()
