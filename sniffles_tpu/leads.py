@@ -386,6 +386,9 @@ class LeadProvider:
         self.leadhapcount = {t: {} for t in sv.ALL_TYPES}
         self.leadhapcount["REF"] = RefHapBins(config.cluster_binsize)
 
+        # hot-loop constant (record_lead runs per lead, millions at WGS
+        # scale; the attribute chain was measurable)
+        self._max_reads_bin = config.consensus_max_reads_bin
         self.covrtab_fwd, self.covrtab_rev = {}, {}
         self.covrtab_min_bin = None
         self.read_id = read_id_offset
@@ -438,7 +441,7 @@ class LeadProvider:
             haps[pos_leadtab] = fresh
         else:
             slot.append(ld)
-            if len(slot) > self.config.consensus_max_reads_bin:
+            if len(slot) > self._max_reads_bin:
                 ld.seq = None
             haps[pos_leadtab][hp] += 1
         self.leadcounts[ld.svtype] += 1
