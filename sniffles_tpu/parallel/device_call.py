@@ -13,6 +13,7 @@ mate-geometry based and host-exact).
 from __future__ import annotations
 
 import logging
+import zlib
 
 import numpy as np
 
@@ -36,6 +37,21 @@ DEVICE_BATCH_FLOOR = 8192
 # packed batch rows (see pack_task_batch); every dispatch/warm site
 # shapes its buffers from this
 PACKED_ROWS = 15
+
+
+def qname_hash31(qnames) -> np.ndarray:
+    """Deterministic 31-bit read-name hash (zlib.crc32): stable across
+    processes and PYTHONHASHSEED (the previous salted ``hash()`` made
+    device support counts run-dependent), capped below INT32_MAX (the
+    invalid-slot sentinel of the kernels' masked sorts). A collision
+    between two distinct reads in one cluster would silently undercount
+    ``support`` (the unique-read count, reference: sv.py:520); the
+    consumption gate in device_clusters therefore verifies the device
+    count against the host's unique-NAME count before consuming it."""
+    n = len(qnames)
+    arr = np.fromiter((zlib.crc32(q.encode()) for q in qnames),
+                      dtype=np.int64, count=n)
+    return np.minimum(arr & 0x7FFFFFFF, 0x7FFFFFFE).astype(np.int32)
 
 
 def _hap_int(h) -> int:
@@ -171,7 +187,7 @@ def pack_task_batch(lead_provider, config, tr):
     packed[5, :n] = 1
     packed[6, :n] = [1 if ld.strand == "+" else -1 for ld in leads]
     packed[7, :n] = [ld.mapq if ld.mapq is not None else 0 for ld in leads]
-    packed[8, :n] = [hash(ld.read_qname) & 0x7FFFFFFF for ld in leads]
+    packed[8, :n] = qname_hash31([ld.read_qname for ld in leads])
     packed[9, :n] = [ld.source != "INLINE" for ld in leads]
     packed[10, :n] = [ld.ref_end if ld.ref_end is not None else 0 for ld in leads]
     packed[11, :n] = [ld.qry_start if ld.qry_start is not None else 0 for ld in leads]
@@ -515,8 +531,16 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
 
         engine = None
         host_pos_sum = sum(ld.ref_start for ld in cluster.leads)
-        if (lead_count == len(cluster.leads)
-                and (host_pos_sum - pos_sum) % (1 << 32) == 0):
+        fold_ok = (lead_count == len(cluster.leads)
+                   and (host_pos_sum - pos_sum) % (1 << 32) == 0)
+        # collision hardening: device support counts unique 31-bit name
+        # hashes; a collision between two distinct reads would undercount
+        # it (and merge their phase votes). The unique-NAME count over
+        # the materialized leads is cheap and decides exactly (reference:
+        # sv.py:520 counts unique read names).
+        support_ok = (fold_ok
+                      and support == len({ld.read_qname for ld in cluster.leads}))
+        if fold_ok and support_ok:
             engine = {
                 "raw_pos_center": raw_pos_center,
                 "svlen_center": svlen_center,
@@ -532,7 +556,12 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
                 "phase": phase_tally,
             }
         elif counters is not None:
-            counters["fb_multi_fragment"] = counters.get("fb_multi_fragment", 0) + 1
+            if fold_ok:
+                counters["fb_support_collision"] = \
+                    counters.get("fb_support_collision", 0) + 1
+            else:
+                counters["fb_multi_fragment"] = \
+                    counters.get("fb_multi_fragment", 0) + 1
 
         # svlen-histogram resplit, host-exact and in reference order
         # (reference: cluster.py:330-339)

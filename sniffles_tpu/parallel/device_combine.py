@@ -133,7 +133,7 @@ def run_mesh_combine(payload: dict, meta: dict):
         step = meshmod.build_sharded_combine_step(
             mesh, combine_match=float(meta["combine_match"]),
             combine_match_max=float(meta["combine_match_max"]),
-            safe_cut_only=True)
+            safe_cut_only=True, binsize=int(meta.get("binsize", 100)))
         _combine_mesh_cache[key] = step
     cand = {k: jnp.asarray(v) for k, v in payload["cand"].items()}
     offsets = jnp.asarray(payload["offsets"])
@@ -220,7 +220,10 @@ def mesh_block_groups(svtype: str, svcands: list, groups_initial: list, config,
     # threshold by a base pair only coarsens the partition (cuts remain
     # greedy-impermeable) while covering the sub-bp truncation error
     meta = {"combine_match": float(config.combine_match),
-            "combine_match_max": float(config.combine_match_max) + 1.0}
+            "combine_match_max": float(config.combine_match_max) + 1.0,
+            # truncation-edge sentinel zone scales with the configured
+            # screening bin (mesh.py build_sharded_combine_step)
+            "binsize": int(config.cluster_binsize)}
     rows = (device.request("combine_mesh", payload, meta)
             if device is not None else run_mesh_combine(payload, meta))
     oidx, seg = rows[0], rows[1]

@@ -52,7 +52,8 @@ _SIG_FIELDS = ("pos", "svlen", "svtype", "read_id", "strand", "mapq", "nm",
 
 
 def build_sharded_step(mesh: Mesh, params: dict | None = None,
-                       halo_bp: int = 5000, halo_slots: int = 256):
+                       halo_bp: int = 5000, halo_slots: int = 256,
+                       binsize: int = 100):
     """
     Build the jitted multi-chip calling step: in/out sharded over the
     genome axis, with psum global stats and the raw-signature halo
@@ -137,7 +138,7 @@ def build_sharded_step(mesh: Mesh, params: dict | None = None,
                                  | (cluster_valid0 & suppress_tail))
                                 & ((out["pos_max"] - out["pos_min"]) > W))
         span_overflow |= (jnp.any(out["cluster_valid"]
-                                  & (out["pos_min"] < my_start - 2 * W + 100))
+                                  & (out["pos_min"] < my_start - 2 * W + binsize))
                           & (my_idx > 0))
         out["halo_overflow"] = jnp.broadcast_to(halo_overflow | span_overflow, (1,))
 
@@ -333,7 +334,8 @@ _CAND_FIELDS = ("pos", "svlen", "svtype", "sample_id", "support", "qc", "valid",
 def build_sharded_combine_step(mesh: Mesh, combine_match: float = 250.0,
                                combine_match_max: float = 1000.0,
                                halo_slots: int = 256,
-                               safe_cut_only: bool = False):
+                               safe_cut_only: bool = False,
+                               binsize: int = 100):
     """
     Multi-sample combine over the mesh (BASELINE config 5 shape): each
     device groups the candidates of its genome-block shard
@@ -400,10 +402,13 @@ def build_sharded_combine_step(mesh: Mesh, combine_match: float = 250.0,
             num_segments=n_ext)
         # sender-side check for suppressed tail groups + receiver-side
         # truncation-edge sentinel (same soundness argument as the call
-        # step above): violations always force the caller's fallback
+        # step above; `binsize` widens the edge zone with the configured
+        # screening bin so non-default --cluster-binsize keeps the
+        # guarantee): violations always force the caller's fallback
         span_overflow = jnp.any((group_valid | (is_group & suppress_tail))
                                 & ((pos_max - pos_min) > W))
-        span_overflow |= (jnp.any(group_valid & (pos_min < my_start - 2 * W + 100))
+        span_overflow |= (jnp.any(group_valid
+                                  & (pos_min < my_start - 2 * W + binsize))
                           & (my_idx > 0))
 
         out = dict(out)

@@ -267,3 +267,65 @@ def test_rebuild_groups_matches_dict_loop():
     assert _rebuild_groups(np.array([], dtype=np.int64),
                            np.array([], dtype=np.int64),
                            np.zeros((18, 1), np.int64)) == []
+
+
+def test_qname_hash_deterministic():
+    """Read-id hashes must be salt-free (stable across processes and
+    PYTHONHASHSEED) and never hit the INT32_MAX invalid sentinel."""
+    import zlib
+
+    from sniffles_tpu.parallel.device_call import qname_hash31
+
+    names = [f"read/{i}/ccs" for i in range(200)] + ["", "x" * 300]
+    got = qname_hash31(names)
+    want = [min(zlib.crc32(n.encode()) & 0x7FFFFFFF, 0x7FFFFFFE) for n in names]
+    assert got.tolist() == want
+    assert got.dtype == np.int32
+    assert int(got.max()) < 2 ** 31 - 1
+    # stable on re-evaluation (and across interpreter salts by design)
+    assert qname_hash31(names).tolist() == want
+
+
+def test_support_collision_falls_back_to_host(config, monkeypatch):
+    """A forced read-name hash collision must trip the support gate: the
+    device undercounts unique reads, so engine stats are withheld and the
+    host statistics path takes over (output unchanged by construction)."""
+    from sniffles_tpu.parallel import device_call
+
+    rng = np.random.default_rng(31)
+    # DUP clusters: not merge_inner-foldable, so a collision leaves the
+    # fold verification intact and ONLY the support count diverges
+    provider = LeadProvider(config, 0, "chr1")
+    binsize = config.cluster_binsize
+    for site in range(6):
+        c = 20_000 + site * 9_000
+        for r in range(5):
+            ld = Lead(read_id=r, read_qname=f"dup{site}_{r}", contig="chr1",
+                      ref_start=int(c + rng.integers(-10, 11)), ref_end=0,
+                      qry_start=0, qry_end=0, strand="+",
+                      mapq=40, nm=0.0, source="SPLIT",
+                      svtype="DUP", svlen=600)
+            provider.record_lead(ld, ld.ref_start // binsize * binsize)
+    provider.start = 0
+    provider.end = 1_000_000
+
+    counters = {}
+    baseline = [(c.svtype, sorted(ld.read_qname for ld in c.leads),
+                 getattr(c, "engine", None) is not None)
+                for c in device_clusters(provider, config, None,
+                                         counters=counters)]
+    assert any(has_eng for *_, has_eng in baseline)
+    assert counters.get("fb_support_collision", 0) == 0
+
+    monkeypatch.setattr(
+        device_call, "qname_hash31",
+        lambda names: np.full(len(names), 7, dtype=np.int32))
+    counters2 = {}
+    collided = [(c.svtype, sorted(ld.read_qname for ld in c.leads),
+                 getattr(c, "engine", None) is not None)
+                for c in device_clusters(provider, config, None,
+                                         counters=counters2)]
+    assert counters2.get("fb_support_collision", 0) >= 1
+    # same clusters, but no engine stats consumed anywhere
+    assert [b[:2] for b in baseline] == [c[:2] for c in collided]
+    assert not any(has_eng for *_, has_eng in collided)

@@ -289,3 +289,85 @@ def test_mesh_sender_span_overflow_forces_retry(config):
     # owned_total 131 of 224, halo_overflow all-False)
     big = [k for k in _cluster_keyset(single) if len(k[1]) > 200]
     assert len(big) == 1
+
+
+def test_mesh_cli_nondefault_binsize_matches_host(tmp_path):
+    """--cluster-binsize 400 through the mesh path: the truncation-edge
+    sentinel scales with the configured bin (mesh.py), so non-default
+    binsizes keep the receiver-side overflow guarantee — output must
+    stay byte-identical to the host path under the same flag."""
+    bam, _ = _sim(tmp_path)
+    host_out = tmp_path / "host.vcf"
+    mesh_out = tmp_path / "mesh.vcf"
+    r1 = run_cli(["--input", bam, "--vcf", str(host_out), "--threads", "0",
+                  "--cluster-binsize", "400"], tmp_path)
+    assert r1.returncode == 0, r1.stderr
+    r2 = run_cli(["--input", bam, "--vcf", str(mesh_out), "--threads", "0",
+                  "--cluster-binsize", "400",
+                  "--tpu-call", "--tpu-mesh", "8"], tmp_path,
+                 env_extra={"SNIFFLES_TPU_REQUIRE_DEVICE": "1"})
+    assert r2.returncode == 0, r2.stderr
+    assert read_calls(host_out) == read_calls(mesh_out)
+    assert read_calls(host_out)  # non-empty comparison
+
+
+def test_combine_step_sentinel_scales_with_binsize():
+    """build_sharded_combine_step: a group whose pos_min lands between
+    100bp and 400bp past the receiver's truncation edge must flag
+    overflow at binsize=400 (edge-zone contact) but not at binsize=100,
+    on identical inputs (mesh.py receiver-side sentinel)."""
+    import jax.numpy as jnp
+
+    from sniffles_tpu.parallel.mesh import (build_sharded_combine_step,
+                                            make_genome_mesh)
+
+    n_dev = 8
+    per_dev = 64
+    window = 50_000
+    W = 2000
+    mesh8 = make_genome_mesh(8)
+    total = per_dev * n_dev
+
+    pos = np.zeros(total, dtype=np.int32)
+    svlen = np.zeros(total, dtype=np.int32)
+    valid = np.zeros(total, dtype=bool)
+    slot = [s * per_dev for s in range(n_dev)]
+
+    def add(shard, p, ln=400):
+        i = slot[shard]
+        pos[i] = p
+        svlen[i] = ln
+        valid[i] = True
+        slot[shard] += 1
+
+    # a chain group in shard 0's tail: pos_min = 46_200 sits 200bp past
+    # shard 1's truncation edge (my_start - 2W = 46_000); pos_max =
+    # 48_100 >= my_start - W keeps it owned by shard 1; span 1900 <= W
+    for p in range(46_200, 48_101, 500):
+        add(0, p)
+    add(0, 48_100)
+    # unrelated well-interior groups on every shard
+    for s in range(n_dev):
+        for p in (s * window + 10_000, s * window + 30_000):
+            add(s, p)
+            add(s, p + 40)
+
+    cand = {
+        "pos": pos, "svlen": svlen,
+        "svtype": np.zeros(total, dtype=np.int32),
+        "sample_id": np.zeros(total, dtype=np.int32),
+        "support": np.full(total, 5, dtype=np.int32),
+        "qc": np.ones(total, dtype=bool), "valid": valid,
+    }
+    offs = jnp.arange(n_dev, dtype=jnp.int32) * window
+    wlen = jnp.full((n_dev,), window, dtype=jnp.int32)
+    halo_w = jnp.full((n_dev,), W, dtype=jnp.int32)
+    jcand = {k: jnp.asarray(v) for k, v in cand.items()}
+
+    out100 = build_sharded_combine_step(mesh8, halo_slots=64, binsize=100)(
+        jcand, offs, wlen, halo_w)
+    assert not bool(np.asarray(out100["halo_overflow"]).any())
+
+    out400 = build_sharded_combine_step(mesh8, halo_slots=64, binsize=400)(
+        jcand, offs, wlen, halo_w)
+    assert bool(np.asarray(out400["halo_overflow"]).any())
