@@ -394,12 +394,14 @@ def _report_engine_counters(finished_tasks) -> None:
             totals[k] = totals.get(k, 0) + v
     if not seen:
         return
-    total = totals.get("clusters_total", 0)
+    total = totals.get("children_total", 0)
     consumed = totals.get("engine_consumed", 0)
-    log.info(f"Device engine stats consumed by {consumed}/{total} clusters "
+    log.info(f"Device engine stats consumed by {consumed}/{total} children "
+             f"of {totals.get('clusters_total', 0)} clusters "
              f"(fallbacks: bnd={totals.get('fb_bnd', 0)}, "
              f"multi_fragment={totals.get('fb_multi_fragment', 0)}, "
-             f"resplit={totals.get('fb_resplit', 0)})")
+             f"resplit={totals.get('fb_resplit', 0)}, "
+             f"collision={totals.get('fb_support_collision', 0)})")
     path = os.environ.get("SNIFFLES_TPU_COUNTERS_JSON")
     if path:
         try:

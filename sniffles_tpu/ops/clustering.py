@@ -491,7 +491,79 @@ def merge_inner_fold(clustered: dict, *, cluster_merge_pos: int,
     out = dict(s)
     out["svlen"] = jnp.take(svlen_f, fold_id)
     out["valid"] = valid & ~merge
+    # pre-head-masking validity: every element of a fold group stays
+    # valid here and carries the FOLDED svlen — so per-child phase
+    # tallies (which need all pre-fold elements) can segment by the
+    # resplit child ids computed from folded lengths
+    out["valid_all"] = valid
     return out
+
+
+def resplit_child_ids(folded: dict, *, resplit_binsize: int, minsvlen: int,
+                      cluster_merge_len: float):
+    """Device twin of the host svlen-histogram resplit (cluster.resplit,
+    reference: cluster.py:125-161), computed over merge_inner_fold
+    output.
+
+    The host sweep quantizes |svlen| to bins, walks the sorted bin list
+    and folds the LOWER bin into the higher one when
+    ``hi - lo <= max(minsvlen, lo * cluster_merge_len)``, with
+    ``i = max(0, i-2) + 1`` backtracking. That backtracking is provably
+    redundant here: merges always keep the RIGHT (higher) bin's key, so
+    every comparison is between two ORIGINAL bin keys, each adjacent
+    original pair is evaluated exactly once before anything to its
+    right, and re-evaluations after a removal compare a pair with a
+    strictly larger gap at the same (lower-key) threshold — monotone,
+    so they can never newly merge. The final partition is therefore the
+    pure adjacent-occupied-bin predicate, fully parallel on device.
+
+    Returns (child_id per element in `folded`'s order, n_children,
+    uncertain per parent-cluster slot). Child ids ascend in
+    (cluster, bin) order — within a parent cluster, ascending svlen bin,
+    exactly the host's child yield order. BND keeps one child per
+    cluster (the host routes BND to resplit_bnd instead).
+
+    Precision: the host evaluates ``lo * cluster_merge_len`` in float64;
+    this kernel uses float32. An adjacent-bin gap within a relative
+    ~1e-5 window of its threshold could therefore split differently, so
+    such pairs mark their PARENT cluster `uncertain` — the consumer
+    withholds device stats for its children and the exact host resplit
+    decides (conservative, never wrong).
+    """
+    n = folded["pos"].shape[0]
+    valid = folded["valid_all"]
+    cid = folded["cluster_id"]
+    svbin = (jnp.abs(folded["svlen"]) // resplit_binsize) * resplit_binsize
+    INT32_MAX = jnp.int32(2 ** 31 - 1)
+
+    order = jnp.lexsort((jnp.where(valid, svbin, INT32_MAX),
+                         jnp.where(valid, cid, INT32_MAX)))
+    bin_s = jnp.take(svbin, order)
+    cid_s = jnp.take(cid, order)
+    valid_s = jnp.take(valid, order)
+    type_s = jnp.take(folded["svtype"], order)
+
+    prev_bin = jnp.concatenate([bin_s[:1], bin_s[:-1]])
+    prev_cid = jnp.concatenate([cid_s[:1] - 1, cid_s[:-1]])
+    same_cluster = cid_s == prev_cid
+    gap = (bin_s - prev_bin).astype(jnp.float32)
+    thr = jnp.maximum(jnp.float32(minsvlen),
+                      prev_bin.astype(jnp.float32) * cluster_merge_len)
+    no_resplit = type_s == SVTYPE_BND
+    boundary = ((~same_cluster) | ((gap > thr) & ~no_resplit)
+                | (~valid_s & jnp.concatenate([valid_s[:1], valid_s[:-1]])))
+    boundary = boundary.at[0].set(True)
+    child_sorted = segment_ids_from_boundaries(boundary)
+    n_children = jnp.max(jnp.where(valid_s, child_sorted, -1)) + 1
+    child = jnp.zeros((n,), dtype=child_sorted.dtype).at[order].set(child_sorted)
+
+    # float32-vs-float64 ambiguity flag, reduced onto the parent cluster
+    eps = jnp.float32(1e-5) * jnp.maximum(thr, 1.0) + jnp.float32(1e-3)
+    ambiguous = (valid_s & same_cluster & ~no_resplit & (gap > 0)
+                 & (jnp.abs(gap - thr) <= eps))
+    uncertain = seg_max(jnp.where(ambiguous, 1, 0),
+                        jnp.clip(cid_s, 0, n - 1), n)
+    return child, n_children, uncertain
 
 
 @partial(jax.jit, static_argnames=("cluster_r", "cluster_repeat_h",
@@ -578,20 +650,25 @@ def call_task_packed(packed: jnp.ndarray, *,
       elements: (3, N) int32, per element (sort-permuted):
         cluster_id, orig_idx, valid — the PRE-fold stage-1 assignment
         (the host materializes every fragment, then merges)
-      stats: (19, SLOTS) int32 with SLOTS = max(1024, N//8), per
-        cluster (indexed by cluster id). Rows 0-8 POST-fold calling
-        stats: raw_pos_center, svlen_center, support, lead_count
-        (folded count), fwd, rev, sum_mapq, pos_sum (int32-wrapping
-        sum of folded head positions — the host verifies its own
-        merge_inner produced the same grouping before consuming these
-        stats), support_sa (count of split-read leads — the DEL
-        genotyper's SUPPORT_SA). Rows 9-17 phase-vote tallies
-        (phase_tallies, pre-fold unique-read counts): hp0, hp1, hp2,
-        hp_other, ps_win, ps_win_cnt, ps_second_cnt, ps_null, mixed.
-        Row 18 carries n_clusters in slot 0. A task with more than
-        SLOTS stage-1 clusters reports n_clusters > SLOTS and the
-        caller falls back to the exact host sweep (capacity, not
-        correctness).
+      stats: (21, SLOTS) int32 with SLOTS = max(1024, N//8), per
+        RESPLIT CHILD (indexed by child id: the device runs the exact
+        svlen-histogram resplit after the fold, resplit_child_ids, so
+        multi-child clusters consume device stats too). Rows 0-8
+        POST-fold calling stats: raw_pos_center, svlen_center, support,
+        lead_count (folded count), fwd, rev, sum_mapq, pos_sum
+        (int32-wrapping sum of folded head positions — the host
+        verifies its own merge_inner+resplit produced the same child
+        before consuming these stats), support_sa (count of split-read
+        leads — the DEL genotyper's SUPPORT_SA). Rows 9-17 phase-vote
+        tallies (phase_tallies, pre-fold unique-read counts): hp0, hp1,
+        hp2, hp_other, ps_win, ps_win_cnt, ps_second_cnt, ps_null,
+        mixed. Row 18 the child's parent cluster id (host children map
+        ordinally within a parent: both sides order by ascending svlen
+        bin). Row 19 the parent's resplit float32-ambiguity flag (set
+        -> the host resplit decides; stats withheld). Row 20 slot 0 =
+        n_children, slot 1 = n_clusters. A task with more than SLOTS
+        children reports n_children > SLOTS and the caller falls back
+        to the exact host sweep (capacity, not correctness).
     """
     zeros = jnp.zeros_like(packed[0])
     sig = {
@@ -632,15 +709,30 @@ def call_task_packed(packed: jnp.ndarray, *,
 
     folded = merge_inner_fold(clustered, cluster_merge_pos=cluster_merge_pos,
                               global_repeat=global_repeat)
-    stats = call_statistics(folded)
-    phase = phase_tallies(clustered, clustered["pos"].shape[0])
+    # svlen-histogram resplit on device (reference: cluster.py:125-161):
+    # all statistics below segment by the RESPLIT CHILD, so multi-child
+    # clusters consume device stats too (previously fb_resplit fallback)
+    child, n_children, uncertain_parent = resplit_child_ids(
+        folded, resplit_binsize=resplit_binsize, minsvlen=minsvlen,
+        cluster_merge_len=cluster_merge_len)
+    folded_child = dict(folded)
+    folded_child["cluster_id"] = child
+    folded_child["n_clusters"] = n_children
+    stats = call_statistics(folded_child)
+    phase = phase_tallies({"cluster_id": child, "valid": folded["valid_all"],
+                           "read_id": folded["read_id"], "hap": folded["hap"],
+                           "ps": folded["ps"]}, folded["pos"].shape[0])
 
     n = folded["pos"].shape[0]
-    cid = folded["cluster_id"]
     valid = folded["valid"]
-    sum_mapq = seg_sum(jnp.where(valid, folded["mapq"], 0), cid, n)
-    pos_sum = seg_sum(jnp.where(valid, folded["pos"], 0), cid, n)
-    support_sa = seg_sum(jnp.where(valid & (folded["sa"] > 0), 1, 0), cid, n)
+    sum_mapq = seg_sum(jnp.where(valid, folded["mapq"], 0), child, n)
+    pos_sum = seg_sum(jnp.where(valid, folded["pos"], 0), child, n)
+    support_sa = seg_sum(jnp.where(valid & (folded["sa"] > 0), 1, 0), child, n)
+    # per child slot: its parent cluster id (ordinal host<->device child
+    # mapping) and the parent's float32-ambiguity flag
+    parent = seg_max(jnp.where(folded["valid_all"], folded["cluster_id"], -1),
+                     child, n)
+    child_uncertain = jnp.take(uncertain_parent, jnp.clip(parent, 0, n - 1))
 
     slots = max(1024, n // 8)
     full = jnp.stack([
@@ -656,15 +748,22 @@ def call_task_packed(packed: jnp.ndarray, *,
         phase["hp0"], phase["hp1"], phase["hp2"], phase["hp_other"],
         phase["ps_win"], phase["ps_win_cnt"], phase["ps_second_cnt"],
         phase["ps_null"], phase["mixed"],
-        jnp.zeros((n,), jnp.int32).at[0].set(stats["n_clusters"].astype(jnp.int32)),
+        parent.astype(jnp.int32),
+        child_uncertain.astype(jnp.int32),
+        jnp.zeros((n,), jnp.int32)
+           .at[0].set(n_children.astype(jnp.int32))
+           .at[1].set(clustered["n_clusters"].astype(jnp.int32)),
     ])
     # ONE flat buffer: every D2H transfer pays ~22ms of tunnel latency,
     # so two result arrays would double the fixed cost per dispatch
     return jnp.concatenate([elements.reshape(-1), full[:, :slots].reshape(-1)])
 
 
-STATS_ROWS = 19         # 9 calling stats + 9 phase tallies + n_clusters
-STATS_NC_ROW = 18       # n_clusters rides slot 0 of the last row
+STATS_ROWS = 21          # 9 calling stats + 9 phase tallies + parent +
+                         # uncertain + counts — ALL PER RESPLIT CHILD
+STATS_PARENT_ROW = 18    # child's parent (pre-resplit) cluster id
+STATS_UNCERTAIN_ROW = 19  # parent's resplit float32-ambiguity flag
+STATS_NC_ROW = 20        # slot 0 = n_children, slot 1 = n_clusters
 
 
 def split_call_task_output(flat: np.ndarray, n: int):

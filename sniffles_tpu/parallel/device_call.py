@@ -111,19 +111,20 @@ def pad_packed(packed: np.ndarray) -> np.ndarray:
 def compress_call_response(flat: np.ndarray, padded_n: int) -> dict:
     """Wire-compact form of a call_task kernel result: only the valid
     elements (cluster_id, orig_idx — validity is implied) and the stats
-    columns of real clusters. The padded buffer is ~85% zeros for a
-    typical task, and response pickling was symmetric with the request
-    as a per-dispatch CPU cost. `nc`/`slots` carry the capacity check
-    (device_clusters falls back to the host sweep when nc > slots)."""
+    columns of real resplit children. The padded buffer is ~85% zeros
+    for a typical task, and response pickling was symmetric with the
+    request as a per-dispatch CPU cost. `nc` (= n_children) / `slots`
+    carry the capacity check (device_clusters falls back to the host
+    sweep when nc > slots)."""
     from sniffles_tpu.ops.clustering import (STATS_NC_ROW,
                                              split_call_task_output)
     elements, stats = split_call_task_output(flat, padded_n)
     valid = elements[2] != 0
-    n_clusters = int(stats[STATS_NC_ROW][0])
+    n_children = int(stats[STATS_NC_ROW][0])
     slots = stats.shape[1]
-    keep = min(max(n_clusters, 1), slots)
+    keep = min(max(n_children, 1), slots)
     return {
-        "nc": n_clusters,
+        "nc": n_children,
         "slots": slots,
         "elems": np.ascontiguousarray(elements[:2, valid]),
         "stats": np.ascontiguousarray(stats[:STATS_NC_ROW, :keep]),
@@ -296,15 +297,13 @@ def run_mesh_assign(payload: dict, meta: dict) -> np.ndarray:
 _mesh_fn_cache: dict = {}
 
 
-def _rebuild_groups(cids: np.ndarray, ridx: np.ndarray,
-                    stats: np.ndarray) -> list:
-    """(member_index_list, stats18) per cluster, ascending cluster id ==
-    (svtype, pos) sort order == the host sweep's cluster order (seed
+def _rebuild_groups(cids: np.ndarray, ridx: np.ndarray) -> list:
+    """(cluster_id, member_index_list) per cluster, ascending cluster id
+    == (svtype, pos) sort order == the host sweep's cluster order (seed
     bins ascending per svtype). Members keep element order within a
     cluster (stable sort), matching the host's per-cluster lead order.
-    stats18 = 9 calling stats + 9 phase tallies (call_task_packed rows
-    0-17). Vectorized: the previous per-element Python zip over the
-    padded batch was a top per-request CPU cost at production sizes."""
+    Vectorized: the previous per-element Python zip over the padded
+    batch was a top per-request CPU cost at production sizes."""
     if len(cids) == 0:
         return []
     order = np.argsort(cids, kind="stable")
@@ -313,10 +312,29 @@ def _rebuild_groups(cids: np.ndarray, ridx: np.ndarray,
     bounds = np.flatnonzero(np.diff(sc)) + 1
     starts = np.concatenate(([0], bounds))
     uniq = sc[starts]
-    stats_rows = stats[:18, uniq].T.tolist()   # (k, 18) one slice
     members = np.split(sr, bounds)
-    return [(m.tolist(), tuple(row))
-            for m, row in zip(members, stats_rows)]
+    return [(int(c), m.tolist()) for c, m in zip(uniq, members)]
+
+
+def _children_by_parent(stats: np.ndarray, n_children: int) -> dict:
+    """Child-indexed stats block (call_task_packed rows: 0-17 calling
+    stats + phase tallies, 18 parent cluster id, 19 resplit-ambiguity
+    flag) -> {parent_cluster_id: [(stats18, uncertain), ...] in
+    ascending child-id order}. Both the device resplit and the host's
+    cluster.resplit order a parent's children by ascending svlen bin,
+    so the k-th device child corresponds to the k-th host child."""
+    from sniffles_tpu.ops.clustering import (STATS_PARENT_ROW,
+                                             STATS_UNCERTAIN_ROW)
+    out: dict[int, list] = {}
+    k = min(max(n_children, 0), stats.shape[1])
+    if k == 0:
+        return out
+    parents = stats[STATS_PARENT_ROW, :k].tolist()
+    uncertain = stats[STATS_UNCERTAIN_ROW, :k].tolist()
+    cols = stats[:18, :k].T.tolist()
+    for parent, unc, col in zip(parents, uncertain, cols):
+        out.setdefault(int(parent), []).append((tuple(col), bool(unc)))
+    return out
 
 
 def device_clusters(lead_provider, config, tr, device=None, posted=None,
@@ -398,16 +416,17 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
     n = len(leads)
     repeat_flags = packed[4, :n] > 0
 
+    child_stats = None
     if isinstance(out, dict):
         # wire-compact response (device service/daemon transport,
         # compress_call_response): valid (cluster_id, orig_idx) pairs
-        # plus the real clusters' stats columns
+        # plus the real resplit children's stats columns
         if out["nc"] > out["slots"]:
             raise RuntimeError(
-                f"device stats capacity exceeded ({out['nc']} clusters > "
+                f"device stats capacity exceeded ({out['nc']} children > "
                 f"{out['slots']} slots); host sweep fallback")
-        normalized = _rebuild_groups(out["elems"][0], out["elems"][1],
-                                     out["stats"])
+        normalized = _rebuild_groups(out["elems"][0], out["elems"][1])
+        child_stats = _children_by_parent(out["stats"], out["nc"])
     elif out.ndim == 3:
         # mesh output (parallel/mesh.py build_sharded_assign):
         # (n_dev, 13, N_ext) — normalize owned groups across shards and
@@ -428,22 +447,26 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
                 seed = min(lead_bins[i] for i in member_idx)
                 ordered.append(((svcode, seed), member_idx, stats9))
         ordered.sort(key=lambda item: item[0])
-        normalized = [(m, s) for _, m, s in ordered]
+        # mesh stats are PRE-resplit cluster stats (legacy 9-row form);
+        # carried per entry, consumable only for single-child clusters
+        normalized = [(None, m, s) for _, m, s in ordered]
     else:
         from sniffles_tpu.ops.clustering import (STATS_NC_ROW,
                                                  split_call_task_output)
         elements, dev_stats = split_call_task_output(out, padded_width(n))
-        # the compacted stats block holds max(1024, N//8) cluster slots
+        # the compacted stats block holds max(1024, N//8) child slots
         # (a ~4x D2H cut; see call_task_packed) — a task with more
-        # stage-1 clusters than slots falls back to the exact host sweep
-        n_clusters = int(dev_stats[STATS_NC_ROW][0])
-        if n_clusters > dev_stats.shape[1]:
+        # resplit children than slots falls back to the exact host sweep
+        n_children = int(dev_stats[STATS_NC_ROW][0])
+        if n_children > dev_stats.shape[1]:
             raise RuntimeError(
-                f"device stats capacity exceeded ({n_clusters} clusters > "
+                f"device stats capacity exceeded ({n_children} children > "
                 f"{dev_stats.shape[1]} slots); host sweep fallback")
         valid = elements[2] != 0
-        normalized = _rebuild_groups(elements[0][valid], elements[1][valid],
-                                     dev_stats)
+        normalized = _rebuild_groups(elements[0][valid], elements[1][valid])
+        child_stats = _children_by_parent(dev_stats, n_children)
+    if child_stats is not None:
+        normalized = [(cid, m, None) for cid, m in normalized]
 
     # leads_long per INS cluster: long-INS soft clips from the bins the
     # cluster's leads came from (reference: cluster.py:248-250)
@@ -455,7 +478,7 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
 
     hap_ref = lead_provider.leadhapcount["REF"]
 
-    for member_idx, stats9 in normalized:
+    for cid, member_idx, legacy_stats9 in normalized:
         cluster_leads = [leads[i] for i in member_idx]
         if len(cluster_leads) < config.dev_min_leads_cluster:
             continue
@@ -506,62 +529,11 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
         if counters is not None:
             counters["clusters_total"] = counters.get("clusters_total", 0) + 1
 
-        # Device-computed calling statistics (integer-exact robust centers
-        # and counts), computed on the device AFTER its merge_inner fold
-        # (ops/clustering.merge_inner_fold) — so multi-fragment INS/DEL
-        # clusters no longer force a host-stats fallback. The host still
-        # materializes the merged Lead objects below (seq concatenation,
-        # float stdevs and downstream object paths need them) and then
-        # VERIFIES the device fold produced the same grouping before
-        # consuming the stats: folded lead count plus the int32-wrapping
-        # sum of folded head positions must match (a read-name hash
-        # collision or an ordering divergence fails both into the exact
-        # host computation).
-        (raw_pos_center, svlen_center, support, lead_count, fwd, rev,
-         sum_mapq, pos_sum, support_sa) = stats9[:9]
-        # phase-vote tallies ride rows 9-17 on the single-device path;
-        # the mesh path returns 9-row stats and keeps the host vote
-        phase_tally = stats9[9:18] if len(stats9) >= 18 else None
-
         # per-read inner merge of fragmented INS/DEL, host-exact
         # (reference: cluster.py:337-343)
         if svtype in ("INS", "DEL"):
             threshold = -1 if cluster.repeat else config.cluster_merge_pos
             merge_inner(cluster, threshold)
-
-        engine = None
-        host_pos_sum = sum(ld.ref_start for ld in cluster.leads)
-        fold_ok = (lead_count == len(cluster.leads)
-                   and (host_pos_sum - pos_sum) % (1 << 32) == 0)
-        # collision hardening: device support counts unique 31-bit name
-        # hashes; a collision between two distinct reads would undercount
-        # it (and merge their phase votes). The unique-NAME count over
-        # the materialized leads is cheap and decides exactly (reference:
-        # sv.py:520 counts unique read names).
-        support_ok = (fold_ok
-                      and support == len({ld.read_qname for ld in cluster.leads}))
-        if fold_ok and support_ok:
-            engine = {
-                "raw_pos_center": raw_pos_center,
-                "svlen_center": svlen_center,
-                "support": support,
-                "lead_count": lead_count,
-                "fwd": fwd,
-                "rev": rev,
-                "qual": sum_mapq // lead_count,
-                # DEL genotyper split-read support (reference: sv.py:580-581)
-                "support_sa": support_sa,
-                # phase-vote tallies (postprocess.phase_sv consumes these
-                # instead of iterating the leads; None -> host vote)
-                "phase": phase_tally,
-            }
-        elif counters is not None:
-            if fold_ok:
-                counters["fb_support_collision"] = \
-                    counters.get("fb_support_collision", 0) + 1
-            else:
-                counters["fb_multi_fragment"] = \
-                    counters.get("fb_multi_fragment", 0) + 1
 
         # svlen-histogram resplit, host-exact and in reference order
         # (reference: cluster.py:330-339)
@@ -573,11 +545,70 @@ def device_clusters(lead_provider, config, tr, device=None, posted=None,
                                     binsize=config.cluster_resplit_binsize,
                                     merge_threshold_min=config.minsvlen,
                                     merge_threshold_frac=config.cluster_merge_len))
-        if (engine is not None and len(children) == 1
-                and len(children[0].leads) == engine["lead_count"]):
-            children[0].engine = engine
+        if counters is not None:
+            counters["children_total"] = \
+                counters.get("children_total", 0) + len(children)
+
+        # Device-computed calling statistics (integer-exact robust centers
+        # and counts), computed on the device AFTER its merge_inner fold
+        # and its svlen resplit — one stats column PER RESPLIT CHILD, so
+        # multi-child clusters consume device stats too. The host still
+        # materializes the merged Lead objects (seq concatenation, float
+        # stdevs and downstream object paths need them), runs its own
+        # exact resplit, and VERIFIES per child that the device produced
+        # the same grouping before consuming the stats: child count per
+        # parent, folded lead count, the int32-wrapping sum of folded
+        # head positions, and the unique read-NAME count vs the device's
+        # unique-hash `support` (a 31-bit collision would undercount it,
+        # reference: sv.py:520) must all match — any divergence (or the
+        # kernel's float32 resplit-ambiguity flag) falls back to the
+        # exact host computation for the affected children.
+        if legacy_stats9 is not None:
+            # mesh path: pre-resplit 9-row cluster stats, no phase rows;
+            # consumable only when resplit kept a single child
+            dev_children = ([(tuple(legacy_stats9) + (0,) * 9, False)]
+                            if len(children) == 1 else None)
+        else:
+            dev_children = child_stats.get(cid) if child_stats else None
+            if dev_children is not None and len(dev_children) != len(children):
+                dev_children = None
+        if dev_children is None or any(unc for _, unc in dev_children):
             if counters is not None:
-                counters["engine_consumed"] = counters.get("engine_consumed", 0) + 1
-        elif engine is not None and counters is not None:
-            counters["fb_resplit"] = counters.get("fb_resplit", 0) + 1
+                counters["fb_resplit"] = \
+                    counters.get("fb_resplit", 0) + len(children)
+            yield from children
+            continue
+
+        for host_child, (st, _unc) in zip(children, dev_children):
+            (raw_pos_center, svlen_center, support, lead_count, fwd, rev,
+             sum_mapq, pos_sum, support_sa) = st[:9]
+            phase_tally = st[9:18] if legacy_stats9 is None else None
+            host_pos_sum = sum(ld.ref_start for ld in host_child.leads)
+            fold_ok = (lead_count == len(host_child.leads)
+                       and (host_pos_sum - pos_sum) % (1 << 32) == 0)
+            support_ok = (fold_ok and support ==
+                          len({ld.read_qname for ld in host_child.leads}))
+            if fold_ok and support_ok:
+                host_child.engine = {
+                    "raw_pos_center": raw_pos_center,
+                    "svlen_center": svlen_center,
+                    "support": support,
+                    "lead_count": lead_count,
+                    "fwd": fwd,
+                    "rev": rev,
+                    "qual": sum_mapq // lead_count,
+                    # DEL genotyper split-read support (reference:
+                    # sv.py:580-581)
+                    "support_sa": support_sa,
+                    # phase-vote tallies (postprocess.phase_sv consumes
+                    # these instead of iterating the leads; None -> host
+                    # vote)
+                    "phase": phase_tally,
+                }
+                if counters is not None:
+                    counters["engine_consumed"] = \
+                        counters.get("engine_consumed", 0) + 1
+            elif counters is not None:
+                key = "fb_support_collision" if fold_ok else "fb_multi_fragment"
+                counters[key] = counters.get(key, 0) + 1
         yield from children

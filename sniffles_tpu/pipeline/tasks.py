@@ -206,13 +206,15 @@ class Task:
             else:
                 yield from made
                 host_types = [t for t in sv.ALL_TYPES if t not in _DEVICE_TYPES]
-                total = counters.get("clusters_total", 0)
+                total = counters.get("children_total", 0)
                 consumed = counters.get("engine_consumed", 0)
                 log.debug(
                     f"{self}: device engine stats consumed by {consumed}/{total} "
-                    f"clusters (fallbacks: bnd={counters.get('fb_bnd', 0)}, "
+                    f"children of {counters.get('clusters_total', 0)} clusters "
+                    f"(fallbacks: bnd={counters.get('fb_bnd', 0)}, "
                     f"multi_fragment={counters.get('fb_multi_fragment', 0)}, "
-                    f"resplit={counters.get('fb_resplit', 0)})")
+                    f"resplit={counters.get('fb_resplit', 0)}, "
+                    f"collision={counters.get('fb_support_collision', 0)})")
         for svtype in host_types:
             yield from cluster.resolve(svtype, self.lead_provider, config, self.tandem_repeats)
 

@@ -245,8 +245,10 @@ def test_fold_matches_host_merge_inner(config):
 def test_rebuild_groups_matches_dict_loop():
     """The vectorized group rebuild must reproduce the per-element dict
     loop it replaced exactly: ascending cluster id, element order
-    preserved within a cluster, stats18 row per cluster."""
-    from sniffles_tpu.parallel.device_call import _rebuild_groups
+    preserved within a cluster; and the child-stats unpack must bucket
+    child columns by parent in ascending child order."""
+    from sniffles_tpu.parallel.device_call import (_children_by_parent,
+                                                  _rebuild_groups)
 
     rng = np.random.default_rng(5)
     for trial in range(25):
@@ -254,19 +256,30 @@ def test_rebuild_groups_matches_dict_loop():
         k = int(rng.integers(1, 40))
         cids = rng.integers(0, k, n).astype(np.int64)
         ridx = rng.permutation(n).astype(np.int64)
-        stats = rng.integers(-1000, 1000, (18, k)).astype(np.int64)
 
-        got = _rebuild_groups(cids, ridx, stats)
+        got = _rebuild_groups(cids, ridx)
 
         groups = {}
         for cid, li in zip(cids.tolist(), ridx.tolist()):
             groups.setdefault(cid, []).append(li)
-        want = [(groups[cid], tuple(int(stats[r][cid]) for r in range(18)))
-                for cid in sorted(groups)]
+        want = [(cid, groups[cid]) for cid in sorted(groups)]
         assert got == want, trial
     assert _rebuild_groups(np.array([], dtype=np.int64),
-                           np.array([], dtype=np.int64),
-                           np.zeros((18, 1), np.int64)) == []
+                           np.array([], dtype=np.int64)) == []
+
+    # child stats: columns in ascending child-id order, keyed by parent
+    stats = np.zeros((21, 8), dtype=np.int64)
+    stats[:18] = np.arange(18)[:, None] * 100 + np.arange(8)[None, :]
+    stats[18] = [0, 0, 1, 2, 2, 2, 5, 5]       # parent per child
+    stats[19] = [0, 0, 0, 1, 1, 1, 0, 0]       # parent-2 children uncertain
+    by_parent = _children_by_parent(stats, 8)
+    assert sorted(by_parent) == [0, 1, 2, 5]
+    assert [len(v) for _, v in sorted(by_parent.items())] == [2, 1, 3, 2]
+    # first child of parent 0 carries column 0, in row order
+    st0, unc0 = by_parent[0][0]
+    assert st0 == tuple(np.arange(18) * 100) and unc0 is False
+    assert all(unc for _, unc in by_parent[2])
+    assert not any(unc for _, unc in by_parent[5])
 
 
 def test_qname_hash_deterministic():

@@ -60,7 +60,7 @@ def test_daemon_ping_and_kernel(daemon):
     packed[8, :4] = [1, 2, 3, 4]
     # responses travel wire-compact (device_call.compress_call_response)
     out = client.call_task(packed, meta)
-    assert out["elems"].shape[0] == 2 and out["stats"].shape[0] == 18
+    assert out["elems"].shape[0] == 2 and out["stats"].shape[0] == 20
     assert len(set(out["elems"][0].tolist())) == 2  # one INS + one DEL cluster
     assert out["nc"] == 2                           # n_clusters in the header
 
@@ -68,7 +68,7 @@ def test_daemon_ping_and_kernel(daemon):
     ids = [client.post("call_task", packed, meta) for _ in range(3)]
     for rid in ids:
         r = client.wait(rid)
-        assert r["elems"].shape[0] == 2 and r["stats"].shape[0] == 18
+        assert r["elems"].shape[0] == 2 and r["stats"].shape[0] == 20
     client.close()
 
 

@@ -72,21 +72,26 @@ def test_chip_fragmented_nondefault_flag_byte_identical(tmp_path):
             if "\tDEL\t" in l or "SVTYPE=DEL" in l]
     assert len(dels) == 6, f"expected 6 folded DEL calls, got {len(dels)}"
 
-    consumed = total = bnd = frag = resplit = 0
-    for m in re.finditer(r"device engine stats consumed by (\d+)/(\d+) clusters "
-                         r"\(fallbacks: bnd=(\d+), multi_fragment=(\d+), "
-                         r"resplit=(\d+)", r2.stdout + r2.stderr):
+    consumed = total = bnd = frag = resplit = collision = 0
+    for m in re.finditer(r"device engine stats consumed by (\d+)/(\d+) children "
+                         r"of \d+ clusters \(fallbacks: bnd=(\d+), "
+                         r"multi_fragment=(\d+), resplit=(\d+), "
+                         r"collision=(\d+)", r2.stdout + r2.stderr):
         consumed += int(m.group(1))
         total += int(m.group(2))
         bnd += int(m.group(3))
         frag += int(m.group(4))
         resplit += int(m.group(5))
+        collision += int(m.group(6))
     assert total > 0, "no consumption counters in debug log"
     # the device fold handled every fragmented cluster (a fold-grouping
     # mismatch would count as multi_fragment)
     assert frag == 0, f"device fold fell back on {frag} multi-fragment clusters"
     # each DEL-pair cluster resplits by svlen histogram (spanning reads
-    # fold to -240, pair-edge reads keep -120) -> stats are withheld for
-    # the multi-child clusters BY DESIGN; everything else consumes
-    assert consumed + resplit == total - bnd, (consumed, resplit, total, bnd)
+    # fold to -240, pair-edge reads keep -120) -> the device resplit
+    # (ops/clustering.resplit_child_ids) computes PER-CHILD stats, so
+    # even multi-child clusters consume: nothing may fall back
+    assert resplit == 0, f"device resplit fell back on {resplit} children"
+    assert collision == 0
+    assert consumed == total, (consumed, resplit, total, bnd)
     assert consumed >= 1, "nothing consumed device stats"
