@@ -218,6 +218,10 @@ _DEV_FLAGS = (
             "host sweep for that task instead (a tunneled chip can stall a "
             "response by seconds; the host alternative costs tens of ms). "
             "0 disables the hedge."),
+    _f("--dev-combine-greedy-min", metavar="N", type=int, default=8,
+       text="Minimum candidates per (block, svtype) before --tpu-combine "
+            "dispatches the device greedy kernel (smaller blocks run the "
+            "host greedy; dispatch latency would dominate)."),
     _f("--consensus-max-reads", metavar="N", type=int, default=20),
     _f("--consensus-max-reads-bin", metavar="N", type=int, default=10),
     _f("--combine-consensus", default=False, action="store_true"),

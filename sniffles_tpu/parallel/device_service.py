@@ -360,6 +360,12 @@ class DeviceServer:
         if request.kind == "combine_mesh":
             from sniffles_tpu.parallel.device_combine import run_mesh_combine
             return run_mesh_combine(request.payload, request.meta)
+        if request.kind == "combine_greedy":
+            # device-owned combine grouping (ops/combine_greedy): exact
+            # while_loop emulation of the host greedy over a whole
+            # (block, svtype)'s flushes
+            from sniffles_tpu.ops.combine_greedy import run_combine_greedy
+            return run_combine_greedy(request.payload, request.meta)
         if request.kind == "ed_batch":
             # payload: list of (a, b) string pairs (combine identity gate)
             from sniffles_tpu.ops.edit_distance_jax import edit_distance_batch

@@ -689,6 +689,7 @@ class CombineTask(Task):
     def execute(self, worker=None):
         config = self.config
         self.device_service = getattr(worker, "device_client", None)
+        self.combine_counters = {}
         sample_snfs = self._open_sample_snfs()
         self._attach_population()
         result = self.result_class(self, [], 0)
@@ -721,6 +722,10 @@ class CombineTask(Task):
                 keep = groups_keep[svtype]
                 ordered_bins = sorted(bins)
                 final_bin = ordered_bins[-1]
+                # flush boundaries depend only on candidate counts, so
+                # the block's full flush partition is known up front —
+                # the device greedy batches ALL flushes into one dispatch
+                flushes = []
                 for curr_bin in ordered_bins:
                     batch.extend(bins[curr_bin])
                     span += bin_width
@@ -731,14 +736,47 @@ class CombineTask(Task):
                     if not batch:
                         span = 0
                         continue
+                    flushes.append((batch, curr_bin, span))
+                    span = 0
+                    batch = []
 
-                    # memoizes edit distances across group probes within
-                    # this batch: filled eagerly by the device ED kernel
-                    # for large flushes (_prefill_ed_cache, radius-gated
-                    # to the greedy's actual probe set), lazily by the
-                    # host Myers scan below the device cells threshold
-                    ed_cache = {} if (svtype == "INS" and config.combine_pctseq) else None
-                    svgroups = self._group_batch(svtype, batch, keep, ed_cache)
+                # device-owned greedy (--tpu-combine): one kernel call
+                # covers every flush; the host replays the assignment
+                # through the real SVGroup objects, so float statistics,
+                # frontier closure and emission order stay host-exact
+                # (guards + exactness argument:
+                # parallel/combine_device_greedy.py)
+                device_ctx = None
+                if getattr(config, "tpu_combine", False) and flushes:
+                    try:
+                        from sniffles_tpu.parallel import \
+                            combine_device_greedy as cdg
+                        device_ctx = cdg.pack_block_assignments(
+                            svtype, flushes, keep, config,
+                            counters=self.combine_counters,
+                            device=self.device_service)
+                    except Exception:
+                        if os.environ.get("SNIFFLES_TPU_REQUIRE_DEVICE"):
+                            raise
+                        log.warning("device combine greedy unavailable; "
+                                    "host greedy", exc_info=True)
+
+                for fi, (fbatch, curr_bin, fspan) in enumerate(flushes):
+                    if device_ctx is not None:
+                        from sniffles_tpu.parallel import \
+                            combine_device_greedy as cdg
+                        svgroups = cdg.replay_flush(device_ctx, fi, keep)
+                    else:
+                        # memoizes edit distances across group probes
+                        # within this batch: filled eagerly by the device
+                        # ED kernel for large flushes (_prefill_ed_cache,
+                        # radius-gated to the greedy's actual probe set),
+                        # lazily by the host Myers scan below the device
+                        # cells threshold
+                        ed_cache = ({} if (svtype == "INS"
+                                           and config.combine_pctseq) else None)
+                        svgroups = self._group_batch(svtype, fbatch, keep,
+                                                     ed_cache)
 
                     closing = []
                     keep = []
@@ -746,19 +784,18 @@ class CombineTask(Task):
                         self._fold_uncovered_depths(group, samples_blocks, all_sample_ids)
                         # sliding frontier: a group still within reach of the
                         # current bin may yet gain candidates
-                        if abs(group.pos_mean - curr_bin) < max(span * 0.5, overlap_abs):
+                        if abs(group.pos_mean - curr_bin) < max(fspan * 0.5, overlap_abs):
                             keep.append(group)
                         else:
                             closing.append(group)
+                    if device_ctx is not None:
+                        device_ctx["closed"].update(id(g) for g in closing)
 
                     if cur >= self.overlap_nblocks:
                         # (closes inside the overlap were emitted by the
                         # previous shard: same candidates, same greedy)
                         closing = self._drop_ghosts(closing)
                         calls.extend(sv.call_groups(closing, config, self))
-
-                    span = 0
-                    batch = []
 
                 groups_keep[svtype] = keep
 
@@ -775,6 +812,10 @@ class CombineTask(Task):
 
         if len(calls) > 0:
             result.store_calls(calls)
+        if self.combine_counters:
+            # aggregated by cli._report_engine_counters alongside the
+            # call-path engine counters; landed in the bench JSON
+            result.engine_counters = dict(self.combine_counters)
         result.finalize()
 
         return result

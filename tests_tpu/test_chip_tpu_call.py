@@ -70,16 +70,15 @@ def test_chip_tpu_call_threaded_byte_identical(tmp_path):
     assert vcf_body(host_out) == vcf_body(dev_out)
 
     # consumption-fraction counters ride the --dev-debug-log output
+    # (children_total excludes BND by construction)
     import re
-    consumed = total = bnd = 0
-    for m in re.finditer(r"device engine stats consumed by (\d+)/(\d+) clusters "
-                         r"\(fallbacks: bnd=(\d+)", r2.stdout + r2.stderr):
+    consumed = total = 0
+    for m in re.finditer(r"device engine stats consumed by (\d+)/(\d+) children",
+                         r2.stdout + r2.stderr):
         consumed += int(m.group(1))
         total += int(m.group(2))
-        bnd += int(m.group(3))
     assert total > 0, "no consumption counters in debug log"
-    non_bnd = total - bnd
-    assert non_bnd > 0 and consumed / non_bnd >= 0.8, (consumed, total, bnd)
+    assert consumed / total >= 0.8, (consumed, total)
 
 
 def test_chip_bare_run_uses_device_via_daemon(tmp_path):
