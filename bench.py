@@ -158,15 +158,17 @@ class Daemon:
     """Persistent device daemon for the TPU legs; the chip claim and the
     standard-shape compile are its one-time fixed costs."""
 
-    def __init__(self):
-        self.sock = os.path.join(BENCH_DIR, "device.sock")
-        self.log_path = os.path.join(BENCH_DIR, "daemon.log")
+    def __init__(self, rundir=None):
+        rundir = rundir or BENCH_DIR
+        self.sock = os.path.join(rundir, "device.sock")
+        self.log_path = os.path.join(rundir, "daemon.log")
+        self.rundir = rundir
         self.proc = None
         self.warm_s = None
         self.stats = {}
 
     def start(self, timeout=900) -> bool:
-        os.makedirs(BENCH_DIR, exist_ok=True)
+        os.makedirs(self.rundir, exist_ok=True)
         if os.path.exists(self.sock):
             os.unlink(self.sock)
         env = dict(os.environ)

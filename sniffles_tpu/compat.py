@@ -88,22 +88,26 @@ def alias_module_for_pickle(ref_name: str, module_name: str, classes) -> None:
 # Pickle state application for slots dataclasses
 # ---------------------------------------------------------------------------
 
-_STATE_DEFAULTS_CACHE: dict[type, tuple] = {}
+_STATE_META_CACHE: dict[type, tuple] = {}
 
 
-def _state_defaults(cls) -> tuple:
-    """(name, default_or_factory) for every defaulted dataclass field."""
-    cached = _STATE_DEFAULTS_CACHE.get(cls)
+def _state_meta(cls) -> tuple:
+    """Per-class pickle-state metadata: (frozenset of slot names,
+    ((name, default, is_factory), ...) for every defaulted field).
+    Cached — this runs once per class, not per object (SNF combine
+    deserializes 10^4-10^5 SVCall objects per block batch)."""
+    cached = _STATE_META_CACHE.get(cls)
     if cached is None:
         import dataclasses
-        cached = tuple(
-            (f.name,
-             f.default_factory if f.default_factory is not dataclasses.MISSING
-             else f.default)
+        defaults = tuple(
+            (f.name, f.default_factory, True)
+            if f.default_factory is not dataclasses.MISSING
+            else (f.name, f.default, False)
             for f in dataclasses.fields(cls)
             if f.default is not dataclasses.MISSING
             or f.default_factory is not dataclasses.MISSING)
-        _STATE_DEFAULTS_CACHE[cls] = cached
+        cached = (frozenset(cls.__slots__), defaults)
+        _STATE_META_CACHE[cls] = cached
     return cached
 
 
@@ -113,17 +117,24 @@ def _apply_pickle_state(obj, state) -> None:
     plain dataclasses (SNF interop) or from pre-slots builds.
 
     Dict-form states may lack fields added since (-> dataclass default)
-    and may carry stale cached-property entries (-> ignored)."""
+    and may carry stale cached-property entries (-> ignored).
+
+    Later sources win (slots dict over instance dict over defaults), so
+    each key is written once: slots-form states from this build's own
+    SNF files skip the default pass entirely."""
     if isinstance(state, tuple):
         d, s = state
     else:
         d, s = state, None
-    cls = obj.__class__
-    for k, v in _state_defaults(cls):
-        object.__setattr__(obj, k, v() if callable(v) else v)
-    fields = cls.__slots__
-    for src in (d, s):
+    fields, defaults = _state_meta(obj.__class__)
+    sa = object.__setattr__
+    applied = set()
+    for src in (s, d):
         if src:
             for k, v in src.items():
-                if k in fields:
-                    object.__setattr__(obj, k, v)
+                if k in fields and k not in applied:
+                    sa(obj, k, v)
+                    applied.add(k)
+    for k, v, is_factory in defaults:
+        if k not in applied:
+            sa(obj, k, v() if is_factory else v)

@@ -222,6 +222,10 @@ def build_distance_cache(group_alts: list[str], cand_alts: list[str],
 # per-shape compiles) than the MXU-adjacent kernel can win back.
 DEVICE_MIN_CELLS = 2 * 10 ** 8
 
+from sniffles_tpu.ops._greedy_consts import ED_DEVICE_MIN_CELLS as _ED_MIRROR  # noqa: E402
+assert _ED_MIRROR == DEVICE_MIN_CELLS, \
+    "ops/_greedy_consts.ED_DEVICE_MIN_CELLS must mirror DEVICE_MIN_CELLS"
+
 
 def edit_distance_batch(pairs: list[tuple[str, str]], max_len: int | None = None) -> np.ndarray:
     """Edit distances for a batch of string pairs.

@@ -26,7 +26,12 @@ import logging
 import numpy as np
 
 from sniffles_tpu import svcall as sv
-from sniffles_tpu.ops.combine_greedy import CMM_MAX, NMAX, SPAN_MAX
+# NOTE: this module stays jax-free — a combine client talking to the
+# device daemon must never initialize JAX (`import jax` alone costs
+# ~1.8s of client wall-clock; the kernels live behind the service)
+from sniffles_tpu.ops._greedy_consts import (CMM_MAX, ED_DEVICE_MIN_CELLS,
+                                             NMAX, SEG_LMAX, SPAN_MAX,
+                                             TASK_ED_HEADS)
 
 log = logging.getLogger(__name__)
 
@@ -210,6 +215,312 @@ def _build_ed_table(cands, keep, alt_ids, c_alt, g_head, base, cmm, device):
         vals.append(dist_of[key])
     return (np.array(rows, dtype=np.int32), np.array(cols, dtype=np.int32),
             np.array(vals, dtype=np.int32))
+
+
+def pack_task_assignments(svtype, flushes, config, counters=None,
+                          device=None):
+    """Whole-task device greedy: build ONE kernel payload covering every
+    flush of every block of a (combine task, svtype) and dispatch it
+    (asynchronously when a device service is attached). Returns a replay
+    context consumed flush-by-flush via `replay_flush_task`, or None
+    when a global guard fails (caller keeps the per-flush host paths).
+
+    Exactness: combine tasks start with an empty frontier, and
+    position gaps > combine_match_max partition the candidates into
+    provably interaction-free segments (any cross-segment pos distance
+    alone exceeds the match cap). Each segment is rebased to local
+    coordinates (int32 budget) and carries a segment id the kernel
+    enforces in eligibility; per-segment soundness flags (float
+    ambiguity, missing ED entry, group-size overflow) route ONLY that
+    segment to the live host greedy during replay. Frontier closure
+    cannot be matched again for the same reason as the per-block path
+    (combine_match_max < combine_overlap_abs, guarded).
+
+    Reference analogue: the combine hot loop across a whole task,
+    parallel.py:444-566 + cluster.py:356-390.
+    """
+    if svtype == "BND" or getattr(config, "combine_separate_intra", False):
+        return None
+    cmm = int(config.combine_match_max)
+    if not (0 < cmm <= CMM_MAX and cmm < int(config.combine_overlap_abs)):
+        _bump(counters, "combine_greedy_guard_fallbacks")
+        return None
+
+    total = sum(len(batch) for batch, _, _ in flushes)
+    if total < int(getattr(config, "dev_combine_greedy_min", 8) or 0):
+        return None
+
+    # trajectory order: flush-major, support-descending stable within a
+    # flush (reference: cluster.py:361); flush boundaries depend only on
+    # candidate counts, never on grouping, so they are precomputable
+    per_flush_cands = [sorted(batch, key=lambda c: c.support, reverse=True)
+                       for batch, _, _ in flushes]
+    cands = [c for fc in per_flush_cands for c in fc]
+    n = len(cands)
+    if n == 0:
+        return None
+
+    pos = np.empty(n, dtype=np.int64)
+    lens = np.empty(n, dtype=np.int64)
+    for t, c in enumerate(cands):
+        if c.svlen is None:
+            _bump(counters, "combine_greedy_guard_fallbacks")
+            return None
+        pos[t] = c.pos
+        lens[t] = abs(int(c.svlen))
+
+    # safe-cut segmentation over positions (gaps > cmm)
+    order = np.argsort(pos, kind="stable")
+    sorted_pos = pos[order]
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    np.greater(sorted_pos[1:] - sorted_pos[:-1], cmm, out=boundary[1:])
+    seg_of_sorted = np.cumsum(boundary) - 1
+    cand_seg = np.empty(n, dtype=np.int64)
+    cand_seg[order] = seg_of_sorted
+    n_segs = int(seg_of_sorted[-1]) + 1
+
+    # per-segment rebasing; segments whose local span, svlen or
+    # candidate count exceeds the kernel budget are host-only
+    seg_base = np.full(n_segs, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(seg_base, cand_seg, pos)
+    local_pos = pos - seg_base[cand_seg]
+    seg_count = np.bincount(cand_seg, minlength=n_segs)
+    bad = np.zeros(n_segs, dtype=bool)
+    np.logical_or.at(bad, cand_seg,
+                     (local_pos >= SPAN_MAX) | (lens >= SPAN_MAX))
+    bad |= seg_count > SEG_LMAX
+    host_segs = set(np.nonzero(bad)[0].tolist())
+
+    # grid layout: one row per device segment, columns in trajectory
+    # order within the segment (stable sort preserves it)
+    dev_seg_ids = [s for s in range(n_segs) if s not in host_segs]
+    row_of_seg = {s: r for r, s in enumerate(dev_seg_ids)}
+    S = len(dev_seg_ids)
+    if S == 0:
+        return None
+    counts = np.array([int(seg_count[s]) for s in dev_seg_ids],
+                      dtype=np.int32)
+    L = int(counts.max())
+    c_pos = np.zeros((S, L), dtype=np.int32)
+    c_len = np.zeros((S, L), dtype=np.int32)
+    c_alt = np.zeros((S, L), dtype=np.int32)
+    c_hord = np.full((S, L), -1, dtype=np.int32)
+    dev_row = np.full(n, -1, dtype=np.int64)
+    dev_col = np.full(n, -1, dtype=np.int64)
+    fill = np.zeros(S, dtype=np.int64)
+    for t in range(n):
+        r = row_of_seg.get(int(cand_seg[t]))
+        if r is None:
+            continue
+        j = int(fill[r])
+        fill[r] = j + 1
+        dev_row[t] = r
+        dev_col[t] = j
+        c_pos[r, j] = local_pos[t]
+        c_len[r, j] = lens[t]
+
+    limit = float(config.combine_pctseq or 0.0)
+    ed_segs = ed_rows = ed_cols = ed_vals = np.zeros(0, dtype=np.int32)
+    if limit > 0:
+        packed = _build_task_ed_table(cands, cand_seg, row_of_seg, dev_row,
+                                      dev_col, pos, lens, cmm,
+                                      c_alt, c_hord, device,
+                                      with_table=(svtype == "INS"))
+        if packed is None:
+            _bump(counters, "combine_greedy_guard_fallbacks")
+            return None
+        ed_segs, ed_rows, ed_cols, ed_vals, uniform = packed
+        if uniform and len(ed_segs) == 0 and limit < 1.0:
+            # every device segment carries exactly one distinct alt:
+            # each probe is a same-string gate, which passes for any
+            # limit < 1 exactly like limit == 0 — so the kernel can
+            # drop the ED branch entirely (it costs ~40% of the loop
+            # body). Non-uniform segments without a table entry flag
+            # ed_miss at probe time and replay on the host — exact.
+            limit = 0.0
+
+    payload = {
+        "c_pos": c_pos, "c_len": c_len, "c_alt": c_alt, "c_hord": c_hord,
+        "counts": counts,
+        "ed_segs": ed_segs, "ed_rows": ed_rows, "ed_cols": ed_cols,
+        "ed_vals": ed_vals,
+    }
+    meta = {"cm": int(config.combine_match), "cmm": cmm, "limit": limit}
+    _bump(counters, "combine_greedy_dispatches")
+    _bump(counters, "combine_greedy_candidates", total)
+    if host_segs:
+        _bump(counters, "combine_greedy_host_segments", len(host_segs))
+
+    ctx = {"per_flush": [], "slots": {}, "closed": set(),
+           "dev_row": dev_row, "dev_col": dev_col, "cand_seg": cand_seg,
+           "host_segs": host_segs, "dev_seg_ids": dev_seg_ids,
+           "counters": counters,
+           "next_fi": 0, "result": None, "req": None, "device": device}
+    t = 0
+    for fc in per_flush_cands:
+        ctx["per_flush"].append([(c, t + j) for j, c in enumerate(fc)])
+        t += len(fc)
+    if device is not None:
+        ctx["req"] = device.post("combine_greedy_task", payload, meta)
+    else:
+        from sniffles_tpu.ops.combine_greedy import run_combine_greedy_task
+        ctx["result"] = run_combine_greedy_task(payload, meta)
+    return ctx
+
+
+def _build_task_ed_table(cands, cand_seg, row_of_seg, dev_row, dev_col,
+                         pos, lens, cmm, c_alt_out, c_hord_out, device,
+                         with_table=True):
+    """Segment-local alt ids, head ordinals, and (INS only) the sparse
+    exact ED table for the grid kernel. Heads are the first
+    TASK_ED_HEADS distinct alts per segment (in trajectory order — the
+    g-th group's head is the first candidate that matched none of
+    groups 1..g-1, so heads are strongly prefix-biased); a probe
+    against an untabulated head flags the segment for exact host
+    replay. Fills c_alt_out/c_hord_out (grid coords); returns (ed_segs,
+    ed_rows, ed_cols, ed_vals, uniform) where uniform means every
+    device segment carries a single distinct alt, or None if
+    untabulable."""
+    seg_alt_ids: dict = {}
+    heads_by_seg: dict = {}   # grid row -> [(alt_id, alt string, pos, len)]
+    ord_by_alt: dict = {}     # (grid row, alt_id) -> head ordinal
+    n = len(cands)
+    for t in range(n):
+        r = int(dev_row[t])
+        if r < 0:
+            continue
+        c = cands[t]
+        alt = c.alt
+        ids = seg_alt_ids.setdefault(r, {})
+        # alt may be a symbolic placeholder or None for non-INS types;
+        # the id dict keys on the VALUE so same-string (the host's
+        # distance-0 shortcut) maps to equal ids exactly
+        aid = ids.setdefault(alt, len(ids))
+        j = int(dev_col[t])
+        c_alt_out[r, j] = aid
+        heads = heads_by_seg.setdefault(r, [])
+        if (with_table and len(heads) < TASK_ED_HEADS
+                and isinstance(alt, str) and alt
+                and len(alt) <= ED_MAX_LEN and (r, aid) not in ord_by_alt):
+            ord_by_alt[(r, aid)] = len(heads)
+            heads.append((aid, alt, int(pos[t]), int(lens[t])))
+        hord = ord_by_alt.get((r, aid))
+        if hord is not None:
+            c_hord_out[r, j] = hord
+
+    uniform = all(len(ids) <= 1 for ids in seg_alt_ids.values())
+    z = np.zeros(0, dtype=np.int32)
+    if not with_table or uniform:
+        return (z, z, z, z, uniform)
+
+    radius = ED_RADIUS_FACTOR * cmm
+    pair_keys: dict = {}
+    entries = []
+    for t in range(n):
+        r = int(dev_row[t])
+        if r < 0:
+            continue
+        alt = cands[t].alt
+        if not isinstance(alt, str) or not alt or len(alt) > ED_MAX_LEN:
+            continue
+        for hord, (h_aid, h_alt, h_pos, h_len) in enumerate(
+                heads_by_seg.get(r, ())):
+            if h_alt == alt:
+                continue
+            if abs(h_pos - int(pos[t])) + abs(h_len - int(lens[t])) > radius:
+                continue
+            key = (h_alt, alt)
+            pair_keys.setdefault(key, len(pair_keys))
+            entries.append((r, hord, int(dev_col[t]), key))
+
+    if not pair_keys:
+        return (z, z, z, z, uniform)
+
+    pairs = list(pair_keys)
+    cells = sum(len(a) * len(b) for a, b in pairs)
+    if device is not None and cells >= ED_DEVICE_MIN_CELLS:
+        dists = device.request("ed_batch", pairs, {})
+    elif device is not None:
+        # small batch: host Myers, WITHOUT importing the jax-backed
+        # batch module into this (client) process
+        from sniffles_tpu.ops.edit_distance import edit_distance
+        dists = [edit_distance(a, b) for a, b in pairs]
+    else:
+        from sniffles_tpu.ops.edit_distance_jax import edit_distance_batch
+        dists = edit_distance_batch(pairs)
+    dist_of = {p: int(d) for p, d in zip(pairs, dists)}
+
+    segs, rows, cols, vals = [], [], [], []
+    for r, hord, j, key in entries:
+        segs.append(r)
+        rows.append(hord)
+        cols.append(j)
+        vals.append(dist_of[key])
+    return (np.array(segs, dtype=np.int32), np.array(rows, dtype=np.int32),
+            np.array(cols, dtype=np.int32), np.array(vals, dtype=np.int32),
+            uniform)
+
+
+def _resolve_task_ctx(ctx):
+    """Collect the kernel response on first replay use; fold flagged
+    segments into the host-replay set. Raises if the device errored —
+    safe for the caller to fall back as long as no flush has been
+    replayed yet (`next_fi == 0`, guaranteed: resolution happens before
+    any group mutation)."""
+    if ctx["result"] is None:
+        ctx["result"] = ctx["device"].wait(ctx["req"])
+    res = ctx["result"]
+    if "flag_segs_applied" not in ctx:
+        ctx["flag_segs_applied"] = True
+        flags = res["seg_flags"]
+        # grid rows map back to original segment ids
+        flagged = {ctx["dev_seg_ids"][r]
+                   for r in np.nonzero(flags)[0].tolist()}
+        if flagged:
+            _bump(ctx["counters"], "combine_greedy_flagged_segments",
+                  len(flagged))
+        ctx["host_segs"] |= flagged
+    return res
+
+
+def replay_flush_task(ctx, keep, config, ed_cache):
+    """Apply the next flush's assignment through the real SVGroup
+    objects. Device-clean segments consume kernel slots (slot dict:
+    first sight -> from_candidate, else add_candidate); host segments
+    (pre-guarded or kernel-flagged) run the live host greedy probe per
+    candidate against the SAME evolving active list — exact, because
+    cross-segment probes can never match (the safe-cut argument).
+    Returns the evolving active list in the host greedy's order."""
+    from sniffles_tpu.cluster import _best_length_group
+    res = _resolve_task_ctx(ctx)
+    assign = res["assign"]
+    fi = ctx["next_fi"]
+    groups = keep
+    slots = ctx["slots"]
+    for cand, t in ctx["per_flush"][fi]:
+        if int(ctx["cand_seg"][t]) in ctx["host_segs"]:
+            target = _best_length_group(cand, groups, config, ed_cache)
+            if target is None:
+                groups.append(sv.SVGroup.from_candidate(cand))
+            else:
+                target.add_candidate(cand)
+            continue
+        r = int(ctx["dev_row"][t])
+        slot = (r, int(assign[r, ctx["dev_col"][t]]))
+        g = slots.get(slot)
+        if g is None:
+            g = sv.SVGroup.from_candidate(cand)
+            slots[slot] = g
+            groups.append(g)
+        else:
+            if id(g) in ctx["closed"]:
+                raise RuntimeError(
+                    "device combine greedy matched a frontier-closed group "
+                    "(combine_match_max/overlap guard violated)")
+            g.add_candidate(cand)
+    ctx["next_fi"] = fi + 1
+    return groups
 
 
 def replay_flush(ctx, fi, keep):

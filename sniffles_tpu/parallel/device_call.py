@@ -287,6 +287,10 @@ def run_mesh_assign(payload: dict, meta: dict) -> np.ndarray:
             break
         halo_w = jnp.full((n_dev, 1), w, dtype=jnp.int32)
         out = fn(shards, offsets, window_len, halo_w)
+        # one batched device_get (a second separate fetch would pay its
+        # own full tunnel round trip, ~25ms measured)
+        import jax
+        out = jax.device_get(out)
         if not bool(np.asarray(out["halo_overflow"]).any()):
             return np.asarray(out["rows"])
         w *= 2

@@ -149,6 +149,10 @@ def run_mesh_combine(payload: dict, meta: dict):
             break  # one-hop ppermute bound (see run_mesh_assign)
         out = step(cand, offsets, window_len,
                    jnp.full((n_dev,), w, dtype=jnp.int32))
+        # one batched device_get: separate per-array fetches each pay a
+        # full tunnel round trip (~25ms measured)
+        import jax
+        out = jax.device_get(out)
         if not bool(np.asarray(out["halo_overflow"]).any()):
             n_ext = np.asarray(out["pos"]).shape[0] // n_dev
             rows_list = []

@@ -366,6 +366,12 @@ class DeviceServer:
             # (block, svtype)'s flushes
             from sniffles_tpu.ops.combine_greedy import run_combine_greedy
             return run_combine_greedy(request.payload, request.meta)
+        if request.kind == "combine_greedy_task":
+            # whole-task variant: one dispatch covers every flush of
+            # every block of a (combine task, svtype), with per-segment
+            # soundness flags (ops/combine_greedy.run_combine_greedy_task)
+            from sniffles_tpu.ops.combine_greedy import run_combine_greedy_task
+            return run_combine_greedy_task(request.payload, request.meta)
         if request.kind == "ed_batch":
             # payload: list of (a, b) string pairs (combine identity gate)
             from sniffles_tpu.ops.edit_distance_jax import edit_distance_batch

@@ -663,6 +663,94 @@ class CombineTask(Task):
                             exc_info=True)
         return cluster.resolve_block_groups(svtype, svcands, keep, self.config, ed_cache)
 
+    # candidate cap for pre-materializing a whole task's blocks (the
+    # whole-task device greedy); beyond it the streaming host path runs
+    PREPLAN_MAX_RAW = 2_000_000
+
+    def _block_flushes(self, bins, batch_trigger, bin_width):
+        """The (batch, curr_bin, span) flush partition of one block's
+        bins — depends only on candidate counts, never on grouping, so
+        it is precomputable for the whole task."""
+        config = self.config
+        flushes = []
+        if not bins:
+            return flushes
+        batch, span = [], 0
+        ordered_bins = sorted(bins)
+        final_bin = ordered_bins[-1]
+        for curr_bin in ordered_bins:
+            batch.extend(bins[curr_bin])
+            span += bin_width
+            flush = ((not config.combine_exhaustive and len(batch) >= batch_trigger)
+                     or curr_bin == final_bin)
+            if not flush:
+                continue
+            if not batch:
+                span = 0
+                continue
+            flushes.append((batch, curr_bin, span))
+            span = 0
+            batch = []
+        return flushes
+
+    def _preplan_device(self, sample_snfs, batch_trigger, bin_width):
+        """Whole-task device combine: read every block up front, compute
+        each (block, svtype)'s flush partition, and dispatch ONE device
+        greedy kernel per svtype covering the entire task
+        (parallel/combine_device_greedy.pack_task_assignments) — the
+        per-(block, svtype) dispatch cadence paid a full device round
+        trip per block and lost the wall-clock it saved. Returns None
+        when the task is too large to pre-materialize (streaming host
+        path).  Reference analogue: the whole combine hot loop,
+        parallel.py:444-566."""
+        from sniffles_tpu.parallel import combine_device_greedy as cdg
+        config = self.config
+        blocks = []
+        total_raw = 0
+        for block_index in self.block_indices:
+            samples_blocks = {sid: snf_file.read_blocks(self.contig, block_index)
+                              for sid, snf_file in sample_snfs.items()}
+            for blks in samples_blocks.values():
+                if blks:
+                    total_raw += sum(len(b[svt]) for b in blks
+                                     for svt in sv.TYPES)
+            if total_raw > self.PREPLAN_MAX_RAW:
+                return None
+            blocks.append(samples_blocks)
+
+        flushes_by = {}
+        seen_total = 0
+        for svtype in sv.TYPES:
+            per_block = []
+            for samples_blocks in blocks:
+                bins, seen = self._bin_candidates(svtype, sample_snfs,
+                                                  samples_blocks)
+                seen_total += seen
+                per_block.append(self._block_flushes(bins, batch_trigger,
+                                                     bin_width))
+            flushes_by[svtype] = per_block
+
+        ctxs, ed_caches = {}, {}
+        for svtype in sv.TYPES:
+            flat = [f for flushes in flushes_by[svtype] for f in flushes]
+            ed_caches[svtype] = ({} if (svtype == "INS"
+                                        and config.combine_pctseq) else None)
+            ctx = None
+            if flat and svtype != "BND":
+                try:
+                    ctx = cdg.pack_task_assignments(
+                        svtype, flat, config,
+                        counters=self.combine_counters,
+                        device=self.device_service)
+                except Exception:
+                    if os.environ.get("SNIFFLES_TPU_REQUIRE_DEVICE"):
+                        raise
+                    log.warning("whole-task device combine pack failed "
+                                f"({svtype}); host greedy", exc_info=True)
+            ctxs[svtype] = ctx
+        return {"blocks": blocks, "flushes": flushes_by, "ctx": ctxs,
+                "ed_caches": ed_caches, "seen": seen_total}
+
     def _fold_uncovered_depths(self, group, samples_blocks, all_sample_ids):
         """For samples without a candidate in this group, look up the
         block's downsampled depth at the group position
@@ -703,70 +791,73 @@ class CombineTask(Task):
         groups_keep = {svtype: [] for svtype in sv.TYPES}
         calls = []
 
+        # whole-task device combine (--tpu-combine): pre-read every
+        # block, dispatch ONE greedy kernel per svtype covering the
+        # entire task, and replay the assignment through the real
+        # SVGroup objects below — float statistics, frontier closure and
+        # emission order stay host-exact (guards + exactness argument:
+        # parallel/combine_device_greedy.py)
+        preplan = None
+        if getattr(config, "tpu_combine", False):
+            try:
+                preplan = self._preplan_device(sample_snfs, batch_trigger,
+                                               bin_width)
+            except Exception:
+                if os.environ.get("SNIFFLES_TPU_REQUIRE_DEVICE"):
+                    raise
+                log.warning("whole-task device combine preplan failed; "
+                            "streaming host path", exc_info=True)
+        if preplan is not None:
+            candidates_processed += preplan["seen"]
+
+        from sniffles_tpu.parallel import combine_device_greedy as cdg
+
         for cur, block_index in enumerate(self.block_indices):
             if calls:
                 result.store_calls(calls)
                 calls = []
 
-            samples_blocks = {sample_id: sample_snf.read_blocks(self.contig, block_index)
-                              for sample_id, sample_snf in sample_snfs.items()}
+            if preplan is not None:
+                samples_blocks = preplan["blocks"][cur]
+            else:
+                samples_blocks = {sample_id: sample_snf.read_blocks(self.contig, block_index)
+                                  for sample_id, sample_snf in sample_snfs.items()}
 
             for svtype in sv.TYPES:
-                bins, seen = self._bin_candidates(svtype, sample_snfs, samples_blocks)
-                candidates_processed += seen
-                if not bins:
+                task_ctx = None
+                if preplan is not None:
+                    flushes = preplan["flushes"][svtype][cur]
+                    task_ctx = preplan["ctx"][svtype]
+                else:
+                    bins, seen = self._bin_candidates(svtype, sample_snfs, samples_blocks)
+                    candidates_processed += seen
+                    flushes = self._block_flushes(bins, batch_trigger,
+                                                  bin_width)
+                if not flushes:
                     continue
-
-                batch = []
-                span = 0
                 keep = groups_keep[svtype]
-                ordered_bins = sorted(bins)
-                final_bin = ordered_bins[-1]
-                # flush boundaries depend only on candidate counts, so
-                # the block's full flush partition is known up front —
-                # the device greedy batches ALL flushes into one dispatch
-                flushes = []
-                for curr_bin in ordered_bins:
-                    batch.extend(bins[curr_bin])
-                    span += bin_width
-                    flush = ((not config.combine_exhaustive and len(batch) >= batch_trigger)
-                             or curr_bin == final_bin)
-                    if not flush:
-                        continue
-                    if not batch:
-                        span = 0
-                        continue
-                    flushes.append((batch, curr_bin, span))
-                    span = 0
-                    batch = []
 
-                # device-owned greedy (--tpu-combine): one kernel call
-                # covers every flush; the host replays the assignment
-                # through the real SVGroup objects, so float statistics,
-                # frontier closure and emission order stay host-exact
-                # (guards + exactness argument:
-                # parallel/combine_device_greedy.py)
-                device_ctx = None
-                if getattr(config, "tpu_combine", False) and flushes:
-                    try:
-                        from sniffles_tpu.parallel import \
-                            combine_device_greedy as cdg
-                        device_ctx = cdg.pack_block_assignments(
-                            svtype, flushes, keep, config,
-                            counters=self.combine_counters,
-                            device=self.device_service)
-                    except Exception:
-                        if os.environ.get("SNIFFLES_TPU_REQUIRE_DEVICE"):
-                            raise
-                        log.warning("device combine greedy unavailable; "
-                                    "host greedy", exc_info=True)
-
-                for fi, (fbatch, curr_bin, fspan) in enumerate(flushes):
-                    if device_ctx is not None:
-                        from sniffles_tpu.parallel import \
-                            combine_device_greedy as cdg
-                        svgroups = cdg.replay_flush(device_ctx, fi, keep)
-                    else:
+                for fbatch, curr_bin, fspan in flushes:
+                    svgroups = None
+                    if task_ctx is not None:
+                        try:
+                            svgroups = cdg.replay_flush_task(
+                                task_ctx, keep, config,
+                                preplan["ed_caches"][svtype])
+                        except Exception:
+                            if (os.environ.get("SNIFFLES_TPU_REQUIRE_DEVICE")
+                                    or task_ctx["next_fi"] > 0):
+                                # mid-trajectory failure would corrupt
+                                # group state; only a clean first-use
+                                # failure (device error before any
+                                # replay) may fall back
+                                raise
+                            log.warning("whole-task device combine failed "
+                                        f"before first replay ({svtype}); "
+                                        "host greedy", exc_info=True)
+                            preplan["ctx"][svtype] = None
+                            task_ctx = None
+                    if svgroups is None:
                         # memoizes edit distances across group probes
                         # within this batch: filled eagerly by the device
                         # ED kernel for large flushes (_prefill_ed_cache,
@@ -788,8 +879,8 @@ class CombineTask(Task):
                             keep.append(group)
                         else:
                             closing.append(group)
-                    if device_ctx is not None:
-                        device_ctx["closed"].update(id(g) for g in closing)
+                    if task_ctx is not None:
+                        task_ctx["closed"].update(id(g) for g in closing)
 
                     if cur >= self.overlap_nblocks:
                         # (closes inside the overlap were emitted by the
@@ -798,6 +889,11 @@ class CombineTask(Task):
                         calls.extend(sv.call_groups(closing, config, self))
 
                 groups_keep[svtype] = keep
+
+            if preplan is not None:
+                # bound memory: candidates still alive are held by their
+                # groups; the block's raw lists and coverage maps are done
+                preplan["blocks"][cur] = None
 
         # Tail flush. Ghosts belong to the previous shard; groups touching
         # this shard's last block are handed to the next shard when one

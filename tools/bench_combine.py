@@ -12,8 +12,11 @@ the reference's parallel.py:444-566 semantics at population scale.
 Usage:
   python tools/bench_combine.py [--dir DIR] [--samples N] [--ref-len BP]
                                 [--depth D] [--threads T] [--skip-reference]
+                                [--tpu] [--pairs N] [--build-only]
+                                [--site-gap MIN,MAX] [--json-out FILE]
 """
 import argparse
+import json
 import os
 import subprocess
 import sys
@@ -24,7 +27,7 @@ REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
 
-def plant_population(rng, ref_len):
+def plant_population(rng, ref_len, site_gap=(30_000, 52_000)):
     """Population SV sites (pos/type/len AND the inserted sequence fixed
     across samples — carriers of one allele share its sequence, as in a
     real cohort; only genotypes vary per sample)."""
@@ -39,14 +42,15 @@ def plant_population(rng, ref_len):
             svlen = max(svlen, 600)
         seq = random_seq(rng, svlen) if kind == "INS" else ""
         sites.append(PlantedSV(pos=pos, svtype=kind, svlen=svlen, seq=seq))
-        pos += int(rng.integers(30_000, 52_000))
+        pos += int(rng.integers(site_gap[0], site_gap[1]))
         i += 1
     return sites
 
 
 def build_sample(args_tuple):
     """Simulate one sample + call it to SNF (run in a subprocess pool)."""
-    (dirpath, idx, ref_len, depth) = args_tuple
+    (dirpath, idx, ref_len, depth) = args_tuple[:4]
+    site_gap = args_tuple[4] if len(args_tuple) > 4 else (30_000, 52_000)
     import numpy as np
     from sniffles_tpu.sim import write_dataset, PlantedSV
 
@@ -55,7 +59,7 @@ def build_sample(args_tuple):
     if os.path.exists(snf):
         return snf
     site_rng = np.random.default_rng(7)  # shared layout
-    sites = plant_population(site_rng, ref_len)
+    sites = plant_population(site_rng, ref_len, site_gap)
     gt_rng = np.random.default_rng(1000 + idx)
     svs = []
     for s in sites:
@@ -114,24 +118,77 @@ def main():
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--mesh", type=int, default=0,
                     help="also run --tpu-mesh N (byte-exact mesh segmentation)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="host-vs-device alternating-pairs leg for the "
+                         "device-owned combine greedy (--tpu-combine through "
+                         "the persistent daemon)")
+    ap.add_argument("--pairs", type=int, default=5)
+    ap.add_argument("--site-gap", default="30000,52000",
+                    help="population site spacing MIN,MAX bp")
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--json-out", default="")
     args = ap.parse_args()
+    site_gap = tuple(int(x) for x in args.site_gap.split(","))
 
     os.makedirs(args.dir, exist_ok=True)
     t0 = time.perf_counter()
     from concurrent.futures import ProcessPoolExecutor
-    work = [(args.dir, i, args.ref_len, args.depth) for i in range(args.samples)]
+    work = [(args.dir, i, args.ref_len, args.depth, site_gap)
+            for i in range(args.samples)]
     with ProcessPoolExecutor(max_workers=args.threads) as ex:
         snfs = list(ex.map(build_sample, work))
     total_mb = sum(os.path.getsize(s) for s in snfs) / 1e6
     print(f"# {len(snfs)} sample SNFs ({total_mb:.1f} MB total, "
           f"{time.perf_counter()-t0:.0f}s to build)")
+    if args.build_only:
+        return
 
+    result = {"samples": len(snfs), "snf_mb": round(total_mb, 1),
+              "threads": args.threads, "site_gap": list(site_gap)}
     ours = os.path.join(args.dir, "ours.vcf")
-    t_ours = run([sys.executable, "-m", "sniffles_tpu", "--input", *snfs,
-                  "--vcf", ours, "--threads", str(args.threads),
-                  "--allow-overwrite"])
-    r_ours = records(ours)
-    print(f"ours      --threads {args.threads}: {t_ours:6.1f}s  {len(r_ours)} SVs")
+    host_cmd = [sys.executable, "-m", "sniffles_tpu", "--input", *snfs,
+                "--vcf", ours, "--threads", str(args.threads),
+                "--allow-overwrite"]
+
+    if args.tpu:
+        from bench import Daemon, timed_pairs
+        daemon = Daemon(rundir=args.dir)
+        if not daemon.start():
+            raise SystemExit("device daemon failed to warm (no chip reachable?)")
+        tpu_vcf = os.path.join(args.dir, "tpu.vcf")
+        counters_path = os.path.join(args.dir, "combine_counters.json")
+        tpu_cmd = [sys.executable, "-m", "sniffles_tpu", "--input", *snfs,
+                   "--vcf", tpu_vcf, "--threads", str(args.threads),
+                   "--tpu-combine", "--allow-overwrite"]
+        try:
+            p = timed_pairs(host_cmd, tpu_cmd,
+                            {"SNIFFLES_TPU_FORCE_CPU": "1"},
+                            {**daemon.env(),
+                             "SNIFFLES_TPU_COUNTERS_JSON": counters_path},
+                            pairs=args.pairs)
+        finally:
+            daemon.stop()
+        r_ours = records(ours)
+        identical = records(tpu_vcf) == r_ours
+        result["combine_pairs"] = p
+        result["combine_seconds_host"] = p["host_median"]
+        result["combine_seconds_tpu"] = p["tpu_median"]
+        result["tpu_records_identical"] = identical
+        try:
+            with open(counters_path) as f:
+                result["combine_counters"] = json.load(f)
+        except (OSError, ValueError):
+            pass
+        t_ours = p["host_median"]
+        print(f"ours      --threads {args.threads}: host {p['host_median']}s "
+              f"vs tpu {p['tpu_median']}s over {p['pairs']} pairs "
+              f"(tpu wins {p['tpu_wins']}); {len(r_ours)} SVs "
+              f"[{'byte-identical' if identical else 'DIVERGED'}]")
+    else:
+        t_ours = run(host_cmd)
+        r_ours = records(ours)
+        result["combine_seconds_host"] = round(t_ours, 2)
+        print(f"ours      --threads {args.threads}: {t_ours:6.1f}s  {len(r_ours)} SVs")
 
     if args.mesh:
         mesh_vcf = os.path.join(args.dir, "mesh.vcf")
@@ -153,6 +210,15 @@ def main():
         print(f"reference --threads {args.threads}: {t_ref:6.1f}s  {len(r_ref)} SVs")
         print(f"speedup: {t_ref/t_ours:.2f}x   record overlap: "
               f"{len(both)}/{len(r_ref)} ref, {len(both)}/{len(r_ours)} ours")
+        result["combine_seconds_reference"] = round(t_ref, 2)
+        result["vs_reference"] = round(t_ref / t_ours, 2)
+        result["record_overlap"] = [len(both), len(r_ref), len(r_ours)]
+
+    line = json.dumps(result)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
