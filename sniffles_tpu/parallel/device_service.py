@@ -26,6 +26,7 @@ worker pool feeding a shared accelerator.
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 import time
@@ -109,7 +110,9 @@ class DeviceServer:
         self._compiling_lock = threading.Lock()
         self.warm_stats: dict = {}
         self.counters = {"requests": 0, "fusion_batches": 0,
-                         "fusion_fused_requests": 0, "midrun_compiles": 0}
+                         "fusion_fused_requests": 0, "midrun_compiles": 0,
+                         "fusion_window_waits": 0}
+        self._last_arrival = 0.0
 
     # -- threaded operation -------------------------------------------------
 
@@ -134,11 +137,24 @@ class DeviceServer:
         dispatcher thread when done."""
         if self._thread is None:
             self.warm_async()
+        self._last_arrival = time.monotonic()
         self._queue.put((request, reply))
 
     # max call_task requests fused into one vmapped dispatch; padded to
     # 2 or 4 so at most two extra shapes ever compile
     MAX_FUSED = 4
+
+    # adaptive dispatch window: when the queue is WARM (another request
+    # arrived within FUSION_HOT_S — concurrent workers are decoding),
+    # hold a fusable call_task a few ms for same-shape companions
+    # instead of dispatching solo. Decode-ahead posting gives every
+    # request hundreds of ms of slack before its result is consumed, so
+    # the window's added latency is hidden, while each request it fuses
+    # saves a full kernel round trip (~25ms through the tunnel).
+    # BENCH_r04: only 90/254 requests fused with the drain-only policy.
+    FUSION_WINDOW_S = float(os.environ.get(
+        "SNIFFLES_TPU_FUSION_WINDOW_MS", "12")) / 1000.0
+    FUSION_HOT_S = 0.25
 
     def _run(self) -> None:
         self._warm()
@@ -164,11 +180,25 @@ class DeviceServer:
             fusable = (request.kind == "call_task"
                        and (2, pw) in self._ready_shapes)
             if fusable:
+                deadline = None
                 while len(batch) < self.MAX_FUSED:
                     try:
                         nxt = self._queue.get_nowait()
                     except queue.Empty:
-                        break
+                        now = time.monotonic()
+                        if (self.FUSION_WINDOW_S <= 0
+                                or now - self._last_arrival > self.FUSION_HOT_S):
+                            break   # cold queue: never add solo latency
+                        if deadline is None:
+                            deadline = now + self.FUSION_WINDOW_S
+                            self.counters["fusion_window_waits"] += 1
+                        remaining = deadline - now
+                        if remaining <= 0:
+                            break
+                        try:
+                            nxt = self._queue.get(timeout=remaining)
+                        except queue.Empty:
+                            break
                     if (nxt[0].kind == "call_task"
                             and nxt[0].meta == request.meta
                             and self._padded(nxt[0]) == pw):

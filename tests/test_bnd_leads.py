@@ -142,6 +142,47 @@ def test_hg008_e2e_truth_breakends(tmp_path):
     ])
 
 
+def test_hg008_e2e_truth_genotypes(tmp_path):
+    """Genotype-level anchor on the hg008 extract with the FULL default
+    QC cascade on: every truth breakend genotypes 1/1 (all 4 reads at
+    each junction carry the split), GQ 11 from the binomial model with
+    DR=0/DV=4, PRECISE (stdev 0), VAF 1.0, strand +-, and PASS —
+    asserting the whole decode -> leads -> cluster -> call -> QC ->
+    genotype -> phase chain on real GIAB reads, not just positions
+    (reference truth source: src/tests/test_bnd_leads.py fixtures)."""
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["SNIFFLES_TPU_FORCE_CPU"] = "1"
+    out = tmp_path / "out.vcf"
+    r = subprocess.run([sys.executable, "-m", "sniffles_tpu.cli", "--input",
+                        HG008, "--vcf", str(out), "--threads", "0",
+                        "--allow-overwrite"],
+                       capture_output=True, text=True, env=env,
+                       cwd=str(tmp_path), timeout=600)
+    assert r.returncode == 0, r.stderr
+    rows = {}
+    for line in open(out):
+        if line.startswith("#"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        info = dict(kv.split("=", 1) for kv in f[7].split(";") if "=" in kv)
+        rows[(f[0], int(f[1]))] = (f[6], f[8], f[9], info)
+    assert set(rows) == {("chr1", 23_272_628), ("chr18", 21_493_610),
+                         ("chr18", 28_481_424), ("chrX", 95_812_869)}
+    for key, (filt, fmt, sample, info) in rows.items():
+        assert filt == "PASS", key
+        assert fmt == "GT:GQ:DR:DV:PS"
+        assert sample == "1/1:11:0:4:.", (key, sample)
+        assert info["SUPPORT"] == "4"
+        assert info["STDEV_POS"] == "0.000"
+        assert info["VAF"] == "1.000"
+        assert info["STRAND"] == "+-"
+
+
 def test_hg002_e2e_truth_breakend(tmp_path):
     """GIAB hg002 extract (a single read): its intra-chr1 junction
     72,300,641 <-> 72,346,157 surfaces with --no-qc (support 1 is below

