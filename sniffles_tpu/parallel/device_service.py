@@ -158,8 +158,22 @@ class DeviceServer:
 
     def _run(self) -> None:
         self._warm()
+        # 1-deep response pipeline: fetching a kernel's result pays a
+        # full tunnel round trip (~24ms measured) REGARDLESS of size, so
+        # the dispatcher starts the next kernel (async jit dispatch +
+        # copy_to_host_async) before finishing the previous response —
+        # the fetch overlaps the next kernel's execution. When the queue
+        # goes quiet the pending response is finished immediately, so an
+        # isolated request sees no added latency.
+        pending = None
         while True:
-            request, reply = self._queue.get()
+            try:
+                request, reply = self._queue.get_nowait()
+            except queue.Empty:
+                if pending is not None:
+                    pending()
+                    pending = None
+                request, reply = self._queue.get()
             self.counters["requests"] += 1
 
             # non-default kernel configs compile on a side thread so the
@@ -210,11 +224,32 @@ class DeviceServer:
             if len(batch) > 1:
                 self.counters["fusion_batches"] += 1
                 self.counters["fusion_fused_requests"] += len(batch)
-                self._handle_fused(batch)
+                finish = self._start_fused(batch)
+                if pending is not None:
+                    pending()
+                pending = finish
+            elif request.kind == "call_task":
+                finish = self._start_solo(request, reply)
+                if pending is not None:
+                    pending()
+                pending = finish
             else:
+                if pending is not None:
+                    pending()
+                    pending = None
                 self._safe_reply(reply, self.handle(request))
             if leftover is not None:
-                self._safe_reply(leftover[1], self.handle(leftover[0]))
+                lreq, lreply = leftover
+                if lreq.kind == "call_task" and self._meta_ready(lreq):
+                    finish = self._start_solo(lreq, lreply)
+                    if pending is not None:
+                        pending()
+                    pending = finish
+                else:
+                    if pending is not None:
+                        pending()
+                        pending = None
+                    self._safe_reply(lreply, self.handle(lreq))
 
     @staticmethod
     def _padded(request) -> int:
@@ -276,7 +311,46 @@ class DeviceServer:
             # requeued by the heartbeat logic and re-posts elsewhere
             log.debug("could not deliver device response", exc_info=True)
 
-    def _handle_fused(self, batch) -> None:
+    def _start_solo(self, request, reply):
+        """Dispatch one call_task kernel asynchronously; returns a
+        finish() that fetches + replies (run it AFTER dispatching the
+        next kernel so the tunnel fetch overlaps device compute), or
+        None if the dispatch itself failed (already replied)."""
+        global JAX_CLIENT_LIVE
+        try:
+            import jax.numpy as jnp
+            from sniffles_tpu.ops.clustering import call_task_packed
+            from sniffles_tpu.parallel.device_call import (compress_call_response,
+                                                           pad_packed)
+            JAX_CLIENT_LIVE = True
+            padded = pad_packed(np.asarray(request.payload))
+            out = call_task_packed(jnp.asarray(padded), **request.meta)
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+
+            def finish():
+                try:
+                    self._safe_reply(reply, DeviceResponse(
+                        payload=compress_call_response(np.asarray(out),
+                                                       padded.shape[1]),
+                        req_id=request.req_id))
+                except Exception as e:  # noqa: BLE001
+                    log.warning("device response fetch failed", exc_info=True)
+                    self._safe_reply(reply, DeviceResponse(
+                        error=f"{type(e).__name__}: {e}",
+                        req_id=request.req_id))
+            return finish
+        except Exception as e:  # noqa: BLE001
+            log.warning("device service request failed", exc_info=True)
+            self._safe_reply(reply, DeviceResponse(
+                error=f"{type(e).__name__}: {e}", req_id=request.req_id))
+            return None
+
+    def _start_fused(self, batch):
+        """Dispatch one fused (vmapped) kernel for same-shape call_task
+        requests; same contract as _start_solo."""
         global JAX_CLIENT_LIVE
         try:
             import jax.numpy as jnp
@@ -291,16 +365,31 @@ class DeviceServer:
             for j, (req, _) in enumerate(batch):
                 stacked[j, :, :np.shape(req.payload)[-1]] = req.payload
             meta_items = tuple(sorted(batch[0][0].meta.items()))
-            out = np.asarray(batched_call_task(meta_items)(jnp.asarray(stacked)))
-            for j, (req, reply) in enumerate(batch):
-                self._safe_reply(reply, DeviceResponse(
-                    payload=compress_call_response(out[j], pw),
-                    req_id=req.req_id))
+            out = batched_call_task(meta_items)(jnp.asarray(stacked))
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+
+            def finish():
+                try:
+                    fetched = np.asarray(out)
+                    for j, (req, reply) in enumerate(batch):
+                        self._safe_reply(reply, DeviceResponse(
+                            payload=compress_call_response(fetched[j], pw),
+                            req_id=req.req_id))
+                except Exception as e:  # noqa: BLE001
+                    log.warning("fused device fetch failed", exc_info=True)
+                    for req, reply in batch:
+                        self._safe_reply(reply, DeviceResponse(
+                            error=f"{type(e).__name__}: {e}", req_id=req.req_id))
+            return finish
         except Exception as e:  # noqa: BLE001
             log.warning("fused device dispatch failed", exc_info=True)
             for req, reply in batch:
                 self._safe_reply(reply, DeviceResponse(
                     error=f"{type(e).__name__}: {e}", req_id=req.req_id))
+            return None
 
     def _warm(self) -> None:
         global JAX_CLIENT_LIVE

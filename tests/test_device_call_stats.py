@@ -153,7 +153,9 @@ def test_fused_multi_task_dispatch_matches_single(config):
                             req_id=i), None) for i, p in enumerate(packs)]
     batch = [(req, (lambda i: (lambda resp: got.__setitem__(i, resp)))(i))
              for i, (req, _) in enumerate(batch)]
-    server._handle_fused(batch)
+    finish = server._start_fused(batch)
+    assert finish is not None
+    finish()
 
     assert sorted(got) == [0, 1, 2]
     for i in range(3):
