@@ -93,9 +93,10 @@ _STATE_META_CACHE: dict[type, tuple] = {}
 
 def _state_meta(cls) -> tuple:
     """Per-class pickle-state metadata: (frozenset of slot names,
-    ((name, default, is_factory), ...) for every defaulted field).
-    Cached — this runs once per class, not per object (SNF combine
-    deserializes 10^4-10^5 SVCall objects per block batch)."""
+    ((name, default, is_factory), ...) for every defaulted field,
+    {name: bound slot-descriptor __set__}). Cached — this runs once per
+    class, not per object (SNF combine deserializes 10^5-10^6 SVCall
+    objects per run, so every per-object nanosecond here is wall-clock)."""
     cached = _STATE_META_CACHE.get(cls)
     if cached is None:
         import dataclasses
@@ -106,7 +107,11 @@ def _state_meta(cls) -> tuple:
             for f in dataclasses.fields(cls)
             if f.default is not dataclasses.MISSING
             or f.default_factory is not dataclasses.MISSING)
-        cached = (frozenset(cls.__slots__), defaults)
+        # direct slot-descriptor setters skip the per-setattr type-dict
+        # walk of object.__setattr__ (and double as the membership test)
+        setters = {name: getattr(cls, name).__set__
+                   for name in cls.__slots__}
+        cached = (frozenset(cls.__slots__), defaults, setters)
         _STATE_META_CACHE[cls] = cached
     return cached
 
@@ -126,15 +131,27 @@ def _apply_pickle_state(obj, state) -> None:
         d, s = state
     else:
         d, s = state, None
-    fields, defaults = _state_meta(obj.__class__)
-    sa = object.__setattr__
+    fields, defaults, setters = _state_meta(obj.__class__)
+    sget = setters.get
+    if not d:
+        # fast path — the slots-form state this build's own pickles
+        # produce (SNF combine deserializes 10^5-10^6 of these; per-key
+        # bookkeeping here measured 6.5s of a 17s combine run)
+        for k, v in s.items():
+            setter = sget(k)
+            if setter is not None:
+                setter(obj, v)
+        for k, v, is_factory in defaults:
+            if k not in s:
+                sget(k)(obj, v() if is_factory else v)
+        return
     applied = set()
     for src in (s, d):
         if src:
             for k, v in src.items():
                 if k in fields and k not in applied:
-                    sa(obj, k, v)
+                    sget(k)(obj, v)
                     applied.add(k)
     for k, v, is_factory in defaults:
         if k not in applied:
-            sa(obj, k, v() if is_factory else v)
+            sget(k)(obj, v() if is_factory else v)

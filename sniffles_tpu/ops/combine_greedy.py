@@ -323,11 +323,13 @@ def _greedy_grid_loop(c_pos, c_len, c_alt, c_hord, counts, ed,
     return final["assign"], final["segflags"]
 
 
-def run_combine_greedy_task(payload: dict, meta: dict) -> dict:
-    """Execute the whole-task grid greedy (one dispatch per
-    (combine task, svtype) — the per-(block, svtype) dispatch cadence
-    paid one ~25ms tunnel round trip per block and lost the wall-clock
-    it saved).
+def start_combine_greedy_task(payload: dict, meta: dict):
+    """Dispatch the whole-task grid greedy asynchronously (one dispatch
+    per (combine task, svtype) — the per-(block, svtype) dispatch
+    cadence paid one ~25ms tunnel round trip per block and lost the
+    wall-clock it saved) and return a finish() that fetches the result
+    — callers under the device service run finish() after dispatching
+    the NEXT kernel so the tunnel fetch overlaps device compute.
 
     payload: c_pos/c_len/c_alt/c_hord (S, L) int32 grids in segment-row
     layout (trimmed; padded to power-of-two here so a handful of
@@ -372,10 +374,22 @@ def run_combine_greedy_task(payload: dict, meta: dict) -> dict:
         jnp.asarray(ed),
         cm=int(meta["cm"]), cmm=int(meta["cmm"]),
         limit=float(meta["limit"]))
-    # ONE device_get — each separate fetch pays a full tunnel round trip
-    assign, segflags = jax.device_get(out)
-    return {"assign": np.asarray(assign)[:S, :L],
-            "seg_flags": np.asarray(segflags)[:S]}
+    for o in out:
+        try:
+            o.copy_to_host_async()
+        except Exception:
+            break
+
+    def finish():
+        # ONE device_get — each separate fetch pays a full tunnel RT
+        assign, segflags = jax.device_get(out)
+        return {"assign": np.asarray(assign)[:S, :L],
+                "seg_flags": np.asarray(segflags)[:S]}
+    return finish
+
+
+def run_combine_greedy_task(payload: dict, meta: dict) -> dict:
+    return start_combine_greedy_task(payload, meta)()
 
 
 def run_combine_greedy(payload: dict, meta: dict) -> dict:

@@ -260,14 +260,15 @@ def pack_task_assignments(svtype, flushes, config, counters=None,
     if n == 0:
         return None
 
-    pos = np.empty(n, dtype=np.int64)
-    lens = np.empty(n, dtype=np.int64)
-    for t, c in enumerate(cands):
-        if c.svlen is None:
-            _bump(counters, "combine_greedy_guard_fallbacks")
-            return None
-        pos[t] = c.pos
-        lens[t] = abs(int(c.svlen))
+    # single attribute pass (the packer must stay O(n) with SMALL
+    # constants: at population-TR scale n is ~10^5 per svtype and every
+    # extra per-candidate Python pass erases the probe-loop savings)
+    svlens = [c.svlen for c in cands]
+    if any(v is None for v in svlens):
+        _bump(counters, "combine_greedy_guard_fallbacks")
+        return None
+    pos = np.fromiter((c.pos for c in cands), dtype=np.int64, count=n)
+    lens = np.abs(np.fromiter(svlens, dtype=np.int64, count=n))
 
     # safe-cut segmentation over positions (gaps > cmm)
     order = np.argsort(pos, kind="stable")
@@ -293,32 +294,37 @@ def pack_task_assignments(svtype, flushes, config, counters=None,
     host_segs = set(np.nonzero(bad)[0].tolist())
 
     # grid layout: one row per device segment, columns in trajectory
-    # order within the segment (stable sort preserves it)
-    dev_seg_ids = [s for s in range(n_segs) if s not in host_segs]
+    # order within the segment — all vectorized (stable sort by segment
+    # preserves trajectory order within each row)
+    is_host = np.zeros(n, dtype=bool)
+    if host_segs:
+        is_host = np.isin(cand_seg, np.fromiter(host_segs, dtype=np.int64,
+                                                count=len(host_segs)))
+    dev_t = np.nonzero(~is_host)[0]
+    if len(dev_t) == 0:
+        return None
+    order_dev = dev_t[np.argsort(cand_seg[dev_t], kind="stable")]
+    seg_sorted = cand_seg[order_dev]
+    dev_seg_ids_arr, row_sorted, counts64 = np.unique(
+        seg_sorted, return_inverse=True, return_counts=True)
+    dev_seg_ids = dev_seg_ids_arr.tolist()
     row_of_seg = {s: r for r, s in enumerate(dev_seg_ids)}
     S = len(dev_seg_ids)
-    if S == 0:
-        return None
-    counts = np.array([int(seg_count[s]) for s in dev_seg_ids],
-                      dtype=np.int32)
+    counts = counts64.astype(np.int32)
+    starts = np.zeros(S, dtype=np.int64)
+    np.cumsum(counts64[:-1], out=starts[1:])
+    col_sorted = np.arange(len(order_dev)) - starts[row_sorted]
+    dev_row = np.full(n, -1, dtype=np.int64)
+    dev_col = np.full(n, -1, dtype=np.int64)
+    dev_row[order_dev] = row_sorted
+    dev_col[order_dev] = col_sorted
     L = int(counts.max())
     c_pos = np.zeros((S, L), dtype=np.int32)
     c_len = np.zeros((S, L), dtype=np.int32)
     c_alt = np.zeros((S, L), dtype=np.int32)
     c_hord = np.full((S, L), -1, dtype=np.int32)
-    dev_row = np.full(n, -1, dtype=np.int64)
-    dev_col = np.full(n, -1, dtype=np.int64)
-    fill = np.zeros(S, dtype=np.int64)
-    for t in range(n):
-        r = row_of_seg.get(int(cand_seg[t]))
-        if r is None:
-            continue
-        j = int(fill[r])
-        fill[r] = j + 1
-        dev_row[t] = r
-        dev_col[t] = j
-        c_pos[r, j] = local_pos[t]
-        c_len[r, j] = lens[t]
+    c_pos[row_sorted, col_sorted] = local_pos[order_dev]
+    c_len[row_sorted, col_sorted] = lens[order_dev]
 
     limit = float(config.combine_pctseq or 0.0)
     ed_segs = ed_rows = ed_cols = ed_vals = np.zeros(0, dtype=np.int32)
@@ -326,7 +332,8 @@ def pack_task_assignments(svtype, flushes, config, counters=None,
         packed = _build_task_ed_table(cands, cand_seg, row_of_seg, dev_row,
                                       dev_col, pos, lens, cmm,
                                       c_alt, c_hord, device,
-                                      with_table=(svtype == "INS"))
+                                      with_table=(svtype == "INS"),
+                                      grid=(row_sorted, col_sorted, order_dev))
         if packed is None:
             _bump(counters, "combine_greedy_guard_fallbacks")
             return None
@@ -371,68 +378,79 @@ def pack_task_assignments(svtype, flushes, config, counters=None,
 
 def _build_task_ed_table(cands, cand_seg, row_of_seg, dev_row, dev_col,
                          pos, lens, cmm, c_alt_out, c_hord_out, device,
-                         with_table=True):
-    """Segment-local alt ids, head ordinals, and (INS only) the sparse
-    exact ED table for the grid kernel. Heads are the first
-    TASK_ED_HEADS distinct alts per segment (in trajectory order — the
-    g-th group's head is the first candidate that matched none of
-    groups 1..g-1, so heads are strongly prefix-biased); a probe
-    against an untabulated head flags the segment for exact host
-    replay. Fills c_alt_out/c_hord_out (grid coords); returns (ed_segs,
+                         with_table=True, grid=None):
+    """Alt ids, head ordinals, and (INS only) the sparse exact ED table
+    for the grid kernel. Alt ids are GLOBAL (equality is only ever
+    compared within a segment, so any bijection works — a global
+    factorize is one vectorized pass instead of per-segment dicts).
+    Heads are the first TASK_ED_HEADS distinct alts per segment (in
+    trajectory order — the g-th group's head is the first candidate
+    that matched none of groups 1..g-1, so heads are strongly
+    prefix-biased); a probe against an untabulated head flags the
+    segment for exact host replay. The per-candidate Python work runs
+    ONLY over non-uniform segments (rare in identical-allele cohorts —
+    the packer must stay O(n) numpy at 10^5 candidates).
+
+    Fills c_alt_out/c_hord_out (grid coords); returns (ed_segs,
     ed_rows, ed_cols, ed_vals, uniform) where uniform means every
     device segment carries a single distinct alt, or None if
     untabulable."""
-    seg_alt_ids: dict = {}
-    heads_by_seg: dict = {}   # grid row -> [(alt_id, alt string, pos, len)]
+    row_sorted, col_sorted, order_dev = grid
+    gid_of: dict = {}
+    # alt may be a symbolic placeholder or None for non-INS types; the
+    # factorize keys on the VALUE so same-string (the host's distance-0
+    # shortcut) maps to equal ids exactly
+    galts = np.fromiter((gid_of.setdefault(cands[t].alt, len(gid_of))
+                         for t in order_dev.tolist()),
+                        dtype=np.int64, count=len(order_dev))
+    c_alt_out[row_sorted, col_sorted] = galts
+
+    n_alts = len(gid_of) + 1
+    pair_key = row_sorted * n_alts + galts
+    distinct_rows = np.unique(pair_key) // n_alts
+    S = int(row_sorted[-1]) + 1 if len(row_sorted) else 0
+    per_row_distinct = np.bincount(distinct_rows, minlength=S)
+    uniform = bool((per_row_distinct <= 1).all())
+    z = np.zeros(0, dtype=np.int32)
+    if not with_table or uniform:
+        return (z, z, z, z, uniform)
+
+    bad = np.isin(row_sorted, np.nonzero(per_row_distinct > 1)[0])
+    idx = np.nonzero(bad)[0]
+    heads_by_row: dict = {}   # grid row -> [(alt_id, alt string, pos, len)]
     ord_by_alt: dict = {}     # (grid row, alt_id) -> head ordinal
-    n = len(cands)
-    for t in range(n):
-        r = int(dev_row[t])
-        if r < 0:
-            continue
-        c = cands[t]
-        alt = c.alt
-        ids = seg_alt_ids.setdefault(r, {})
-        # alt may be a symbolic placeholder or None for non-INS types;
-        # the id dict keys on the VALUE so same-string (the host's
-        # distance-0 shortcut) maps to equal ids exactly
-        aid = ids.setdefault(alt, len(ids))
-        j = int(dev_col[t])
-        c_alt_out[r, j] = aid
-        heads = heads_by_seg.setdefault(r, [])
-        if (with_table and len(heads) < TASK_ED_HEADS
-                and isinstance(alt, str) and alt
+    for k in idx.tolist():
+        r = int(row_sorted[k])
+        t = int(order_dev[k])
+        aid = int(galts[k])
+        alt = cands[t].alt
+        heads = heads_by_row.setdefault(r, [])
+        if (len(heads) < TASK_ED_HEADS and isinstance(alt, str) and alt
                 and len(alt) <= ED_MAX_LEN and (r, aid) not in ord_by_alt):
             ord_by_alt[(r, aid)] = len(heads)
             heads.append((aid, alt, int(pos[t]), int(lens[t])))
         hord = ord_by_alt.get((r, aid))
         if hord is not None:
-            c_hord_out[r, j] = hord
-
-    uniform = all(len(ids) <= 1 for ids in seg_alt_ids.values())
-    z = np.zeros(0, dtype=np.int32)
-    if not with_table or uniform:
-        return (z, z, z, z, uniform)
+            c_hord_out[r, int(col_sorted[k])] = hord
 
     radius = ED_RADIUS_FACTOR * cmm
     pair_keys: dict = {}
     entries = []
-    for t in range(n):
-        r = int(dev_row[t])
-        if r < 0:
-            continue
+    for k in idx.tolist():
+        r = int(row_sorted[k])
+        t = int(order_dev[k])
         alt = cands[t].alt
         if not isinstance(alt, str) or not alt or len(alt) > ED_MAX_LEN:
             continue
         for hord, (h_aid, h_alt, h_pos, h_len) in enumerate(
-                heads_by_seg.get(r, ())):
+                heads_by_row.get(r, ())):
             if h_alt == alt:
                 continue
             if abs(h_pos - int(pos[t])) + abs(h_len - int(lens[t])) > radius:
                 continue
             key = (h_alt, alt)
             pair_keys.setdefault(key, len(pair_keys))
-            entries.append((r, hord, int(dev_col[t]), key))
+            entries.append((r, hord, int(col_sorted[k]), key))
 
     if not pair_keys:
         return (z, z, z, z, uniform)
@@ -471,8 +489,7 @@ def _resolve_task_ctx(ctx):
     if ctx["result"] is None:
         ctx["result"] = ctx["device"].wait(ctx["req"])
     res = ctx["result"]
-    if "flag_segs_applied" not in ctx:
-        ctx["flag_segs_applied"] = True
+    if "slot_of" not in ctx:
         flags = res["seg_flags"]
         # grid rows map back to original segment ids
         flagged = {ctx["dev_seg_ids"][r]
@@ -481,6 +498,22 @@ def _resolve_task_ctx(ctx):
             _bump(ctx["counters"], "combine_greedy_flagged_segments",
                   len(flagged))
         ctx["host_segs"] |= flagged
+        # per-candidate slot keys precomputed in one vectorized pass
+        # (-1 = host-replay candidate); the replay loop then does one
+        # list index + dict lookup per candidate
+        assign = res["assign"]
+        dr = ctx["dev_row"]
+        dc = ctx["dev_col"]
+        slot = np.full(len(dr), -1, dtype=np.int64)
+        m = dr >= 0
+        if m.any() and assign.size:
+            width = assign.shape[1] + 1
+            slot[m] = dr[m] * width + assign[dr[m], dc[m]]
+        if ctx["host_segs"]:
+            hs = np.fromiter(ctx["host_segs"], dtype=np.int64,
+                             count=len(ctx["host_segs"]))
+            slot[np.isin(ctx["cand_seg"], hs)] = -1
+        ctx["slot_of"] = slot.tolist()
     return res
 
 
@@ -493,28 +526,29 @@ def replay_flush_task(ctx, keep, config, ed_cache):
     cross-segment probes can never match (the safe-cut argument).
     Returns the evolving active list in the host greedy's order."""
     from sniffles_tpu.cluster import _best_length_group
-    res = _resolve_task_ctx(ctx)
-    assign = res["assign"]
+    _resolve_task_ctx(ctx)
+    slot_of = ctx["slot_of"]
     fi = ctx["next_fi"]
     groups = keep
     slots = ctx["slots"]
+    closed = ctx["closed"]
+    from_candidate = sv.SVGroup.from_candidate
     for cand, t in ctx["per_flush"][fi]:
-        if int(ctx["cand_seg"][t]) in ctx["host_segs"]:
+        slot = slot_of[t]
+        if slot < 0:
             target = _best_length_group(cand, groups, config, ed_cache)
             if target is None:
-                groups.append(sv.SVGroup.from_candidate(cand))
+                groups.append(from_candidate(cand))
             else:
                 target.add_candidate(cand)
             continue
-        r = int(ctx["dev_row"][t])
-        slot = (r, int(assign[r, ctx["dev_col"][t]]))
         g = slots.get(slot)
         if g is None:
-            g = sv.SVGroup.from_candidate(cand)
+            g = from_candidate(cand)
             slots[slot] = g
             groups.append(g)
         else:
-            if id(g) in ctx["closed"]:
+            if id(g) in closed:
                 raise RuntimeError(
                     "device combine greedy matched a frontier-closed group "
                     "(combine_match_max/overlap guard violated)")

@@ -233,6 +233,11 @@ class DeviceServer:
                 if pending is not None:
                     pending()
                 pending = finish
+            elif request.kind == "combine_greedy_task":
+                finish = self._start_combine(request, reply)
+                if pending is not None:
+                    pending()
+                pending = finish
             else:
                 if pending is not None:
                     pending()
@@ -344,6 +349,31 @@ class DeviceServer:
             return finish
         except Exception as e:  # noqa: BLE001
             log.warning("device service request failed", exc_info=True)
+            self._safe_reply(reply, DeviceResponse(
+                error=f"{type(e).__name__}: {e}", req_id=request.req_id))
+            return None
+
+    def _start_combine(self, request, reply):
+        """Async dispatch for whole-task combine greedy kernels; same
+        finish() contract as _start_solo."""
+        global JAX_CLIENT_LIVE
+        try:
+            from sniffles_tpu.ops.combine_greedy import start_combine_greedy_task
+            JAX_CLIENT_LIVE = True
+            finishf = start_combine_greedy_task(request.payload, request.meta)
+
+            def finish():
+                try:
+                    self._safe_reply(reply, DeviceResponse(
+                        payload=finishf(), req_id=request.req_id))
+                except Exception as e:  # noqa: BLE001
+                    log.warning("combine kernel fetch failed", exc_info=True)
+                    self._safe_reply(reply, DeviceResponse(
+                        error=f"{type(e).__name__}: {e}",
+                        req_id=request.req_id))
+            return finish
+        except Exception as e:  # noqa: BLE001
+            log.warning("combine kernel dispatch failed", exc_info=True)
             self._safe_reply(reply, DeviceResponse(
                 error=f"{type(e).__name__}: {e}", req_id=request.req_id))
             return None

@@ -250,6 +250,14 @@ class SnifflesWorker:
         import concurrent.futures
 
         self.pid = os.getpid()
+        # Automatic generational GC is pure overhead for this workload:
+        # a combine/call task materializes 10^5-10^6 mostly-acyclic
+        # objects (SVCall/Lead), and every automatic gen-2 pass scans
+        # them all (measured: 1.7-5s of a 6-12s combine run). The
+        # explicit gc.collect() after each task below keeps the
+        # reference's per-task collection semantics (parallel.py:760)
+        # while the allocation storm runs collector-free.
+        gc.disable()
         self._shutdown = threading.Event()
         # pipe_worker is written by the main loop (results) and by any
         # thread posting device requests (decode-ahead prefetch);
@@ -401,25 +409,35 @@ class SnifflesParentWorker(SnifflesWorker):
         count = len(tasks)
         can_prefetch = self.config.mode in ("call_sample", "genotype_vcf")
 
-        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-            next_fut = None
-            for i, task in enumerate(tasks):
-                log.info(f'Executing {task} ({i + 1}/{count})')
-                if next_fut is not None:
-                    try:
-                        next_fut.result()
-                    except Exception:
-                        log.exception('Decode-ahead prefetch failed; task will decode inline')
-                if can_prefetch and i + 1 < count:
-                    def _prefetch(nxt=tasks[i + 1]):
-                        nxt.build_leadtab()
-                        nxt.maybe_post_device(self.device_client)
-                    next_fut = pool.submit(_prefetch)
-                else:
-                    next_fut = None
-                result = task.execute(self)
-                task.add_result(result)
-                self.finished_tasks.append(task)
+        # same GC policy as run_worker: automatic generational passes
+        # over 10^5-10^6 live task objects cost seconds; collect once
+        # per task instead
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+                next_fut = None
+                for i, task in enumerate(tasks):
+                    log.info(f'Executing {task} ({i + 1}/{count})')
+                    if next_fut is not None:
+                        try:
+                            next_fut.result()
+                        except Exception:
+                            log.exception('Decode-ahead prefetch failed; task will decode inline')
+                    if can_prefetch and i + 1 < count:
+                        def _prefetch(nxt=tasks[i + 1]):
+                            nxt.build_leadtab()
+                            nxt.maybe_post_device(self.device_client)
+                        next_fut = pool.submit(_prefetch)
+                    else:
+                        next_fut = None
+                    result = task.execute(self)
+                    task.add_result(result)
+                    self.finished_tasks.append(task)
+                    gc.collect()
+        finally:
+            if gc_was_enabled:
+                gc.enable()
         self.tasks.clear()
         return False
 
