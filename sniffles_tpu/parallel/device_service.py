@@ -447,7 +447,16 @@ class DeviceServer:
                 t0 = time.perf_counter()
                 sizes = [DEVICE_BATCH_FLOOR]
                 if self._warm_full:
+                    # 2x..8x the floor: SV-dense tasks (TR-region
+                    # density at depth) pack up to 8x-floor signature
+                    # widths per contig task, and an unwarmed width
+                    # costs a ~37-80s cold tunnel compile that hedges
+                    # every dispatch to host meanwhile (persistent
+                    # compile-cache hits reduce each to ~1.6-3s, so a
+                    # warm daemon start stays cheap)
                     sizes.append(2 * DEVICE_BATCH_FLOOR)
+                    sizes.append(4 * DEVICE_BATCH_FLOOR)
+                    sizes.append(8 * DEVICE_BATCH_FLOOR)
                 warm_key = tuple(sorted(self._warm_meta.items()))
                 for size in sizes:
                     jax.block_until_ready(call_task_packed(
