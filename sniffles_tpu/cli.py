@@ -340,7 +340,7 @@ def _run_pool(config, tasks, processes, monitor):
                     from sniffles_tpu.parallel.device_call import (DEVICE_BATCH_FLOOR,
                                                                    PACKED_ROWS)
                     from sniffles_tpu.parallel.device_service import standard_call_meta
-                    jax.block_until_ready(call_task_packed(
+                    jax.device_get(call_task_packed(
                         jnp.zeros((PACKED_ROWS, DEVICE_BATCH_FLOOR), jnp.int32),
                         **standard_call_meta(config)))
                 except Exception:

@@ -262,6 +262,382 @@ def _exact_merge_sweep(s: dict, seed_boundary, bin_, *, cluster_r,
     return boundary.at[0].set(True)
 
 
+def _exact_merge_sweep_grid(s: dict, seed_boundary, bin_, *, cluster_r,
+                            cluster_repeat_h, cluster_repeat_h_max,
+                            cluster_merge_bnd, global_repeat, binsize,
+                            head_freeze):
+    """The exact merge sweep with SEGMENT-LOCKSTEP execution: identical
+    trajectory and arithmetic to `_exact_merge_sweep` (same criteria,
+    same float32 range metrics with the reference's stride-subsample
+    quirks, same `i = max(0, i-2) + 1` pointer semantics), but seeds are
+    first partitioned at PROVABLY merge-impermeable gaps and every
+    segment's pointer advances in parallel lanes — one while_loop
+    iteration steps ALL segments at once, so wall-clock is
+    O(max trajectory per segment), not O(total seeds). The sequential
+    formulation measured 100-600 ms per production task on the tunneled
+    chip (~20-40 us per iteration x one iteration per seed/merge), which
+    exceeded the host compute the kernel replaces.
+
+    Soundness of the cuts (no merge can ever cross one, at any stage of
+    accretion):
+      * inner == the raw bin gap at the cut: a cluster's end_bp/start_bp
+        only ever extend INTO its segment, so the boundary pair's inner
+        distance is CONSTANT as clusters accrete;
+      * m3 needs inner <= cluster_merge_bnd — excluded by
+        gap > cluster_merge_bnd;
+      * m2 needs outer <= h_lim <= cluster_repeat_h_max and
+        outer >= inner == gap — excluded by gap > cluster_repeat_h_max;
+      * m1 needs inner <= min(sd_left, sd_right) * cluster_r; every
+        position of a cluster lies inside its segment's bin span, and a
+        sample stdev never exceeds the max deviation from the mean,
+        which is < span — so sd < span and gap >
+        cluster_r * min(span_left, span_right) excludes m1. Spans depend
+        on the partition, so the partition is the fixpoint of removing
+        cuts that fail the criterion (removal only grows spans —
+        monotone); if the fixpoint doesn't settle within the pass cap,
+        all non-type cuts collapse (sound: that is the sequential
+        single-segment behavior per svtype run).
+    Host pointer behavior at a cut is reproduced exactly: the host
+    evaluates the cross pair (it fails, by the above), advances or
+    bounces its backtrack off it with i restored — net state unchanged —
+    which is precisely the lane behavior at segment edges (the same
+    argument the mesh shard sweep already relies on via head_freeze).
+
+    Type-change boundaries are unconditional cuts (pair_ok is false
+    across them and the host re-initializes `i` per svtype); `i` starts
+    at 0 only in the lane holding a svtype's task-global head (per
+    head_freeze), at 2 everywhere else, and a non-head lane's backtrack
+    floor is 2 — so the i==0/i==1 head quirks bind exactly where the
+    host's do.
+    """
+    n = s["pos"].shape[0]
+    valid = s["valid"]
+    svtype = s["svtype"]
+    pos = s["pos"]
+    arange_n = jnp.arange(n)
+    INT32_MAX = jnp.int32(2 ** 31 - 1)
+    SENT = jnp.int32(n)
+
+    seed_id = segment_ids_from_boundaries(seed_boundary)
+    nseeds = jnp.max(jnp.where(valid, seed_id, -1)) + 1
+
+    # per-seed slot state (slots 0..nseeds-1 live)
+    lo = seg_min(jnp.where(valid, arange_n, n), seed_id, n)
+    hi = seg_max(jnp.where(valid, arange_n, -1), seed_id, n) + 1
+    seed_type = seg_max(jnp.where(valid, svtype, -1), seed_id, n)
+    start_bp = seg_min(jnp.where(valid, bin_ * binsize, INT32_MAX), seed_id, n)
+    end_bp0 = seg_max(jnp.where(valid, bin_ * binsize + binsize, -1), seed_id, n)
+    rep0 = seg_max(jnp.where(valid, s["repeat"].astype(jnp.int32), 0), seed_id, n)
+    mean_sv0, sd0 = _segment_metrics(seed_id, valid, pos, s["svlen"], arange_n, n)
+
+    if isinstance(head_freeze, (bool, int)):
+        head_vec = jnp.full((8,), bool(head_freeze))
+    else:
+        hf = jnp.asarray(head_freeze)
+        head_vec = jnp.full((8,), True) & hf if hf.ndim else jnp.full((8,), hf)
+
+    seed_live = arange_n < nseeds
+    prev_slot = jnp.clip(arange_n - 1, 0, n - 1)
+    type_change = (arange_n == 0) | (seed_type != seed_type[prev_slot])
+    gap = (start_bp - end_bp0[prev_slot]).astype(jnp.float32)
+    const_ok = gap > jnp.float32(max(float(cluster_merge_bnd),
+                                     float(cluster_repeat_h_max)))
+
+    # --- sound cut partition: fixpoint over span-dependent m1 bound ---
+    cut0 = seed_live & (type_change | const_ok)
+    cut0 = cut0.at[0].set(True)
+
+    def fix_cond(st):
+        it, changed, _ = st
+        return changed & (it < 24)
+
+    def fix_body(st):
+        it, _, cut = st
+        segid = segment_ids_from_boundaries(cut)
+        span_lo = seg_min(jnp.where(seed_live, start_bp, INT32_MAX), segid, n)
+        span_hi = seg_max(jnp.where(seed_live, end_bp0, -1), segid, n)
+        span = (jnp.take(span_hi, segid) - jnp.take(span_lo, segid)
+                ).astype(jnp.float32)
+        span_l = jnp.take(span, jnp.clip(segid - 1, 0, n - 1))
+        min_span = jnp.minimum(span_l, span)
+        m1_ok = gap > jnp.float32(cluster_r) * min_span
+        new_cut = cut & (type_change | (const_ok & m1_ok))
+        new_cut = new_cut.at[0].set(True)
+        return (it + 1, jnp.any(new_cut != cut), new_cut)
+
+    _, still_changing, cut = jax.lax.while_loop(
+        fix_cond, fix_body, (jnp.int32(0), jnp.bool_(True), cut0))
+    # pass cap hit while still unstable -> collapse to type cuts (sound)
+    cut = jnp.where(still_changing, seed_live & type_change, cut)
+    cut = cut.at[0].set(True)
+    rowid = segment_ids_from_boundaries(cut)     # per SEED slot
+
+    # ------------------------------------------------------------------
+    # Lockstep range metrics WITHOUT per-iteration wide gathers.
+    #
+    # A (n, 256)-index gather costs ~15 ms per while_loop iteration on
+    # TPU (gathers run ~19 ns/element), which dominated the lockstep
+    # sweep. The candidate merged ranges of all rows are DISJOINT
+    # element runs, so the same picks can be expressed as an
+    # element-aligned mask ((idx - lo) % stride == 0 inside [lo, hi) —
+    # identical pick set: the 256 cap never binds, picks max out at
+    # 199) and reduced with masked cumsums + static row-boundary
+    # differences:
+    #   * integer sums (pick count, svlen, positions centered on the
+    #     row's static first position) use int32 cumsums — two's
+    #     complement wraparound keeps row differences EXACT whenever
+    #     the true row sum fits int32, which centering guarantees;
+    #   * the stdev deviation pass is a boundary-reset f32 segmented
+    #     scan: magnitudes stay within-row, so precision is finest
+    #     exactly where small stdevs gate merges (a global f32 cumsum
+    #     would cancel catastrophically across rows).
+    # The centered-integer mean is one final f32 rounding of the exact
+    # rational — at least as close to the host's f64 arithmetic as the
+    # gather formulation's raw f32 position sums were.
+    # ------------------------------------------------------------------
+    posf_all = pos.astype(jnp.float32)
+    svlen_i = s["svlen"]
+
+    # static element-aligned row machinery (rowid/cut fixed pre-loop)
+    rowhead_of_seed = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(cut, arange_n, -1))           # seed -> lane
+    elem_lane = jnp.take(rowhead_of_seed, seed_id)           # element -> lane
+    elem_row = jnp.take(rowid, seed_id)                      # element -> row id
+    elem_valid = valid
+    rowlast_by_rowid = seg_max(jnp.where(elem_valid, arange_n, -1),
+                               elem_row, n)
+    row_last_lane = jnp.take(rowlast_by_rowid, rowid)        # lane -> last elem
+    row_first_lane = lo                                      # lane -> first elem
+    row_start_elem = jnp.zeros((n,), dtype=bool).at[
+        jnp.clip(jnp.where(cut & seed_live, lo, n), 0, n - 1)].set(
+        True, mode="drop")
+    base_elem = jnp.take(pos, jnp.clip(jnp.take(lo, elem_lane), 0, n - 1))
+    d_elem = pos - base_elem                                 # int32, centered
+
+    def _row_totals_int(masked_vals, last_lane, first_lane):
+        c = jnp.concatenate([jnp.zeros((1,), masked_vals.dtype),
+                             jnp.cumsum(masked_vals)])
+        return (jnp.take(c, jnp.clip(last_lane + 1, 0, n))
+                - jnp.take(c, jnp.clip(first_lane, 0, n)))
+
+    def _row_totals_f32_seg(masked_vals, last_lane):
+        def comb(a, b):
+            av, ab = a
+            bv, bb = b
+            return (jnp.where(bb, bv, av + bv), ab | bb)
+        scanned, _ = jax.lax.associative_scan(
+            comb, (masked_vals, row_start_elem))
+        return jnp.take(scanned, jnp.clip(last_lane, 0, n - 1))
+
+    def range_metrics_vec(lo_c, hi_c):
+        """compute_metrics of [lo_c, hi_c) per LANE (same pick set and
+        divisor quirks as the sequential sweep's range_metrics)."""
+        elem_lo = jnp.take(lo_c, elem_lane)
+        elem_hi = jnp.take(hi_c, elem_lane)
+        off = arange_n - elem_lo
+        L_el = jnp.maximum(elem_hi - elem_lo, 0)
+        nn_el = jnp.minimum(L_el, 100)
+        stride_el = jnp.maximum(L_el // jnp.maximum(nn_el, 1), 1)
+        pick = (elem_valid & (off >= 0) & (arange_n < elem_hi)
+                & (off % stride_el == 0))
+        pick_i = pick.astype(jnp.int32)
+
+        npicks = _row_totals_int(pick_i, row_last_lane, row_first_lane)
+        sum_sv = _row_totals_int(jnp.where(pick, svlen_i, 0),
+                                 row_last_lane, row_first_lane)
+        sum_d = _row_totals_int(jnp.where(pick, d_elem, 0),
+                                row_last_lane, row_first_lane)
+
+        L_lane = jnp.maximum(hi_c - lo_c, 0)
+        nn_lane = jnp.minimum(L_lane, 100)
+        mean_sv = (sum_sv.astype(jnp.float32)
+                   / jnp.maximum(nn_lane, 1).astype(jnp.float32))
+        mean_d = (sum_d.astype(jnp.float32)
+                  / jnp.maximum(npicks, 1).astype(jnp.float32))
+
+        dev = jnp.where(pick,
+                        d_elem.astype(jnp.float32)
+                        - jnp.take(mean_d, elem_lane), 0.0)
+        ss = _row_totals_f32_seg(dev * dev, row_last_lane)
+        sd = jnp.where(npicks >= 2,
+                       jnp.sqrt(ss / jnp.maximum(npicks - 1, 1)
+                                .astype(jnp.float32)),
+                       0.0)
+        return mean_sv, sd
+
+    # lane init: row state lives at the row's head-seed slot
+    first_of_type = seed_live & type_change
+    init_i_lane = jnp.where(
+        first_of_type & jnp.take(head_vec, jnp.clip(seed_type, 0, 7)),
+        jnp.int32(0), jnp.int32(2))
+    act0 = cut & seed_live
+    nxt0 = jnp.where(arange_n + 1 < nseeds, arange_n + 1, SENT).astype(jnp.int32)
+    prv0 = jnp.where(arange_n > 0, arange_n - 1, SENT).astype(jnp.int32)
+    alive0 = seed_live.astype(jnp.int32)
+
+    state0 = dict(c=arange_n.astype(jnp.int32), i=init_i_lane,
+                  act=act0,
+                  nxt=nxt0, prv=prv0,
+                  hi=hi.astype(jnp.int32), end_bp=end_bp0.astype(jnp.int32),
+                  rep=rep0.astype(jnp.int32), msv=mean_sv0, sd=sd0,
+                  alive=alive0, it=jnp.int32(0))
+    max_iters = jnp.int32(4 * n + 8)
+
+    def cond(st):
+        return jnp.any(st["act"]) & (st["it"] < max_iters)
+
+    def body(st):
+        act = st["act"]
+        c = st["c"]
+        cc = jnp.clip(c, 0, n - 1)
+        row = rowid                      # lane's own row id (head slots)
+        r = jnp.take(st["nxt"], cc)
+        rc = jnp.clip(r, 0, n - 1)
+        in_row = (r < SENT) & (jnp.take(rowid, rc) == row)
+        ct = jnp.take(seed_type, cc)
+        pair_ok = act & in_row & (jnp.take(seed_type, rc) == ct)
+
+        inner = (jnp.take(start_bp, rc) - jnp.take(st["end_bp"], cc)
+                 ).astype(jnp.float32)
+        outer = (jnp.take(st["end_bp"], rc) - jnp.take(start_bp, cc)
+                 ).astype(jnp.float32)
+        sd_c = jnp.take(st["sd"], cc)
+        sd_r = jnp.take(st["sd"], rc)
+        m1 = inner <= jnp.minimum(sd_c, sd_r) * cluster_r
+        rep_pair = ((jnp.take(st["rep"], cc) > 0)
+                    | (jnp.take(st["rep"], rc) > 0) | bool(global_repeat))
+        h_lim = jnp.minimum(jnp.float32(cluster_repeat_h_max),
+                            (jnp.abs(jnp.take(st["msv"], cc))
+                             + jnp.abs(jnp.take(st["msv"], rc)))
+                            * cluster_repeat_h)
+        m2 = rep_pair & (outer <= h_lim)
+        m3 = (ct == SVTYPE_BND) & (inner <= jnp.float32(cluster_merge_bnd))
+        merge = pair_ok & (m1 | m2 | m3)
+
+        new_hi = jnp.take(st["hi"], rc)
+        mean_new, sd_new = range_metrics_vec(jnp.take(lo, cc), new_hi)
+        rn = jnp.take(st["nxt"], rc)
+        rnc = jnp.clip(rn, 0, n - 1)
+
+        # scatter targets: real index when merging, dropped otherwise
+        DROP = jnp.int32(n)
+        tgt_c = jnp.where(merge, cc, DROP)
+        tgt_rc = jnp.where(merge, rc, DROP)
+        tgt_rn = jnp.where(merge & (rn < SENT), rnc, DROP)
+        hi_d = st["hi"].at[tgt_c].set(new_hi, mode="drop")
+        end_d = st["end_bp"].at[tgt_c].set(jnp.take(st["end_bp"], rc),
+                                           mode="drop")
+        rep_d = st["rep"].at[tgt_c].set(
+            jnp.take(st["rep"], cc) | jnp.take(st["rep"], rc), mode="drop")
+        msv_d = st["msv"].at[tgt_c].set(mean_new, mode="drop")
+        sd_d = st["sd"].at[tgt_c].set(sd_new, mode="drop")
+        nxt_d = st["nxt"].at[tgt_c].set(rn, mode="drop")
+        prv_d = st["prv"].at[tgt_rn].set(cc, mode="drop")
+        alive_d = st["alive"].at[tgt_rc].set(0, mode="drop")
+
+        # pointer transition (identical formulas to the sequential
+        # sweep; p_ok additionally requires same-row — the host's
+        # backtrack across a cut evaluates the impermeable pair and
+        # returns with i restored, net unchanged)
+        i = st["i"]
+        p = jnp.take(prv_d, cc)
+        pc = jnp.clip(p, 0, n - 1)
+        p_ok = ((p < SENT) & (jnp.take(seed_type, pc) == ct)
+                & (jnp.take(rowid, pc) == row))
+        c_merge = jnp.where(i == 0, rn,
+                            jnp.where(i == 1, c, jnp.where(p_ok, p, c)))
+        i_merge = jnp.where(i == 0, jnp.int32(1),
+                            jnp.where(i == 1, jnp.int32(1),
+                                      jnp.where(p_ok, i - 1, i)))
+        c2 = jnp.where(merge, c_merge, jnp.where(act, r, c))
+        i2 = jnp.where(merge, i_merge, jnp.where(act, i + 1, i))
+        # a lane retires when its pointer leaves the row (the host walks
+        # on into the next segment — that segment's own lane covers it)
+        act2 = act & jnp.where(merge, True, in_row)
+        c2c = jnp.clip(c2, 0, n - 1)
+        act2 = act2 & (c2 < SENT) & (jnp.take(rowid, c2c) == row)
+
+        return dict(c=c2, i=i2, act=act2, nxt=nxt_d, prv=prv_d, hi=hi_d,
+                    end_bp=end_d, rep=rep_d, msv=msv_d, sd=sd_d,
+                    alive=alive_d, it=st["it"] + 1)
+
+    final = jax.lax.while_loop(cond, body, state0)
+
+    alive_lo = jnp.where((final["alive"] > 0) & seed_live, lo, n)
+    scat = jnp.zeros((n + 1,), dtype=bool).at[jnp.clip(alive_lo, 0, n)].set(True)
+    boundary = scat[:n] | (seed_boundary & ~valid)
+    return boundary.at[0].set(True)
+
+
+# A/B + emergency escape hatch: force the sequential sweep formulation
+# (identical results; the grid is the production default for latency)
+_FORCE_SEQ_SWEEP = bool(__import__("os").environ.get("SNIFFLES_TPU_SEQ_SWEEP"))
+
+
+def _exact_merge_sweep_auto(s, seed_boundary, bin_, **kw):
+    """Runtime dispatch between the two EXACT sweep formulations (both
+    produce identical boundaries): the segment-lockstep grid wins when
+    the sound-cut partition is effective (iterations ~ max seeds per
+    segment; realistic tasks: 3-6x faster), while an adversarial layout
+    that resists cutting (seed chains at sub-cap gaps across the whole
+    window) degenerates the grid into a sequential walk with ~25x
+    costlier iterations (measured 18 s vs 0.6 s on a fully dense random
+    batch) — there the classic per-seed while_loop is the right tool.
+    The predicate replicates the grid's cut fixpoint (cheap, vectorized)
+    and compares the longest row against the total seed count scaled by
+    the measured per-iteration cost ratio."""
+    n = s["pos"].shape[0]
+    valid = s["valid"]
+    arange_n = jnp.arange(n)
+    INT32_MAX = jnp.int32(2 ** 31 - 1)
+    seed_id = segment_ids_from_boundaries(seed_boundary)
+    nseeds = jnp.max(jnp.where(valid, seed_id, -1)) + 1
+    seed_type = seg_max(jnp.where(valid, s["svtype"], -1), seed_id, n)
+    start_bp = seg_min(jnp.where(valid, bin_ * kw["binsize"], INT32_MAX),
+                       seed_id, n)
+    end_bp0 = seg_max(jnp.where(valid, bin_ * kw["binsize"] + kw["binsize"],
+                                -1), seed_id, n)
+    seed_live = arange_n < nseeds
+    prev_slot = jnp.clip(arange_n - 1, 0, n - 1)
+    type_change = (arange_n == 0) | (seed_type != seed_type[prev_slot])
+    gap = (start_bp - end_bp0[prev_slot]).astype(jnp.float32)
+    const_ok = gap > jnp.float32(max(float(kw["cluster_merge_bnd"]),
+                                     float(kw["cluster_repeat_h_max"])))
+    cut0 = (seed_live & (type_change | const_ok)).at[0].set(True)
+
+    def fix_cond(st):
+        it, changed, _ = st
+        return changed & (it < 24)
+
+    def fix_body(st):
+        it, _, cut = st
+        segid = segment_ids_from_boundaries(cut)
+        span_lo = seg_min(jnp.where(seed_live, start_bp, INT32_MAX), segid, n)
+        span_hi = seg_max(jnp.where(seed_live, end_bp0, -1), segid, n)
+        span = (jnp.take(span_hi, segid) - jnp.take(span_lo, segid)
+                ).astype(jnp.float32)
+        span_l = jnp.take(span, jnp.clip(segid - 1, 0, n - 1))
+        m1_ok = gap > jnp.float32(kw["cluster_r"]) * jnp.minimum(span_l, span)
+        new_cut = (cut & (type_change | (const_ok & m1_ok))).at[0].set(True)
+        return (it + 1, jnp.any(new_cut != cut), new_cut)
+
+    _, still_changing, cut = jax.lax.while_loop(
+        fix_cond, fix_body, (jnp.int32(0), jnp.bool_(True), cut0))
+    cut = jnp.where(still_changing, seed_live & type_change, cut)
+    cut = cut.at[0].set(True)
+    rowid = segment_ids_from_boundaries(cut)
+    row_seeds = seg_sum(jnp.where(seed_live, 1, 0), rowid, n)
+    max_row = jnp.max(row_seeds)
+    # grid iteration ~25x the sequential iteration's cost; prefer the
+    # grid only when its lockstep depth is far below the seed count
+    use_grid = max_row * 28 <= jnp.maximum(nseeds, 1)
+
+    return jax.lax.cond(
+        use_grid,
+        lambda: _exact_merge_sweep_grid(s, seed_boundary, bin_, **kw),
+        lambda: _exact_merge_sweep(s, seed_boundary, bin_, **kw))
+
+
 def _cluster_body(sig: dict,
                        cluster_r: float,
                        cluster_repeat_h: float,
@@ -322,7 +698,9 @@ def _cluster_body(sig: dict,
     arange_n = jnp.arange(n)
 
     if exact_sweep:
-        boundary = _exact_merge_sweep(
+        sweep = (_exact_merge_sweep if _FORCE_SEQ_SWEEP
+                 else _exact_merge_sweep_auto)
+        boundary = sweep(
             s, boundary, bin_, cluster_r=cluster_r,
             cluster_repeat_h=cluster_repeat_h,
             cluster_repeat_h_max=cluster_repeat_h_max,

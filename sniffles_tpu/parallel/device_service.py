@@ -292,7 +292,7 @@ class DeviceServer:
                 import jax.numpy as jnp
                 from sniffles_tpu.ops.clustering import call_task_packed
                 from sniffles_tpu.parallel.device_call import PACKED_ROWS
-                jax.block_until_ready(call_task_packed(
+                jax.device_get(call_task_packed(
                     jnp.zeros((PACKED_ROWS, key[1]), jnp.int32), **dict(key[0])))
             except Exception:
                 # dispatch will retry the compile inline and surface the
@@ -430,7 +430,7 @@ class DeviceServer:
             JAX_CLIENT_LIVE = True
             # chip claim: the first dispatch in a fresh process pays the
             # tunnel claim (1s steady, minutes under contention)
-            jnp.zeros((8,), jnp.int32).block_until_ready()
+            jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
             claim_s = time.perf_counter() - t0
             compile_s = 0.0
             if self._warm_meta is not None:
@@ -459,14 +459,14 @@ class DeviceServer:
                     sizes.append(8 * DEVICE_BATCH_FLOOR)
                 warm_key = tuple(sorted(self._warm_meta.items()))
                 for size in sizes:
-                    jax.block_until_ready(call_task_packed(
+                    jax.device_get(call_task_packed(
                         jnp.zeros((PACKED_ROWS, size), jnp.int32), **self._warm_meta))
                     self._ready_shapes.add((1, size))
                     self._ready_metas.add((warm_key, size))
                 if self._warm_full:
                     fused = batched_call_task(tuple(sorted(self._warm_meta.items())))
                     for k in (2, 4):
-                        jax.block_until_ready(fused(
+                        jax.device_get(fused(
                             jnp.zeros((k, PACKED_ROWS, DEVICE_BATCH_FLOOR), jnp.int32)))
                         self._ready_shapes.add((k, DEVICE_BATCH_FLOOR))
                 compile_s = time.perf_counter() - t0

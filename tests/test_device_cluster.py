@@ -171,3 +171,93 @@ def test_merge_chain_host_sweep_pinned(config):
     provider.end = 1_000_000
     clusters = list(cl.resolve("INS", provider, config, None))
     assert len(clusters) == 6, [(c.start, c.end, len(c.leads)) for c in clusters]
+
+
+def test_grid_sweep_threshold_chains_match_host(config):
+    """Adversarial chains for the SEGMENT-LOCKSTEP sweep
+    (ops/clustering._exact_merge_sweep_grid): cluster runs chained at
+    gaps straddling the sound-cut bound (some gaps well inside merge
+    reach, some just above the constant caps, wide spreads so the
+    span-fixpoint must REMOVE candidate cuts), with repeat flags
+    engaging the m2 criterion. Device cluster partition must equal the
+    host sequential sweep on every seed."""
+    from sniffles_tpu import cluster as cl
+    from sniffles_tpu.leads import Lead, LeadProvider
+    from sniffles_tpu.ops.clustering import cluster_assign_packed
+
+    for seed in range(15):
+        rng = np.random.default_rng(7100 + seed)
+        pos_list = []
+        tr = []
+        p = 10_000
+        for _ in range(int(rng.integers(4, 10))):
+            # one run: several nearby bins with a spread that inflates sd
+            run_len = int(rng.integers(3, 30))
+            spread = int(rng.integers(30, 900))
+            base = p
+            for _ in range(run_len):
+                pos_list.append(base + int(rng.integers(0, spread)))
+            if rng.random() < 0.4:
+                # whole-run TR interval: repeat-flag semantics agree on
+                # both sides for leads deep inside the range (m2 active)
+                tr.append((base - 50, base + spread + 50))
+            # gap: sometimes < caps (uncuttable), sometimes just above,
+            # sometimes huge
+            p = base + spread + int(rng.choice(
+                (150, 400, 900, 1050, 1200, 2600, 4000, 60_000)))
+        order = np.argsort(np.array(pos_list), kind="stable")
+        pos = np.array(pos_list)[order]
+        tr = sorted(tr) or None
+        # the HOST flags a seed bin as repeat iff its BIN START is
+        # strictly inside a TR interval (cluster._RepeatCursor.covers);
+        # feed the kernel the same per-lead flags so both sides see the
+        # identical repeat classification (the packer's per-lead rule is
+        # an intentional, separately-validated approximation)
+        binsize_t = config.cluster_binsize
+        bins_of = (pos // binsize_t) * binsize_t
+        # the host seeds only bins with >= dev_min_leads_cluster leads
+        # (cluster._seed_clusters); the production packer applies the
+        # same filter (pack_task_batch), so this harness must too
+        ub, cnt = np.unique(bins_of, return_counts=True)
+        ok_bins = set(ub[cnt >= config.dev_min_leads_cluster].tolist())
+        keep = np.array([b in ok_bins for b in bins_of])
+        pos = pos[keep]
+        bins_of = bins_of[keep]
+        reps = np.array([any(lo < b < hi for lo, hi in (tr or ()))
+                         for b in bins_of])
+        n = len(pos)
+
+        provider = LeadProvider(config, 0, "chr1")
+        binsize = config.cluster_binsize
+        for i in range(n):
+            ld = Lead(read_id=i, read_qname=str(i), contig="chr1",
+                      ref_start=int(pos[i]), ref_end=int(pos[i]),
+                      qry_start=0, qry_end=0, strand="+", mapq=60, nm=0.0,
+                      source="INLINE", svtype="INS", svlen=100)
+            provider.record_lead(ld, int(pos[i] / binsize) * binsize)
+        provider.start = 0
+        provider.end = 10_000_000
+        host = [sorted(ld.read_id for ld in c.leads)
+                for c in cl.resolve("INS", provider, config, tr)]
+
+        size = 512
+        packed = np.zeros((6, size), dtype=np.int32)
+        packed[0, :n] = pos
+        packed[1, :n] = 100
+        packed[2, :n] = 0
+        packed[3, :n] = np.arange(n)
+        packed[4, :n] = reps
+        packed[5, :n] = 1
+        out = np.asarray(cluster_assign_packed(
+            jnp.asarray(packed), cluster_r=config.cluster_r,
+            cluster_repeat_h=config.cluster_repeat_h,
+            cluster_repeat_h_max=config.cluster_repeat_h_max,
+            cluster_merge_bnd=config.cluster_merge_bnd,
+            cluster_merge_len=config.cluster_merge_len,
+            minsvlen=config.minsvlen))
+        valid = out[2][:n] > 0
+        groups: dict = {}
+        for orig, cid in zip(out[1][:n][valid], out[0][:n][valid]):
+            groups.setdefault(int(cid), []).append(int(orig))
+        dev = sorted(sorted(g) for g in groups.values())
+        assert dev == sorted(host), seed
