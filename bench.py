@@ -14,10 +14,15 @@ Benchmark: the north-star metric (BASELINE.md) plus kernel throughput.
    Host vs TPU uses the ALTERNATING-PAIRS protocol (BENCH_PAIRS=7
    host/TPU pairs after discarded warmups with TPU-side settling; per-pair
    deltas, medians, and win count all land in the JSON) so the
-   ordering claim carries its own evidence. Two scales from the same
-   script: the 40MB quick dataset and a ~1.2GB decode-bound dataset
-   (BASELINE.md's "HG002 30x below 4-thread CPU reference" proxy;
-   skip with BENCH_SKIP_SCALE=1).
+   ordering claim carries its own evidence. Four legs from the same
+   script (round 5): the 40MB quick dataset; a compute-dense dataset
+   (SV sites every 1.5-3kb at 60x — the regime where per-task compute
+   dominates decode; BENCH_SKIP_DENSE=1 skips); a ~1.2GB decode-bound
+   dataset (BASELINE.md's "HG002 30x below 4-thread CPU reference"
+   proxy; BENCH_SKIP_SCALE=1 skips) with an additional inline
+   (--threads 0) pairs leg (BENCH_SKIP_INLINE=1 skips); and a
+   256-sample population combine leg via tools/bench_combine.py
+   (BENCH_SKIP_COMBINE=1 skips).
 2. Fused device-pipeline throughput (parallel/engine.py) and the
    host-exact pipeline on the SAME workload size, mean over repeats,
    plus the device peak at a large batch where dispatch is amortized.
